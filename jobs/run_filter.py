@@ -1,0 +1,59 @@
+"""spark-submit entry point for the quality-filter pipeline.
+
+Usage (production shape, north rule):
+    spark-submit --py-files webfilter.zip jobs/run_filter.py \
+        --pages /path/pages.parquet --out /path/out --buckets 4096
+
+Local/dev extras:
+    --synth N      generate an N-doc deterministic synthetic corpus
+                   into --out/_synth first and filter that
+    --cores N      local[N] master (default: all)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="webfilter quality-filter job")
+    ap.add_argument("--pages", help="input pages parquet/Iceberg path")
+    ap.add_argument("--out", required=True, help="output root (decisions/audit/manifest)")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--synth", type=int, default=0, help="generate N synthetic docs first")
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args(argv)
+
+    if not args.pages and not args.synth:
+        ap.error("either --pages or --synth N is required")
+
+    from webfilter.session import get_spark
+
+    spark = get_spark("webfilter-run", cores=args.cores)
+    t0 = time.time()
+
+    pages_path = args.pages
+    if args.synth:
+        from webfilter import synth
+
+        pages_path = pages_path or f"{args.out}/_synth"
+        synth.write_dataset(spark, args.synth, pages_path)
+        pages_path = f"{pages_path}/pages.parquet"
+
+    from webfilter import pipeline
+
+    res = pipeline.run_filter(
+        spark, pages_path, args.out, n_buckets=args.buckets, run_id=args.run_id
+    )
+    res["wall_s"] = round(time.time() - t0, 2)
+    res["docs_per_s"] = round(res["docs"] / max(res["wall_s"], 1e-9), 1)
+    print(json.dumps(res))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

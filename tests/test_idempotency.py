@@ -1,0 +1,88 @@
+"""Resume/idempotency gates (SURVEY.md §5 item 3, BASELINE.md §2):
+kill-after-stage simulation, re-run convergence, monotonic
+latest-per-url merge semantics, salting row-multiset preservation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webfilter import pipeline
+from webfilter.manifest import Manifest
+from webfilter.partitioning import salted_repartition
+from webfilter.tables import ParquetCatalog, latest_per_url
+
+
+def _decisions_fingerprint(spark, out_dir: str):
+    """Order-insensitive content hash of the decisions table (ignores
+    run_id — different runs may legally differ there)."""
+    dec = ParquetCatalog(spark, out_dir).read("decisions").drop("run_id")
+    row_hash = F.md5(F.to_json(F.struct(*sorted(dec.columns))))
+    return (
+        dec.select(row_hash.alias("h"))
+        .agg(F.count("*").alias("n"), F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint")).alias("s"))
+        .collect()[0]
+    )
+
+
+def test_partial_then_resume_equals_clean_run(spark, synth_dir, tmp_path):
+    pages = f"{synth_dir}/pages.parquet"
+    clean = tmp_path / "clean"
+    partial = tmp_path / "partial"
+
+    pipeline.run_filter(spark, pages, str(clean), n_buckets=8, run_id="clean")
+
+    # simulate a crash: first invocation only completes buckets 0-2
+    r1 = pipeline.run_filter(
+        spark, pages, str(partial), n_buckets=8, run_id="p1", only_buckets=[0, 1, 2]
+    )
+    assert r1["buckets"] == 3
+    m = Manifest(ParquetCatalog(spark, str(partial)))
+    assert sorted(m.pending_buckets(8)) == [3, 4, 5, 6, 7]
+
+    # resume completes only the remaining buckets
+    r2 = pipeline.run_filter(spark, pages, str(partial), n_buckets=8, run_id="p2")
+    assert r2["buckets"] == 5
+
+    fp_clean = _decisions_fingerprint(spark, str(clean))
+    fp_resumed = _decisions_fingerprint(spark, str(partial))
+    assert fp_clean == fp_resumed
+
+
+def test_rerun_is_noop(spark, synth_dir, tmp_path):
+    pages = f"{synth_dir}/pages.parquet"
+    out = tmp_path / "once"
+    pipeline.run_filter(spark, pages, str(out), n_buckets=8, run_id="a")
+    r = pipeline.run_filter(spark, pages, str(out), n_buckets=8, run_id="b")
+    assert r["buckets"] == 0 and r["docs"] == 0
+
+
+def test_latest_per_url_monotonic(spark):
+    rows = [
+        ("u1", "2024-01-02 00:00:00", b"new"),
+        ("u1", "2024-01-01 00:00:00", b"old"),
+        ("u2", "2024-01-01 00:00:00", b"only"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts string, html binary").withColumn(
+        "warc_ts", F.to_timestamp("warc_ts")
+    )
+    got = {r["url"]: bytes(r["html"]) for r in latest_per_url(df).collect()}
+    assert got == {"u1": b"new", "u2": b"only"}
+
+
+def test_latest_per_url_stale_rows_ignored(spark, synth_dir, pipeline_out):
+    """Re-crawled urls (5% of docs carry an extra stale row) must
+    resolve to the newest crawl — decisions has exactly one row per
+    url and its text is the golden (newest) text."""
+    pages = spark.read.parquet(f"{synth_dir}/pages.parquet")
+    dup_urls = pages.groupBy("url").count().filter("count > 1")
+    assert dup_urls.count() > 0
+    dec = ParquetCatalog(spark, pipeline_out).read("decisions")
+    assert dec.groupBy("url").count().filter("count > 1").count() == 0
+
+
+def test_salting_preserves_row_multiset(spark, synth_dir):
+    pages = spark.read.parquet(f"{synth_dir}/pages.parquet")
+    before = pages.groupBy("url").count()
+    after = salted_repartition(pages, 16, "url", n_salts=4).groupBy("url").count()
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0

@@ -1,0 +1,70 @@
+"""Spark Column-expression rules vs the independent pure-python
+mirror (webfilter/kernels/heuristics.py) — exact parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webfilter import rules
+from webfilter.kernels import heuristics
+
+EDGE_TEXTS = [
+    "",
+    " ",
+    "one",
+    "the " * 60,
+    "a\nb\nb\nb\nb",
+    "word### " * 60,
+    "x" * 200,
+    ("the quick brown fox jumps over the lazy dog and then it was all good " * 3).strip(),
+    "line one here\nline one here\nline two",
+    "的一 是不 了人",
+    "tab\tseparated words here\nand more",
+]
+
+
+def test_heuristic_parity_edge_cases(spark):
+    df = spark.createDataFrame([(t,) for t in EDGE_TEXTS], "text string")
+    rows = rules.with_heuristics(df).collect()
+    for r in rows:
+        s = heuristics.stats(r["text"])
+        assert r["n_words"] == s["n_words"], r["text"][:40]
+        assert r["n_chars"] == s["n_chars"]
+        assert abs(r["mean_word_len"] - s["mean_word_len"]) < 1e-9
+        assert abs(r["symbol_ratio"] - s["symbol_ratio"]) < 1e-9
+        assert r["n_stopwords"] == s["n_stopwords"]
+        assert abs(r["alpha_ratio"] - s["alpha_ratio"]) < 1e-9
+        assert abs(r["dup_line_ratio"] - s["dup_line_ratio"]) < 1e-9
+
+
+def test_heuristic_reason_parity_on_synth(spark, synth_dir):
+    golden = spark.read.parquet(f"{synth_dir}/golden.parquet")
+    df = golden.select(F.col("expected_text").alias("text"), "heur_reasons")
+    df = rules.with_heuristics(df)
+    df = df.withColumn(
+        "spark_reasons",
+        F.array_compact(
+            F.array(
+                *[
+                    F.when(~F.col(f"rule_{n}"), F.lit(n)).otherwise(F.lit(None))
+                    for n in rules.HEURISTIC_RULE_NAMES
+                ]
+            )
+        ),
+    )
+    bad = df.filter(F.col("spark_reasons") != F.col("heur_reasons")).count()
+    assert bad == 0
+
+
+def test_decision_composition(spark):
+    df = spark.createDataFrame(
+        [("the time of people and water in a school " * 10,), ("tiny",)],
+        "text string",
+    )
+    df = rules.with_heuristics(df)
+    df = df.withColumns(
+        {"rule_lang": F.lit(True), "rule_langid_conf": F.lit(True), "rule_perplexity": F.lit(True)}
+    )
+    rows = rules.with_decision(df).collect()
+    assert rows[0]["keep"] is True and rows[0]["drop_reasons"] == []
+    assert rows[1]["keep"] is False and "min_words" in rows[1]["drop_reasons"]

@@ -1,0 +1,338 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Design rules (100 TB posture):
+* signatures are computed JVM-side where possible (xxhash64 +
+  higher-order array functions — whole-stage codegen, no Python);
+* candidate generation is always a *band/bucket equi-join* (shuffle
+  on short keys), never a cross join;
+* verification (exact Jaccard / hamming / cosine) runs only on
+  candidate pairs.
+
+Reference parity: the reference dedups with full-row
+``dropDuplicates()`` before every persist
+(databricks/model/bc_chat_ift/01_seed_generation.py:362,
+02_data_augmentation.py:310, 03_process_and split_dataset.py:50);
+exact_dedup generalizes that to content-hash keys, and the near-dup
+family covers what the north rule adds (repeated-line MinHash
+shingles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per identical text (md5 content key).
+
+    One shuffle (window on the hash). At 10^12 rows prefer the
+    groupBy(min) + semi-join form if the id is the only payload; the
+    window form returns full rows without a second join.
+    """
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, n_dups, keep_id, dup_ids) for groups with >1 row."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("dup_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles as array<string> (JVM-side: split +
+    sequence + transform + slice; no UDF)."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        )
+    )
+
+
+# -------------------------------------------------------- MinHash + LSH
+
+
+def minhash_signature_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 64,
+) -> DataFrame:
+    """(id, sig array<bigint>) — n_hashes minhash values per doc.
+
+    All JVM: explode distinct shingles, xxhash64(shingle, seed_j) per
+    hash function, min-agg per doc. One shuffle (the groupBy);
+    map-side partial mins keep it cheap.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("shingle")
+    )
+    mins = [
+        F.min(F.xxhash64("shingle", F.lit(j))).alias(f"h{j}") for j in range(n_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        id_col, F.array(*[F.col(f"h{j}") for j in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banding: docs sharing any band hash become a candidate pair.
+
+    Equi-join on (band_idx, band_hash); AQE handles residual skew
+    (a giant boilerplate cluster = a hot band bucket).
+    """
+    bands = sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs only."""
+    sets = df.select(
+        F.col(id_col), shingles_col(F.col(text_col), k).alias("sh")
+    )
+    j = (
+        pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        j.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: sign -> band -> verify."""
+    sig = minhash_signature_df(df, id_col, text_col, k, n_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, n_bands, n_hashes // n_bands)
+    return jaccard_verify(df, cand, id_col, text_col, k, threshold)
+
+
+# -------------------------------------------------------- exact Jaccard
+# (quadratic *within blocks* — the SQL-oracle-checkable variant; the
+# blocking key caps pair blowup)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """All-pairs exact k-shingle Jaccard >= threshold, optionally
+    blocked by a key (e.g. 'source') to bound the join. For unblocked
+    web-scale use minhash_dedup_pairs instead."""
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        shingles_col(F.col(text_col), k).alias("sh"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+        joined = a.join(b, on=(F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+    else:
+        joined = a.crossJoin(b).filter(cond)
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    union = F.size(F.array_union("a.sh", "b.sh"))
+    return (
+        joined.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def simhash_col(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash, pure Column algebra: for each bit position,
+    sum +/-1 over token hashes and take the sign.
+
+    Token hash = xxhash64(token); bit b of the fingerprint is set iff
+    sum_tokens(sign(bit b of hash)) > 0. Built with aggregate() over
+    the token array — no Python, no shuffle.
+    """
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # acc: array of 64 counters
+    init = F.array_repeat(F.lit(0).cast("bigint"), bits)
+    counters = F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+            ),
+            lambda a, d: a + d.cast("bigint"),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda c, b: F.when(c > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into n_chunks
+    16-bit chunks; any pair within hamming<=3 shares at least one
+    exact chunk -> equi-join per chunk, verify with bit_count(xor).
+    """
+    fp = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("fp"))
+    chunk_bits = 64 // n_chunks
+    chunks = fp.select(
+        "id",
+        "fp",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+                lambda c: F.shiftright(F.col("fp"), c * chunk_bits).bitwiseAND(
+                    F.lit((1 << chunk_bits) - 1)
+                ),
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------- embedding cosine near-dup
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Pairs with cosine >= threshold via random-hyperplane LSH
+    bucketing + in-bucket exact cosine (see simsearch for the
+    hyperplane machinery)."""
+    from .simsearch import cosine_sim_col, with_hyperplane_bucket, with_norm
+
+    v = with_norm(emb, vec_col).select(F.col(id_col).alias("id"), "vec_n")
+    v = with_hyperplane_bucket(v, "vec_n", n_planes)
+    a, b = v.alias("a"), v.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    )
+    return (
+        cand.withColumn("cosine", cosine_sim_col(F.col("a.vec_n"), F.col("b.vec_n")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+    )

@@ -1,0 +1,124 @@
+"""Deterministic embedded corpora.
+
+These wordlists serve three deterministic roles (no external data, no
+downloads — everything is checked in):
+
+1. training material for the hashed n-gram language-ID profiles
+   (:mod:`webfilter.kernels.langid`),
+2. training material for the hashed bigram LM perplexity scorer
+   (:mod:`webfilter.kernels.perplexity`),
+3. vocabulary for the synthetic ``pages`` fixture generator
+   (:mod:`webfilter.synth`).
+
+The reference keeps fixture corpora checked in as jsonl
+(databricks/model/bc_chat_ift/data/seed.jsonl); we keep ours as code
+so generation is seed-stable across machines.
+"""
+
+from __future__ import annotations
+
+# ~40 high-frequency English stopwords — the C4 "contains stopwords"
+# rule and the stopword-density rule both read from this set.
+EN_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "a", "in", "that", "have", "it",
+    "for", "not", "on", "with", "he", "as", "you", "do", "at", "this",
+    "but", "his", "by", "from", "they", "we", "say", "her", "she", "or",
+    "an", "will", "my", "one", "all", "would", "there", "their", "what",
+    "is", "are", "was", "were",
+)
+
+EN_WORDS: tuple[str, ...] = EN_STOPWORDS + (
+    "time", "people", "year", "way", "day", "man", "thing", "woman",
+    "life", "child", "world", "school", "state", "family", "student",
+    "group", "country", "problem", "hand", "part", "place", "case",
+    "week", "company", "system", "program", "question", "work",
+    "government", "number", "night", "point", "home", "water", "room",
+    "mother", "area", "money", "story", "fact", "month", "lot", "right",
+    "study", "book", "eye", "job", "word", "business", "issue", "side",
+    "kind", "head", "house", "service", "friend", "father", "power",
+    "hour", "game", "line", "end", "member", "law", "car", "city",
+    "community", "name", "president", "team", "minute", "idea", "body",
+    "information", "back", "parent", "face", "others", "level", "office",
+    "door", "health", "person", "art", "war", "history", "party",
+    "result", "change", "morning", "reason", "research", "girl", "guy",
+    "moment", "air", "teacher", "force", "education", "good", "new",
+    "first", "last", "long", "great", "little", "own", "other", "old",
+    "big", "high", "different", "small", "large", "next", "early",
+    "young", "important", "few", "public", "bad", "same", "able",
+)
+
+DE_WORDS: tuple[str, ...] = (
+    "der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich",
+    "des", "auf", "für", "ist", "im", "dem", "nicht", "ein", "eine",
+    "als", "auch", "es", "an", "werden", "aus", "er", "hat", "dass",
+    "sie", "nach", "wird", "bei", "einer", "um", "am", "sind", "noch",
+    "wie", "einem", "über", "einen", "so", "zum", "war", "haben", "nur",
+    "oder", "aber", "vor", "zur", "bis", "mehr", "durch", "können",
+    "jahr", "zeit", "menschen", "leben", "welt", "stadt", "wasser",
+    "arbeit", "schule", "frage", "männer", "straße", "mädchen",
+    "geschichte", "regierung", "gesellschaft", "entwicklung", "möglich",
+    "natürlich", "deutschland", "sprache", "bücher", "größe", "tür",
+)
+
+FR_WORDS: tuple[str, ...] = (
+    "le", "la", "les", "de", "des", "du", "un", "une", "et", "est",
+    "en", "que", "qui", "dans", "pour", "pas", "sur", "plus", "avec",
+    "tout", "faire", "son", "mais", "comme", "ou", "si", "leur", "y",
+    "dit", "être", "avoir", "cette", "ces", "aussi", "bien", "où",
+    "sans", "peut", "même", "après", "très", "année", "temps", "monde",
+    "vie", "jour", "homme", "femme", "enfant", "pays", "ville", "eau",
+    "école", "travail", "question", "histoire", "gouvernement",
+    "société", "développement", "français", "langue", "être", "déjà",
+    "voilà", "près", "était", "première", "grandes", "nouvelles",
+)
+
+ES_WORDS: tuple[str, ...] = (
+    "el", "la", "los", "las", "de", "del", "un", "una", "y", "es",
+    "en", "que", "no", "por", "con", "para", "su", "se", "lo", "como",
+    "más", "pero", "sus", "le", "ya", "o", "este", "sí", "porque",
+    "esta", "entre", "cuando", "muy", "sin", "sobre", "también", "me",
+    "hasta", "hay", "donde", "quien", "desde", "todo", "nos", "durante",
+    "año", "tiempo", "mundo", "vida", "día", "hombre", "mujer", "niño",
+    "país", "ciudad", "agua", "escuela", "trabajo", "pregunta",
+    "historia", "gobierno", "sociedad", "desarrollo", "español",
+    "lengua", "años", "señor", "así", "después", "número", "través",
+)
+
+# Common CJK characters; zh "words" are 1-3 char runs of these.
+ZH_CHARS: str = (
+    "的一是不了人我在有他这为之大来以个中上们到说国和地也子时道出而"
+    "要于就下得可你年生自会那后能对着事其里所去行过家十用发天如然作"
+    "方成者多日都三小军二无同么经法当起与好看学进种将还分此心前面又"
+    "定见只主没公从知使"
+)
+
+LANGS: tuple[str, ...] = ("en", "de", "fr", "es", "zh")
+
+WORDLISTS: dict[str, tuple[str, ...]] = {
+    "en": EN_WORDS,
+    "de": DE_WORDS,
+    "fr": FR_WORDS,
+    "es": ES_WORDS,
+}
+
+
+def lang_training_text(lang: str) -> str:
+    """Deterministic training 'document' per language for the n-gram
+    models: the wordlist repeated in a fixed rotation so bigrams and
+    trigrams get coverage beyond single-word boundaries."""
+    if lang == "zh":
+        # contiguous runs AND spaced 1-3 char groups: web CJK text
+        # appears both ways, and trigrams spanning spaces must be
+        # in-profile for either form
+        grouped, i, g = [], 0, 1
+        while i < len(ZH_CHARS):
+            grouped.append(ZH_CHARS[i : i + g])
+            i += g
+            g = g % 3 + 1
+        return ZH_CHARS * 2 + " " + " ".join(grouped) * 3
+    words = WORDLISTS[lang]
+    parts: list[str] = []
+    n = len(words)
+    for shift in range(3):
+        parts.extend(words[(i * (shift + 1) + shift) % n] for i in range(n))
+    return " ".join(parts)

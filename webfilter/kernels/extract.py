@@ -1,0 +1,104 @@
+"""html(bytes) -> text extraction kernel.
+
+The byte-identical-per-url invariant (BASELINE.json input_hint) lives
+here: this module is a pure deterministic function of the input bytes
+— no locale, no wall clock, no library-version-dependent parsing.
+It is regex-based by design (the container has no bs4/lxml guarantee,
+and a frozen kernel is easier to keep byte-stable than a parser
+dependency).
+
+Reference parity: this replaces the reference's row-UDF XML parse
+(python/biomed_genai/retriever/pubmed_wf/pmc.py:90-117 and its
+duplicate databricks/retriever/pubmed_wf/03_Curate_Articles.py:38-60),
+with two deliberate changes (SURVEY.md §2.8 U2):
+
+* vectorized: called on pandas batches from ``mapInPandas``, never
+  per-row through the pickling UDF path;
+* no silent ``None`` on failure — errors surface in an ``err`` column
+  (the reference swallows exceptions at pmc.py:115-117, which makes
+  downstream quality accounting untrustworthy).
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+
+import pandas as pd
+
+# --- charset sniffing ------------------------------------------------
+# Deterministic policy: ASCII-scan the first 2048 bytes for a meta
+# charset declaration; otherwise utf-8. Decode errors='replace'
+# (U+FFFD), which is deterministic and Arrow-safe.
+_META_CHARSET = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.IGNORECASE
+)
+_KNOWN_CHARSETS = {
+    "utf-8", "utf8", "latin-1", "latin1", "iso-8859-1", "windows-1252",
+    "cp1252", "ascii", "us-ascii", "utf-16", "utf-16le", "utf-16be",
+}
+
+_SCRIPT_STYLE = re.compile(
+    r"<(script|style|noscript|template)\b[^>]*>.*?</\1\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+_COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
+_TITLE = re.compile(r"<title\b[^>]*>(.*?)</title\s*>", re.IGNORECASE | re.DOTALL)
+# tags whose close (or self) implies a line break in the text flow
+_BLOCK_BREAK = re.compile(
+    r"(?:</(?:p|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article|"
+    r"header|footer|pre|figure)\s*>|<br\s*/?>|<hr\s*/?>)",
+    re.IGNORECASE,
+)
+_ANY_TAG = re.compile(r"<[^>]*>")
+_HSPACE = re.compile("[ \\t\\r\\f\\v\u00a0]+")
+_MULTI_NL = re.compile(r"\n{3,}")
+
+
+def sniff_charset(raw: bytes) -> str:
+    m = _META_CHARSET.search(raw[:2048])
+    if m:
+        enc = m.group(1).decode("ascii", "replace").lower()
+        if enc in _KNOWN_CHARSETS:
+            return enc
+    return "utf-8"
+
+
+def extract_one(raw: bytes | None) -> tuple[str, str, str]:
+    """bytes -> (text, title, err). err is '' when clean."""
+    if raw is None:
+        return "", "", "null_html"
+    if not raw:
+        return "", "", "empty_html"
+    err = ""
+    enc = sniff_charset(raw)
+    try:
+        doc = raw.decode(enc, errors="strict")
+    except (UnicodeDecodeError, LookupError):
+        doc = raw.decode("utf-8", errors="replace")
+        err = f"decode_replace:{enc}"
+
+    title_m = _TITLE.search(doc)
+    title = ""
+    if title_m:
+        title = _htmllib.unescape(_ANY_TAG.sub("", title_m.group(1))).strip()
+
+    body = _COMMENT.sub("", doc)
+    body = _SCRIPT_STYLE.sub(" ", body)
+    body = _TITLE.sub(" ", body)
+    body = _BLOCK_BREAK.sub("\n", body)
+    body = _ANY_TAG.sub(" ", body)
+    body = _htmllib.unescape(body)
+    # whitespace normalization: horizontal runs -> single space,
+    # strip line edges, >=3 newlines -> exactly 2, strip document.
+    body = _HSPACE.sub(" ", body)
+    lines = [ln.strip() for ln in body.split("\n")]
+    body = "\n".join(lines)
+    body = _MULTI_NL.sub("\n\n", body).strip("\n ").strip()
+    return body, title, err
+
+
+def extract_batch(html: pd.Series) -> pd.DataFrame:
+    """Vectorized wrapper over a pandas Series of bytes objects."""
+    out = [extract_one(v) for v in html]
+    return pd.DataFrame(out, columns=["text", "title", "err"])

@@ -1,0 +1,123 @@
+"""End-to-end quality-filter job.
+
+Stage graph (each stage reads/writes tables, never in-memory handoff
+across runs — the reference's table-state architecture,
+SURVEY.md §3):
+
+  pages --latest-per-url--> extract --> score (one Arrow UDF pass)
+        --> heuristic rules (pure Column exprs) --> decision
+        --> scrub (JVM regexp fold) --> decisions table
+        +-> per-bucket & per-host audit metrics --> audit table
+        +-> manifest DONE marks
+
+Scale notes (100 TB / 10^12 docs):
+* one shuffle total in the hot path (latest-per-url window on url);
+  everything after it is narrow until the partitioned write;
+* pending-bucket filtering is a pushed-down ``bucket_id IN (...)``
+  (partition pruning against the Iceberg bucket spec — here the
+  parquet partition dirs);
+* per-host audit aggregation is salted two-phase (hot hosts hold
+  ~35% of rows);
+* the scoring UDF sees Arrow batches of 4096 docs; model init is
+  once per python worker (module import cache).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import extract, rules, scoring, scrub
+from .manifest import DONE, RUNNING, Manifest
+from .partitioning import host_col, salted_count_by_key, with_bucket
+from .tables import ParquetCatalog, latest_per_url
+
+DECISION_COLS = [
+    "url", "bucket_id", "warc_ts", "text", "title", "extract_err",
+    "langid", "langid_conf", "perplexity", "n_words", "n_chars",
+    "keep", "drop_reasons", "scrubbed_text", "scrub_hits", "run_id",
+]
+
+
+def filtered_frame(pages: DataFrame, cfg: rules.RuleConfig = rules.DEFAULT_RULES) -> DataFrame:
+    """The pure transformation: pages -> decision rows (no writes)."""
+    df = latest_per_url(pages)
+    df = extract.with_extracted_text(df)
+    df = scoring.with_scores(df)
+    df = rules.with_heuristics(df, cfg=cfg)
+    df = rules.model_rule_columns(df, cfg)
+    df = rules.with_decision(df)
+    df = scrub.with_scrubbed(df)
+    return df
+
+
+def run_filter(
+    spark: SparkSession,
+    pages_path: str,
+    out_root: str,
+    n_buckets: int = 32,
+    cfg: rules.RuleConfig = rules.DEFAULT_RULES,
+    run_id: str | None = None,
+    only_buckets: list[int] | None = None,
+) -> dict:
+    """Resumable filter run. ``only_buckets`` limits this invocation
+    (used by the kill/resume tests to simulate a mid-run crash)."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    catalog = ParquetCatalog(spark, out_root)
+    manifest = Manifest(catalog)
+
+    pending = manifest.pending_buckets(n_buckets)
+    if only_buckets is not None:
+        pending = [b for b in pending if b in set(only_buckets)]
+    if not pending:
+        return {"run_id": run_id, "buckets": 0, "docs": 0}
+
+    pages = with_bucket(spark.read.parquet(pages_path), n_buckets)
+    if len(pending) < n_buckets:
+        # pushed-down IN-filter == partition pruning on the bucket spec
+        pages = pages.filter(F.col("bucket_id").isin(pending))
+
+    manifest.mark(run_id, "filter", pending, RUNNING)
+
+    out = filtered_frame(pages, cfg).withColumn("run_id", F.lit(run_id))
+    out = out.select(*DECISION_COLS)
+
+    # one pass: write decisions, derive audit from the written table
+    # (re-reading the sink avoids recomputing the UDF stage, the
+    # reference's materialize-before-iterate design note 04:10/03:6)
+    catalog.overwrite_partitions(out, "decisions", "bucket_id")
+
+    dec = catalog.read("decisions").filter(F.col("run_id") == run_id)
+    audit = (
+        dec.groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            F.sum(
+                (F.size(F.map_filter("scrub_hits", lambda k, v: v)) > 0).cast("bigint")
+            ).alias("n_pii"),
+            F.avg("perplexity").alias("avg_perplexity"),
+            F.avg("langid_conf").alias("avg_langid_conf"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("stage", F.lit("filter"))
+        .withColumn("processed_at", F.current_timestamp())
+    )
+    catalog.append(audit, "audit")
+
+    # skew-safe per-host metrics (hot hosts!) — salted two-phase agg
+    host_stats = salted_count_by_key(
+        dec.withColumn("host", host_col(F.col("url"))),
+        "host",
+        aggs={"n_kept": F.sum(F.col("keep").cast("bigint"))},
+    ).withColumn("run_id", F.lit(run_id))
+    catalog.append(host_stats, "host_audit")
+
+    done_buckets = [r["bucket_id"] for r in dec.select("bucket_id").distinct().collect()]
+    # buckets that had no rows are still complete
+    done = sorted(set(pending) & (set(done_buckets) | set(pending)))
+    manifest.mark(run_id, "filter", done, DONE)
+    n_docs = dec.count()
+    return {"run_id": run_id, "buckets": len(done), "docs": n_docs}

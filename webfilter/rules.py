@@ -1,0 +1,150 @@
+"""Gopher/C4-style heuristic quality rules as pure Column expressions.
+
+Every rule is a named boolean column built exclusively from
+`pyspark.sql.functions` — JVM-side, whole-stage-codegen'd, zero
+Python. The composition pattern (each rule a named boolean, keep iff
+all pass) follows the reference's judge gate
+(databricks/model/bc_chat_ift/01_seed_generation.py:137-141,325-326);
+the word-count rule itself is the reference's
+``size(split(col('content'),'\\W')) >= 50``
+(01_seed_generation.py:41,63) and the 110-char gate is its chunk
+filter (04_Chunk_Articles_Content.py:79).
+
+Token definition (shared with the DuckDB oracles in
+webfilter/oracles.py): tokens = regexp-split of trimmed text on
+``\\s+``; empty text has 0 tokens.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .kernels.corpora import EN_STOPWORDS
+
+SYMBOL_CLASS = r"[#$%^&*|~{}<>=+_\\]"
+
+
+@dataclass(frozen=True)
+class RuleConfig:
+    min_words: int = 50
+    max_words: int = 100_000
+    min_chars: int = 110
+    mean_word_len_lo: float = 2.0
+    mean_word_len_hi: float = 12.0
+    max_symbol_ratio: float = 0.10
+    min_distinct_stopwords: int = 2
+    min_alpha_token_ratio: float = 0.70
+    max_dup_line_ratio: float = 0.30
+    max_perplexity: float = 30_000.0
+    min_langid_conf: float = 0.50
+    keep_langs: tuple[str, ...] = ("en",)
+    stopwords: tuple[str, ...] = field(default=EN_STOPWORDS)
+
+
+DEFAULT_RULES = RuleConfig()
+
+# order is the canonical drop_reasons order
+HEURISTIC_RULE_NAMES: tuple[str, ...] = (
+    "min_words",
+    "max_words",
+    "min_chars",
+    "mean_word_len",
+    "symbol_ratio",
+    "stopwords",
+    "alpha_ratio",
+    "dup_lines",
+)
+MODEL_RULE_NAMES: tuple[str, ...] = ("lang", "langid_conf", "perplexity")
+ALL_RULE_NAMES: tuple[str, ...] = HEURISTIC_RULE_NAMES + MODEL_RULE_NAMES
+
+
+def tokens_col(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def heuristic_columns(text: Column, cfg: RuleConfig = DEFAULT_RULES) -> dict[str, Column]:
+    """Stat + rule boolean columns for one text column.
+
+    Returns a dict {name: Column}; stats first (n_words, n_chars,
+    mean_word_len, symbol_ratio, ...), then rule_<name> booleans.
+    """
+    toks = tokens_col(text)
+    n_words = F.size(toks)
+    n_chars = F.length(text)
+    sum_word_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = F.when(n_words > 0, sum_word_len / n_words).otherwise(F.lit(0.0))
+    n_symbols = n_chars - F.length(F.regexp_replace(text, SYMBOL_CLASS, ""))
+    symbol_ratio = F.when(n_chars > 0, n_symbols / n_chars).otherwise(F.lit(0.0))
+    low_toks = F.transform(toks, F.lower)
+    n_stop = F.size(
+        F.array_intersect(low_toks, F.lit(list(cfg.stopwords)).cast("array<string>"))
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(n_words > 0, n_alpha / n_words).otherwise(F.lit(0.0))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    dup_line_ratio = F.when(
+        n_lines > 0, (n_lines - F.size(F.array_distinct(lines))) / n_lines
+    ).otherwise(F.lit(0.0))
+
+    return {
+        "n_words": n_words.cast("bigint"),
+        "n_chars": n_chars.cast("bigint"),
+        "mean_word_len": mean_word_len.cast("double"),
+        "symbol_ratio": symbol_ratio.cast("double"),
+        "n_stopwords": n_stop.cast("bigint"),
+        "alpha_ratio": alpha_ratio.cast("double"),
+        "dup_line_ratio": dup_line_ratio.cast("double"),
+        "rule_min_words": n_words >= cfg.min_words,
+        "rule_max_words": n_words <= cfg.max_words,
+        "rule_min_chars": n_chars >= cfg.min_chars,
+        "rule_mean_word_len": (mean_word_len >= cfg.mean_word_len_lo)
+        & (mean_word_len <= cfg.mean_word_len_hi),
+        "rule_symbol_ratio": symbol_ratio <= cfg.max_symbol_ratio,
+        "rule_stopwords": n_stop >= cfg.min_distinct_stopwords,
+        "rule_alpha_ratio": alpha_ratio >= cfg.min_alpha_token_ratio,
+        "rule_dup_lines": dup_line_ratio <= cfg.max_dup_line_ratio,
+    }
+
+
+def with_heuristics(
+    df: DataFrame, text_col: str = "text", cfg: RuleConfig = DEFAULT_RULES
+) -> DataFrame:
+    cols = heuristic_columns(F.col(text_col), cfg)
+    return df.withColumns(cols)
+
+
+def model_rule_columns(df: DataFrame, cfg: RuleConfig = DEFAULT_RULES) -> DataFrame:
+    """Rules over the scoring-stage outputs (langid/conf/perplexity)."""
+    return df.withColumns(
+        {
+            "rule_lang": F.col("langid").isin(list(cfg.keep_langs)),
+            "rule_langid_conf": F.col("langid_conf") >= cfg.min_langid_conf,
+            "rule_perplexity": F.col("perplexity") <= cfg.max_perplexity,
+        }
+    )
+
+
+def with_decision(df: DataFrame, rule_names: tuple[str, ...] = ALL_RULE_NAMES) -> DataFrame:
+    """drop_reasons = names of failed rules (canonical order);
+    keep = no failures. Mirrors the reference's all-critiques-pass
+    gate (01_seed_generation.py:325-326) with reasons surfaced."""
+    reason = F.array_compact(
+        F.array(
+            *[
+                F.when(~F.col(f"rule_{n}"), F.lit(n)).otherwise(F.lit(None))
+                for n in rule_names
+            ]
+        )
+    )
+    return df.withColumn("drop_reasons", reason).withColumn(
+        "keep", F.size("drop_reasons") == 0
+    )

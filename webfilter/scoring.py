@@ -1,0 +1,49 @@
+"""Vectorized model-scoring stage: langid + perplexity in ONE
+Arrow-batched pandas UDF.
+
+One UDF (not two) so each text batch crosses the JVM<->Python Arrow
+boundary exactly once; the struct return + single projection apart is
+the reference's nested-struct UDF pattern
+(python/biomed_genai/retriever/pubmed_wf/pmc.py:90-96 projected at
+databricks/retriever/pubmed_wf/03_Curate_Articles.py:67-78), done
+vectorized per the pandas_udf template at
+databricks/model/bc_chat_ift/_setup/utils.py:61-63.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("langid", T.StringType()),
+        T.StructField("langid_conf", T.DoubleType()),
+        T.StructField("perplexity", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(SCORE_SCHEMA)
+def score_udf(text: pd.Series) -> pd.DataFrame:
+    # imports inside the UDF so executors train the model once per
+    # python worker (module import is cached), never per batch
+    from webfilter.kernels import langid as _langid
+    from webfilter.kernels import perplexity as _ppl
+
+    out = _langid.predict_batch(text)
+    # low-confidence predictions are unreliable -> 'und' (fastText
+    # convention); threshold matches RuleConfig.min_langid_conf
+    mask = out["langid_conf"] < 0.5
+    out.loc[mask, "langid"] = "und"
+    out["perplexity"] = _ppl.score_batch(text)
+    return out
+
+
+def with_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds langid, langid_conf, perplexity via one Arrow round-trip."""
+    return df.withColumn("_score", score_udf(F.col(text_col))).select(
+        "*", "_score.langid", "_score.langid_conf", "_score.perplexity"
+    ).drop("_score")

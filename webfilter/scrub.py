@@ -1,0 +1,40 @@
+"""Spark-side PII/toxicity scrub: a chained ``regexp_replace`` fold.
+
+The hot path is 100% JVM (whole-stage codegen, no Python): the same
+ordered pattern list as the python oracle
+(webfilter/kernels/scrubber.py) folded into nested regexp_replace
+calls. Per-rule hit flags for the audit table are computed on the
+*pre-scrub* text with ``regexp_count`` (hit accounting is lineage
+metadata; replacement order semantics are owned by the fold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .kernels.scrubber import SCRUB_PATTERNS
+
+
+def scrubbed_col(text: Column) -> Column:
+    out = text
+    for _name, pat, repl in SCRUB_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def hits_map_col(text: Column) -> Column:
+    """MAP<STRING,BOOLEAN> of per-rule hits on the original text —
+    the audit table's rule_hits shape (FIXTURES.md §3)."""
+    names = [F.lit(name) for name, _p, _r in SCRUB_PATTERNS]
+    flags = [F.regexp_count(text, F.lit(pat)) > 0 for _n, pat, _r in SCRUB_PATTERNS]
+    return F.map_from_arrays(F.array(*names), F.array(*flags))
+
+
+def with_scrubbed(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumns(
+        {
+            "scrubbed_text": scrubbed_col(F.col(text_col)),
+            "scrub_hits": hits_map_col(F.col(text_col)),
+        }
+    )

@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for the quality-filter workload.
+
+Local-mode knobs follow the public Spark tuning guidance: shuffle
+partitions ~ cores, AQE on (runtime coalesce + skew-join), Arrow on
+for every pandas-UDF stage. On a real cluster the same builder is
+used by ``jobs/run_filter.py`` via spark-submit; only master/memory
+come from the environment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "webfilter",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores`` drives both ``local[N]`` and the shuffle-partition
+    default; at cluster scale shuffle partitions are instead sized to
+    ~2-3x total executor cores (set explicitly via ``extra_conf``).
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # large Arrow batches amortize the JVM<->Python hop for the
+        # scoring UDFs; each batch is a few MB of text
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # dynamic partition overwrite = per-bucket idempotent rewrite
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("WEBFILTER_DRIVER_MEM", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,135 @@
+"""Table layer: Iceberg-first DDL with a parquet fallback.
+
+The production target is Apache Iceberg (BASELINE.json north_rule):
+tables are declared with the DDL below and written via
+``df.writeTo(...)``/``MERGE INTO``. This sandbox image has no Iceberg
+runtime jars (import-gated per the build constraints), so the same
+API is served by a parquet-directory catalog with
+dynamic-partition-overwrite standing in for Iceberg's idempotent
+partition-level replace. The abstraction mirrors the reference's
+UC_Table lazy DDL-bootstrap convention
+(python/biomed_genai/config.py:157-185) without Unity Catalog.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Authoritative Iceberg DDL (applied verbatim when an Iceberg catalog
+# is configured; documentation otherwise). bucket(url) partitioning =
+# the url-hash bucket scheme; decisions/audit partition on bucket_id.
+ICEBERG_DDL: dict[str, str] = {
+    "pages": """
+        CREATE TABLE IF NOT EXISTS {ns}.pages (
+            url STRING, warc_ts TIMESTAMP, html BINARY,
+            text STRING, lang STRING)
+        USING iceberg
+        PARTITIONED BY (bucket({n_buckets}, url))
+        TBLPROPERTIES ('format-version'='2', 'write.merge.mode'='merge-on-read')
+    """,
+    "decisions": """
+        CREATE TABLE IF NOT EXISTS {ns}.decisions (
+            url STRING, bucket_id INT, warc_ts TIMESTAMP,
+            text STRING, title STRING, extract_err STRING,
+            langid STRING, langid_conf DOUBLE, perplexity DOUBLE,
+            n_words BIGINT, n_chars BIGINT,
+            keep BOOLEAN, drop_reasons ARRAY<STRING>,
+            scrubbed_text STRING, scrub_hits MAP<STRING,BOOLEAN>,
+            run_id STRING)
+        USING iceberg PARTITIONED BY (bucket_id)
+    """,
+    "audit": """
+        CREATE TABLE IF NOT EXISTS {ns}.audit (
+            run_id STRING, stage STRING, bucket_id INT,
+            n_docs BIGINT, n_kept BIGINT, n_pii BIGINT,
+            avg_perplexity DOUBLE, avg_langid_conf DOUBLE,
+            reason_counts MAP<STRING,BIGINT>, processed_at TIMESTAMP)
+        USING iceberg
+    """,
+    "manifest": """
+        CREATE TABLE IF NOT EXISTS {ns}.manifest (
+            run_id STRING, stage STRING, bucket_id INT,
+            status STRING, attempt INT, updated_at TIMESTAMP)
+        USING iceberg
+    """,
+}
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+class ParquetCatalog:
+    """Directory-of-parquet catalog with the subset of table ops the
+    pipeline needs: append, partition-overwrite, read."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        return f"{self.root}/{name}.parquet"
+
+    def exists(self, name: str) -> bool:
+        p = self.path(name)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
+        )
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    def append(self, df: DataFrame, name: str) -> None:
+        df.write.mode("append").parquet(self.path(name))
+
+    def overwrite_partitions(self, df: DataFrame, name: str, part_col: str) -> None:
+        """Idempotent per-partition replace — Iceberg's
+        overwritePartitions(); parquet dynamic partition overwrite
+        here (spark.sql.sources.partitionOverwriteMode=dynamic)."""
+        (
+            df.write.mode("overwrite")
+            .partitionBy(part_col)
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.path(name))
+        )
+
+
+def latest_per_url(pages: DataFrame) -> DataFrame:
+    """Monotonic upsert semantics as a batch operator: keep the newest
+    crawl of each url (ties broken deterministically by html hash).
+
+    This is the reference's conditional MERGE
+    (whenMatchedUpdateAll(condition='src.LastUpdated > tgt.LastUpdated'),
+    databricks/retriever/pubmed_wf/01_Metadata_Sync.py:59-65) expressed
+    as a window-dedup over the batch; with an Iceberg catalog the same
+    rule runs as MERGE INTO ... WHEN MATCHED AND s.warc_ts > t.warc_ts.
+    At scale this is one shuffle on url — the same shuffle MERGE would
+    pay — and AQE handles any residual partition imbalance.
+    """
+    w = (
+        Window.partitionBy("url")
+        .orderBy(F.col("warc_ts").desc(), F.md5(F.col("html")).desc())
+    )
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+MERGE_INTO_SQL = """
+MERGE INTO {ns}.pages t
+USING updates s
+ON t.url = s.url
+WHEN MATCHED AND s.warc_ts > t.warc_ts THEN UPDATE SET *
+WHEN NOT MATCHED THEN INSERT *
+"""

@@ -1,0 +1,103 @@
+"""Text analysis operators: token counting, quality scoring, document
+fingerprinting, language heuristics — all pure Column expressions
+(JVM, codegen) with DuckDB-oracle-compatible semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .rules import tokens_col
+
+# BPE-ish subword proxy: runs of letters, runs of digits, or single
+# non-space symbols — a deterministic regex both Spark and DuckDB can
+# evaluate identically.
+BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """Count of BPE-ish tokens = total length minus whitespace minus
+    intra-run continuation chars... computed directly as the number of
+    regexp matches via regexp_count (Spark >= 3.5)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_REGEX))
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_ws_tokens": ws_token_count_col(t).cast("bigint"),
+            "n_bpe_tokens": bpe_token_count_col(t).cast("bigint"),
+            "n_chars": F.length(t).cast("bigint"),
+        }
+    )
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite [0,1] quality score from length/punct/stopword
+    signals — a cheap pre-filter ranking (Gopher-style), fully
+    SQL-expressible.
+
+    score = 0.4*len_score + 0.3*alpha_ratio + 0.3*(1-symbol_ratio)
+    where len_score saturates at 200 words.
+    """
+    toks = tokens_col(text)
+    n_words = F.size(toks)
+    len_score = F.least(n_words / F.lit(200.0), F.lit(1.0))
+    n_chars = F.length(text)
+    n_sym = n_chars - F.length(F.regexp_replace(text, r"[#$%^&*|~{}<>=+_\\]", ""))
+    sym_ratio = F.when(n_chars > 0, n_sym / n_chars).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(n_words > 0, n_alpha / n_words).otherwise(F.lit(0.0))
+    return (
+        F.lit(0.4) * len_score + F.lit(0.3) * alpha_ratio + F.lit(0.3) * (1 - sym_ratio)
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("quality_score", quality_score_col(F.col(text_col)))
+
+
+def content_fingerprint_col(text: Column) -> Column:
+    """Stable whole-document content fingerprint: md5 of
+    whitespace-normalized lowercased text (normalization makes the
+    fingerprint robust to whitespace-only edits)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def winnowing_fingerprints_col(text: Column, k: int = 5, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash every k-gram of words, keep the min hash of each sliding
+    window of k-gram hashes, return the distinct selected hashes.
+
+    Pure Column algebra: k-grams via sequence+slice, window mins via
+    a second transform over sequence. Guarantees: any shared run of
+    >= window+k-1 words between two docs yields a shared fingerprint.
+    """
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    n = F.size(toks)
+    kgram_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    m = F.size(kgram_hashes)
+    window_mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - window + 1, F.lit(1))),
+        lambda i: F.array_min(F.slice(kgram_hashes, i, window)),
+    )
+    return F.array_sort(F.array_distinct(window_mins))
+
+
+def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumns(
+        {
+            "content_fp": content_fingerprint_col(F.col(text_col)),
+            "winnow_fps": winnowing_fingerprints_col(F.col(text_col)),
+        }
+    )
