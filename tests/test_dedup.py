@@ -1,0 +1,107 @@
+"""Dedup-operator correctness: MinHash-LSH against exact Jaccard
+ground truth, SimHash hamming blocking, embedding near-dup against
+brute force, and golden near-dup cluster recovery on the synthetic
+pages corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from webfilter import dedup
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark, synth_dir):
+    """Golden near-dup clusters: docs sharing dup_group are >=0.7
+    Jaccard by construction (2 mutated words in ~120)."""
+    golden = spark.read.parquet(f"{synth_dir}/golden.parquet")
+    return (
+        golden.filter(F.col("dup_group").isNotNull())
+        .select(
+            F.monotonically_increasing_id().alias("row_id"),
+            F.col("url"),
+            F.col("dup_group"),
+            F.col("expected_text").alias("text"),
+        )
+        .withColumn("doc_id", F.xxhash64("url"))
+        .cache()
+    )
+
+
+def test_minhash_finds_golden_clusters(spark, near_dup_docs):
+    docs = near_dup_docs
+    n_groups_with_pairs = (
+        docs.groupBy("dup_group").count().filter("count >= 2").count()
+    )
+    assert n_groups_with_pairs > 0
+    pairs = dedup.minhash_dedup_pairs(docs, k=3, threshold=0.6)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("dup_group").alias("g_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("dup_group").alias("g_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    # precision: every reported pair is within one golden cluster
+    cross_cluster = joined.filter(F.col("g_a") != F.col("g_b")).count()
+    assert cross_cluster == 0
+    # recall vs exact Jaccard ground truth
+    exact = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.6)
+    n_exact = exact.count()
+    n_found = pairs.join(exact.select("id_a", "id_b"), ["id_a", "id_b"], "inner").count()
+    assert n_exact > 0
+    assert n_found / n_exact >= 0.9, f"minhash recall {n_found}/{n_exact}"
+
+
+def test_minhash_jaccard_close_to_exact(spark, near_dup_docs):
+    """Verified Jaccard from the LSH pipeline equals exact Jaccard
+    (verification recomputes exactly, so values must match)."""
+    pairs = dedup.minhash_dedup_pairs(near_dup_docs, k=3, threshold=0.6)
+    exact = dedup.ngram_jaccard_pairs(near_dup_docs, k=3, threshold=0.6)
+    j = pairs.alias("p").join(exact.alias("e"), ["id_a", "id_b"])
+    bad = j.filter(F.abs(F.col("p.jaccard") - F.col("e.jaccard")) > 1e-9).count()
+    assert bad == 0
+
+
+def test_exact_dedup_keeps_one_per_text(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    kept = dedup.exact_dedup(df).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 3]
+    groups = dedup.exact_dup_groups(df).collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == 2 and groups[0]["keep_id"] == 1
+
+
+def test_simhash_identical_and_mutated(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    mutated = base.replace("fox", "cat", 1)
+    unrelated = "совершенно другой текст absolutely different words entirely " * 6
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, mutated), (4, unrelated)],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_near_dup_pairs(df, max_hamming=10).collect()}
+    assert pairs.get((1, 2)) == 0  # identical docs: hamming 0
+    assert (1, 3) in pairs  # one-word mutation: small hamming
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_embedding_near_dup_matches_brute_force(spark, sf_small="/root/testdata/sf0.001"):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    from webfilter.simsearch import cosine_sim_col, with_norm
+
+    v = with_norm(emb).select(F.col("vec_id").alias("id"), "vec_n")
+    a, b = v.alias("a"), v.alias("b")
+    brute = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("cosine", cosine_sim_col(F.col("a.vec_n"), F.col("b.vec_n")))
+        .filter(F.col("cosine") >= 0.9)
+    )
+    n_brute = brute.count()
+    lsh = dedup.embedding_near_dup_pairs(emb, threshold=0.9, n_planes=8)
+    found = lsh.join(
+        brute.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")),
+        ["id_a", "id_b"],
+    ).count()
+    # LSH precision is exact (verified); recall bounded by bucketing
+    assert lsh.count() <= n_brute
+    if n_brute:
+        assert found / n_brute >= 0.5, f"lsh recall {found}/{n_brute}"

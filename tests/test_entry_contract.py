@@ -1,0 +1,92 @@
+"""Replicates the driver's correctness gate locally: for every
+queries() entry with an oracle, run the Spark query AND the DuckDB
+SQL at sf0.01 and compare row count, column names, and an
+order-insensitive value hash. Rows-only entries are smoke-checked.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            df[c] = s.map(lambda v: str(v) if v is not None else "∅")
+        elif s.dtype.kind == "f":
+            df[c] = s.map(
+                lambda v: "∅" if v is None or (isinstance(v, float) and math.isnan(v))
+                else f"{v:.6f}"
+            )
+        elif s.dtype.kind in "iu":
+            df[c] = s.map(lambda v: str(int(v)))
+        elif s.dtype.kind == "b":
+            df[c] = s.map(lambda v: str(bool(v)))
+        elif s.dtype.kind == "M":
+            df[c] = s.map(lambda v: v.isoformat() if pd.notna(v) else "∅")
+        else:
+            df[c] = s.astype(str)
+    return df
+
+
+def _value_multiset(df: pd.DataFrame) -> dict:
+    rows = ["\x1f".join(r) for r in _canon(df).itertuples(index=False, name=None)]
+    rows.sort()
+    out: dict[str, int] = {}
+    for r in rows:
+        out[r] = out.get(r, 0) + 1
+    return out
+
+
+ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
+ALL_KEYS = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_oracle_match(spark, duck, name):
+    q = entry_mod.queries()[name]
+    spark_pdf = q(spark, SF_DIR).toPandas()
+    duck_pdf = duck.execute(entry_mod.oracle_sql()[name]).df()
+    assert len(spark_pdf) == len(duck_pdf), f"{name}: row count"
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), f"{name}: columns"
+    ms, md = _value_multiset(spark_pdf), _value_multiset(duck_pdf)
+    if ms != md:
+        only_s = [k for k in ms if ms[k] != md.get(k, 0)][:3]
+        only_d = [k for k in md if md[k] != ms.get(k, 0)][:3]
+        pytest.fail(f"{name}: value mismatch\n spark-only: {only_s}\n duck-only: {only_d}")
+
+
+@pytest.mark.parametrize("name", [k for k in ALL_KEYS if k not in ORACLE_KEYS])
+def test_rows_only_smoke(spark, name):
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    assert len(df.columns) > 0
+    assert df.count() >= 0
+
+
+def test_entry_flagship(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "keep" in df.columns

@@ -234,25 +234,34 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
     """
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # acc: array of 64 counters
+    # acc: array of `bits` counters; bit positions are unrolled in
+    # python (shift amounts must be literals for shiftright/shiftleft)
     init = F.array_repeat(F.lit(0).cast("bigint"), bits)
     counters = F.aggregate(
         hashes,
         init,
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda b: F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    for b in range(bits)
+                ]
             ),
             lambda a, d: a + d.cast("bigint"),
         ),
     )
+    masks = F.array(
+        *[
+            F.lit(1 << b if b < 63 else -(1 << 63)).cast("bigint")
+            for b in range(bits)
+        ]
+    )
     return F.aggregate(
         F.zip_with(
-            counters,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda c, b: F.when(c > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(F.lit(0).cast("bigint")),
+            counters, masks, lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("bigint"))
         ),
         F.lit(0).cast("bigint"),
         lambda acc, v: acc.bitwiseOR(v),
@@ -278,11 +287,13 @@ def simhash_near_dup_pairs(
         "id",
         "fp",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
-                lambda c: F.shiftright(F.col("fp"), c * chunk_bits).bitwiseAND(
-                    F.lit((1 << chunk_bits) - 1)
-                ),
+            F.array(
+                *[
+                    F.shiftright(F.col("fp"), c * chunk_bits).bitwiseAND(
+                        F.lit((1 << chunk_bits) - 1)
+                    )
+                    for c in range(n_chunks)
+                ]
             )
         ).alias("chunk_idx", "chunk_val"),
     )

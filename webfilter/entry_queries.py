@@ -1,0 +1,618 @@
+"""Driver-contract query registry: every operator family from
+SURVEY.md §2 + the training-data ops, each as
+
+    (spark, sf_dir) -> DataFrame            [queries()]
+    ANSI SQL for DuckDB on the same tables  [oracle_sql()]
+
+Column names/aliases are IDENTICAL on both sides (the driver's
+compare hashes values under sorted column names). All doubles are
+rounded to 6 dp on both sides; counts cast to bigint.
+
+Model-based ops (langid, perplexity, minhash/simhash/xxhash-based
+signatures) are not SQL-expressible -> no oracle entry (driver
+records a rows-only check); their correctness is covered by the
+pytest golden/parity suites instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .kernels.corpora import EN_STOPWORDS
+from .kernels.scrubber import SCRUB_PATTERNS
+from .rules import SYMBOL_CLASS, tokens_col
+
+# ---------------------------------------------------------------- utils
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+# DuckDB token expr for trimmed-\s+ tokens with empty -> []
+_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def r6(c):
+    return F.round(c, 6)
+
+
+# ------------------------------------------------------------- queries
+# Each entry: name -> (spark_fn, oracle_sql | None)
+
+
+def q_quality_stats(spark, sf_dir):
+    """Heuristic stat columns (SURVEY §2.2 P7/P8 lineage)."""
+    t = F.col("text")
+    toks = tokens_col(t)
+    n_words = F.size(toks).cast("bigint")
+    n_chars = F.length(t).cast("bigint")
+    sum_wl = F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w))
+    mean_wl = F.when(n_words > 0, sum_wl / n_words).otherwise(F.lit(0.0))
+    n_sym = n_chars - F.length(F.regexp_replace(t, SYMBOL_CLASS, ""))
+    sym_ratio = F.when(n_chars > 0, n_sym / n_chars).otherwise(F.lit(0.0))
+    n_stop = F.size(
+        F.array_intersect(F.transform(toks, F.lower), F.lit(list(EN_STOPWORDS)))
+    ).cast("bigint")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        r6(mean_wl).alias("mean_word_len"),
+        r6(sym_ratio).alias("symbol_ratio"),
+        n_stop.alias("n_stopwords"),
+    )
+
+
+SQL_QUALITY_STATS = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  len(toks)::BIGINT AS n_words,
+  length(text)::BIGINT AS n_chars,
+  round(CASE WHEN len(toks) > 0
+    THEN list_sum(list_transform(toks, w -> length(w))) / len(toks)
+    ELSE 0.0 END, 6) AS mean_word_len,
+  round(CASE WHEN length(text) > 0
+    THEN (length(text) - length(regexp_replace(text, '[#$%^&*|~{{}}<>=+_\\\\]', '', 'g'))) / length(text)
+    ELSE 0.0 END, 6) AS symbol_ratio,
+  len(list_distinct(list_filter(list_transform(toks, w -> lower(w)),
+      w -> w IN ({_STOP_SQL}))))::BIGINT AS n_stopwords
+FROM t
+"""
+
+
+def q_quality_rules(spark, sf_dir):
+    """Named boolean rules + composed keep (reference judge-gate
+    pattern, 01_seed_generation.py:325-326) — heuristics only, so a
+    full SQL oracle exists."""
+    from . import rules
+
+    df = rules.with_heuristics(_docs(spark, sf_dir))
+    keep = None
+    cols = [F.col(f"rule_{n}") for n in rules.HEURISTIC_RULE_NAMES]
+    for c in cols:
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        "doc_id",
+        *[F.col(f"rule_{n}") for n in rules.HEURISTIC_RULE_NAMES],
+        keep.alias("keep_heuristic"),
+    )
+
+
+SQL_QUALITY_RULES = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id,
+  len(toks) AS n_words, length(text) AS n_chars,
+  CASE WHEN len(toks) > 0
+    THEN list_sum(list_transform(toks, w -> length(w))) / len(toks) ELSE 0.0 END AS mwl,
+  CASE WHEN length(text) > 0
+    THEN (length(text) - length(regexp_replace(text, '[#$%^&*|~{{}}<>=+_\\\\]', '', 'g'))) / length(text)
+    ELSE 0.0 END AS sym,
+  len(list_distinct(list_filter(list_transform(toks, w -> lower(w)),
+      w -> w IN ({_STOP_SQL})))) AS n_stop,
+  CASE WHEN len(toks) > 0
+    THEN len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) / len(toks)
+    ELSE 0.0 END AS alpha,
+  (len(str_split(text, chr(10))) - len(list_distinct(str_split(text, chr(10)))))
+      / len(str_split(text, chr(10))) AS dup_ratio
+FROM t)
+SELECT doc_id,
+  n_words >= 50 AS rule_min_words,
+  n_words <= 100000 AS rule_max_words,
+  n_chars >= 110 AS rule_min_chars,
+  (mwl >= 2.0 AND mwl <= 12.0) AS rule_mean_word_len,
+  sym <= 0.10 AS rule_symbol_ratio,
+  n_stop >= 2 AS rule_stopwords,
+  alpha >= 0.70 AS rule_alpha_ratio,
+  dup_ratio <= 0.30 AS rule_dup_lines,
+  (n_words >= 50 AND n_words <= 100000 AND n_chars >= 110
+   AND mwl >= 2.0 AND mwl <= 12.0 AND sym <= 0.10 AND n_stop >= 2
+   AND alpha >= 0.70 AND dup_ratio <= 0.30) AS keep_heuristic
+FROM s
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    from .textstats import quality_score_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", r6(quality_score_col(F.col("text"))).alias("quality_score")
+    )
+
+
+SQL_QUALITY_SCORE = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  round(0.4 * least(len(toks) / 200.0, 1.0)
+   + 0.3 * (CASE WHEN len(toks) > 0
+       THEN len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) / len(toks) ELSE 0.0 END)
+   + 0.3 * (1 - (CASE WHEN length(text) > 0
+       THEN (length(text) - length(regexp_replace(text, '[#$%^&*|~{{}}<>=+_\\\\]', '', 'g'))) / length(text)
+       ELSE 0.0 END)), 6) AS quality_score
+FROM t
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    from .textstats import with_token_counts
+
+    return with_token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens", "n_chars"
+    )
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+  len({_TOKS})::BIGINT AS n_ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens,
+  length(text)::BIGINT AS n_chars
+FROM documents
+"""
+
+
+def q_scrub(spark, sf_dir):
+    from .scrub import scrubbed_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", scrubbed_col(F.col("text")).alias("scrubbed_text")
+    )
+
+
+def _sql_scrub_expr(col: str) -> str:
+    expr = col
+    for _n, pat, repl in SCRUB_PATTERNS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return expr
+
+
+SQL_SCRUB = f"SELECT doc_id, {_sql_scrub_expr('text')} AS scrubbed_text FROM documents"
+
+
+def q_content_fingerprint(spark, sf_dir):
+    from .textstats import content_fingerprint_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", content_fingerprint_col(F.col("text")).alias("content_fp")
+    )
+
+
+SQL_CONTENT_FP = """
+SELECT doc_id,
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_fp
+FROM documents
+"""
+
+
+def q_dedup_exact_groups(spark, sf_dir):
+    from .dedup import exact_dup_groups
+
+    return exact_dup_groups(_docs(spark, sf_dir)).select("text_hash", "n_dups", "keep_id")
+
+
+SQL_DEDUP_GROUPS = """
+SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_dups, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_dedup_exact_keep(spark, sf_dir):
+    from .dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select("doc_id")
+
+
+SQL_DEDUP_KEEP = """
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from .dedup import ngram_jaccard_pairs
+
+    return (
+        ngram_jaccard_pairs(
+            _docs(spark, sf_dir), k=2, threshold=0.3, block_col="source"
+        )
+        .select("id_a", "id_b", r6(F.col("jaccard")).alias("jaccard"))
+    )
+
+
+SQL_JACCARD_PAIRS = f"""
+WITH t AS (
+  SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, source,
+    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+    ELSE list_distinct(list_transform(range(1, len(toks)),
+        i -> array_to_string(toks[i:i+1], ' '))) END AS sh
+  FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(len(list_intersect(a.sh, b.sh))
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    from .simsearch import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=3)
+    return out.select("query_id", "vec_id", r6(F.col("cosine")).alias("cosine"), "rank")
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT q.query_id, c.vec_id,
+    list_sum(list_transform(range(1, 1 + len(c.cv)), i -> c.cv[i] * q.qv[i]))
+      / (sqrt(list_sum(list_transform(c.cv, x -> x*x)))
+         * sqrt(list_sum(list_transform(q.qv, x -> x*x)))) AS cos
+  FROM c CROSS JOIN q),
+r AS (SELECT query_id, vec_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM s)
+SELECT query_id, vec_id, round(cos, 6) AS cosine, rank::INT AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+def q_agg_lang_source(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            r6(F.avg("n_chars")).alias("avg_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+SQL_AGG_LANG_SOURCE = """
+SELECT lang, source, count(*)::BIGINT AS n_docs,
+  round(avg(n_chars), 6) AS avg_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_window_rank(spark, sf_dir):
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("lang", "doc_id", "n_chars", "rnk")
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT lang, doc_id, n_chars, rnk::INT AS rnk FROM (
+  SELECT lang, doc_id, n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents) WHERE rnk <= 2
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """Customers with no orders — the reference's incremental frontier
+    primitive (left_anti, 03_Curate_Articles.py:64-65)."""
+    cust = _tbl(spark, sf_dir, "customer")
+    orders = _tbl(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    """Parts that appear in lineitem (left_semi, pmc.py:151)."""
+    part = _tbl(spark, sf_dir, "part")
+    li = _tbl(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT p_partkey, p_name FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+"""
+
+
+def q_outer_join_agg(spark, sf_dir):
+    """Per-customer order count including zero (outer-join
+    reconciliation, pmc.py:62)."""
+    cust = _tbl(spark, sf_dir, "customer")
+    orders = _tbl(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+SQL_OUTER_JOIN_AGG = """
+SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+def q_posexplode_lines(spark, sf_dir):
+    """doc -> (pos, line) rows (posexplode,
+    04_Chunk_Articles_Content.py:100-101); line ids concat like the
+    reference's id = pmid '-' pos."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
+    ).withColumn("line_id", F.concat_ws("-", "doc_id", "pos"))
+
+
+SQL_POSEXPLODE_LINES = """
+SELECT doc_id, u.pos, u.line, concat(doc_id, '-', u.pos) AS line_id
+FROM (
+  SELECT doc_id, list_transform(str_split(text, chr(10)),
+      (x, i) -> struct_pack(pos := i - 1, line := x)) AS z
+  FROM documents), UNNEST(z) AS t(u)
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window agg over the events table (batch form of the
+    streaming hourly rollup)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), r6(F.sum("value")).alias("sum_value"))
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_latest_per_key(spark, sf_dir):
+    """Monotonic latest-wins upsert as a batch operator (the
+    conditional-MERGE semantics, 01_Metadata_Sync.py:63) on events."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+SQL_LATEST_PER_KEY = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_salted_source_counts(spark, sf_dir):
+    """Skew-safe two-phase aggregation must equal the plain GROUP BY
+    (north-rule salting, validated against an unsalted oracle)."""
+    from .partitioning import salted_count_by_key
+
+    docs = _docs(spark, sf_dir)
+    return salted_count_by_key(
+        docs, "source", n_salts=8,
+        aggs={"n_long": F.sum((F.col("n_chars") > 300).cast("bigint"))},
+    ).select("source", "n_rows", "n_long")
+
+
+SQL_SALTED_SOURCE_COUNTS = """
+SELECT source, count(*)::BIGINT AS n_rows,
+  sum((n_chars > 300)::BIGINT)::BIGINT AS n_long
+FROM documents GROUP BY 1
+"""
+
+
+def q_cross_join_rules(spark, sf_dir):
+    """Docs-per-lang x rule-dim expansion (crossJoin,
+    02_data_augmentation.py:106; small side auto-broadcast)."""
+    langs = _docs(spark, sf_dir).select("lang").distinct()
+    dim = spark.createDataFrame(
+        [("min_words",), ("symbol_ratio",), ("stopwords",)], "rule_name string"
+    )
+    return langs.crossJoin(dim).select("lang", "rule_name")
+
+
+SQL_CROSS_JOIN_RULES = """
+SELECT lang, rule_name
+FROM (SELECT DISTINCT lang FROM documents)
+CROSS JOIN (VALUES ('min_words'), ('symbol_ratio'), ('stopwords')) AS r(rule_name)
+"""
+
+
+# ------------------------------- model-based ops (no SQL oracle)
+
+
+def q_langid(spark, sf_dir):
+    from .scoring import with_scores
+
+    return with_scores(_docs(spark, sf_dir)).select(
+        "doc_id", "langid", r6(F.col("langid_conf")).alias("langid_conf")
+    )
+
+
+def q_perplexity(spark, sf_dir):
+    from .scoring import with_scores
+
+    return with_scores(_docs(spark, sf_dir)).select(
+        "doc_id", r6(F.col("perplexity")).alias("perplexity")
+    )
+
+
+def q_filter_full(spark, sf_dir):
+    """Flagship: full quality-filter decision over the documents
+    table (model rules included -> rows-only check; golden-label
+    equivalence is enforced in pytest on the synthetic pages corpus)."""
+    from . import rules, scoring, scrub
+
+    df = _docs(spark, sf_dir)
+    df = scoring.with_scores(df)
+    df = rules.with_heuristics(df)
+    df = rules.model_rule_columns(df)
+    df = rules.with_decision(df)
+    df = scrub.with_scrubbed(df)
+    return df.select(
+        "doc_id", "langid", r6("langid_conf").alias("langid_conf"),
+        r6("perplexity").alias("perplexity"),
+        "keep", F.to_json("drop_reasons").alias("drop_reasons_json"),
+        "scrubbed_text",
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from .dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        _docs(spark, sf_dir), k=2, threshold=0.3
+    ).select("id_a", "id_b", r6(F.col("jaccard")).alias("jaccard"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from .dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_lsh_topk(spark, sf_dir):
+    from .simsearch import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=3).select(
+        "query_id", "vec_id", r6(F.col("cosine")).alias("cosine"), "rank"
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    from .dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.9
+    ).select("id_a", "id_b", r6(F.col("cosine")).alias("cosine"))
+
+
+def q_media_decode_meta(spark, sf_dir):
+    """Multimodal plumbing: binary media -> typed metadata via
+    mapInPandas (decode kernel stubbed; plumbing real). Input is the
+    deterministic synthetic media table (no media column exists in
+    the sf tables)."""
+    from .multimodal import decode_image_meta, synth_media
+
+    return decode_image_meta(synth_media(spark, 200))
+
+
+def q_media_frame_sample(spark, sf_dir):
+    from .multimodal import sample_frames, synth_media
+
+    return sample_frames(synth_media(spark, 50, kind="video"))
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    from .textstats import winnowing_fingerprints_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(winnowing_fingerprints_col(F.col("text"))).alias("n_fps"),
+        winnowing_fingerprints_col(F.col("text")).getItem(0).alias("min_fp"),
+    )
+
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
+    "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "scrub_pii": (q_scrub, SQL_SCRUB),
+    "content_fingerprint": (q_content_fingerprint, SQL_CONTENT_FP),
+    "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_GROUPS),
+    "dedup_exact_keep": (q_dedup_exact_keep, SQL_DEDUP_KEEP),
+    "dedup_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "simsearch_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "agg_lang_source": (q_agg_lang_source, SQL_AGG_LANG_SOURCE),
+    "window_rank": (q_window_rank, SQL_WINDOW_RANK),
+    "join_anti_frontier": (q_anti_join, SQL_ANTI_JOIN),
+    "join_semi_workset": (q_semi_join, SQL_SEMI_JOIN),
+    "join_outer_agg": (q_outer_join_agg, SQL_OUTER_JOIN_AGG),
+    "posexplode_lines": (q_posexplode_lines, SQL_POSEXPLODE_LINES),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "latest_per_key": (q_latest_per_key, SQL_LATEST_PER_KEY),
+    "salted_source_counts": (q_salted_source_counts, SQL_SALTED_SOURCE_COUNTS),
+    "cross_join_rules": (q_cross_join_rules, SQL_CROSS_JOIN_RULES),
+    # model/hash-based: rows-only driver check, pytest-verified
+    "langid_predict": (q_langid, None),
+    "perplexity_score": (q_perplexity, None),
+    "quality_filter_full": (q_filter_full, None),
+    "dedup_minhash_pairs": (q_minhash_pairs, None),
+    "dedup_simhash_pairs": (q_simhash_pairs, None),
+    "simsearch_lsh_topk": (q_lsh_topk, None),
+    "dedup_embedding_pairs": (q_embedding_near_dup, None),
+    "winnow_fingerprints": (q_winnow_fingerprints, None),
+    "media_decode_meta": (q_media_decode_meta, None),
+    "media_frame_sample": (q_media_frame_sample, None),
+}

@@ -21,8 +21,10 @@ from pyspark.sql import functions as F
 
 
 def dot_col(a: Column, b: Column) -> Column:
+    # cast BEFORE multiplying: float32*float32 rounds to float32 and
+    # costs ~1e-8 of precision even though the sum is double
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0).cast("double"),
         lambda acc, v: acc + v,
     )
@@ -31,7 +33,7 @@ def dot_col(a: Column, b: Column) -> Column:
 def norm_col(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
-            F.transform(a, lambda x: x * x),
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
         )
@@ -88,23 +90,27 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 0x91A5) -> np.ndarray:
     """Deterministic pseudo-gaussian hyperplanes via splitmix64 ->
     Box-Muller; no np.random state involved."""
     n = dim * n_planes
-    x = np.arange(n, dtype=np.uint64) + np.uint64(seed)
-    with np.errstate(over="ignore"):
-        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        x = x ^ (x >> np.uint64(31))
-    u = (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
-    u1, u2 = u[: n // 2], u[n // 2 :]
+
+    def stream(offset: int) -> np.ndarray:
+        x = np.arange(n, dtype=np.uint64) + np.uint64(seed + offset)
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x = x ^ (x >> np.uint64(31))
+        return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+    u1, u2 = stream(0), stream(7_777_777)
     g = np.sqrt(-2 * np.log(np.maximum(u1, 1e-12))) * np.cos(2 * np.pi * u2)
-    g = np.concatenate([g, -g])[:n]
     return g.reshape(n_planes, dim)
 
 
-def hyperplane_bucket_col(vec: Column, dim: int, n_planes: int) -> Column:
+def hyperplane_bucket_col(
+    vec: Column, dim: int, n_planes: int, seed: int = 0x91A5
+) -> Column:
     """Sign-pattern bucket id (0..2^n_planes-1), hyperplanes folded in
     as array literals — pure Column math, codegen-friendly."""
     bucket = F.lit(0)
-    planes = _hyperplanes(dim, n_planes)
+    planes = _hyperplanes(dim, n_planes, seed)
     for p in range(n_planes):
         plane = F.array(*[F.lit(float(v)) for v in planes[p]])
         d = dot_col(vec, plane)
@@ -120,39 +126,69 @@ def with_hyperplane_bucket(
     return df.withColumn("bucket", hyperplane_bucket_col(F.col(vec_col), dim, n_planes))
 
 
+def _bucket_cols(vec: Column, dim: int, n_planes: int, n_tables: int) -> list[Column]:
+    """One sign-pattern bucket per hash table (independent plane sets
+    — standard multi-table LSH: OR of tables boosts recall, each
+    table stays selective)."""
+    return [
+        hyperplane_bucket_col(vec, dim, n_planes, seed=0x91A5 + 7919 * t)
+        for t in range(n_tables)
+    ]
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: only corpus vectors in the query's bucket
-    are scored. Recall depends on n_planes; use multiprobe (flip one
-    bit) for higher recall — implemented as bucket OR neighbors."""
+    """Approximate top-k: a corpus vector is scored iff it shares a
+    bucket with the query in ANY table (plus 1-bit multiprobe on the
+    query side). Exact cosine rerank on the candidate set.
+
+    At 10^12 scale: corpus bucket assignment is one narrow scan
+    (plane dot products are literal-folded Column math); the probe
+    join is a broadcast (query side is small); candidates per query ~
+    corpus/2^n_planes * n_tables * (n_planes+1).
+    """
     dim = len(emb.select(vec_col).first()[0])
-    corpus = with_hyperplane_bucket(with_norm(emb, vec_col), "vec_n", n_planes, dim)
-    corpus = corpus.select(id_col, F.col("vec_n").alias("c_vec"), "bucket")
-    probes = with_hyperplane_bucket(with_norm(queries, vec_col), "vec_n", n_planes, dim)
-    # multiprobe: original bucket + all 1-bit flips
-    probe_buckets = probes.select(
+    c = with_norm(emb, vec_col)
+    cb = _bucket_cols(F.col("vec_n"), dim, n_planes, n_tables)
+    corpus = c.select(
+        id_col,
+        F.col("vec_n").alias("c_vec"),
+        F.posexplode(F.array(*cb)).alias("table_id", "bucket"),
+    )
+    p = with_norm(queries, vec_col)
+    pb = _bucket_cols(F.col("vec_n"), dim, n_planes, n_tables)
+    # per table: exact bucket + all 1-bit flips (multiprobe)
+    probe_rows = p.select(
         query_id_col,
         F.col("vec_n").alias("q_vec"),
+        F.posexplode(F.array(*pb)).alias("table_id", "bucket0"),
+    ).select(
+        query_id_col,
+        "q_vec",
+        "table_id",
         F.explode(
             F.array_union(
-                F.array(F.col("bucket")),
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(n_planes - 1)),
-                    lambda p: F.col("bucket").bitwiseXOR(F.shiftleft(F.lit(1), p)),
+                F.array(F.col("bucket0")),
+                F.array(
+                    *[F.col("bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
                 ),
             )
         ).alias("bucket"),
     )
-    scored = corpus.join(F.broadcast(probe_buckets), "bucket").withColumn(
-        "cosine", cosine_sim_col(F.col("c_vec"), F.col("q_vec"))
+    cand = (
+        corpus.join(F.broadcast(probe_rows), ["table_id", "bucket"])
+        .select(query_id_col, id_col, "c_vec", "q_vec")
+        .dropDuplicates([query_id_col, id_col])
     )
+    scored = cand.withColumn("cosine", cosine_sim_col(F.col("c_vec"), F.col("q_vec")))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
