@@ -15,18 +15,50 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+_REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(_REPO))
 
 from webfilter.entry_queries import REGISTRY, q_filter_full  # noqa: E402
+
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Executor python workers don't inherit the driver's sys.path —
+    ship webfilter as a py-file zip once per SparkContext so
+    pandas-UDF/mapInPandas stages can unpickle their kernels when the
+    driver process runs outside the repo root."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    zdir = Path(tempfile.gettempdir()) / "webfilter_pyfiles"
+    zdir.mkdir(exist_ok=True)
+    zpath = zdir / "webfilter_pkg"
+    archive = shutil.make_archive(str(zpath), "zip", root_dir=_REPO, base_dir="webfilter")
+    sc.addPyFile(archive)
+    _SHIPPED.add(key)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ensure_shipped(spark)
     return q_filter_full(spark, "/root/testdata/sf0.001")
 
 
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    return {name: _wrap(fn) for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
