@@ -1,0 +1,102 @@
+"""Benchmark harness — prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]:
+
+* the flagship quality-filter pipeline over a synthetic pages corpus
+  (extract + score + rules + scrub + decisions write) — docs/sec is
+  the number that matters at 100 TB;
+* representative operator queries over the sf tables (filter
+  decision, dedup families, ANN top-k, salted aggs).
+
+Scaling-efficiency evidence (N vs 4N parallelism) is produced by
+bench_scaling.py -> BENCH/BASELINE.md, not here (the driver calls
+this file once per round).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PAGES_N = int(os.environ.get("WEBFILTER_BENCH_PAGES", "60000"))
+SF_LABEL = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+
+def main() -> None:
+    from webfilter.session import get_spark
+
+    spark = get_spark("webfilter-bench", cores=CPUS, shuffle_partitions=CPUS)
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+
+    # --- pages-pipeline throughput (the headline) -------------------
+    from webfilter import pipeline, synth
+
+    work = "/tmp/webfilter_bench"
+    shutil.rmtree(work, ignore_errors=True)
+    synth.write_dataset(spark, PAGES_N, f"{work}/data")
+    spark.read.parquet(f"{work}/data/pages.parquet").count()  # warm FS cache
+
+    t0 = time.time()
+    res = pipeline.run_filter(
+        spark, f"{work}/data/pages.parquet", f"{work}/out",
+        n_buckets=64, run_id="bench",
+    )
+    dt = time.time() - t0
+    timings["pages_filter_pipeline"] = round(dt, 3)
+    docs_per_s = res["docs"] / dt
+
+    # --- operator queries over the sf tables ------------------------
+    bench_queries = [
+        "quality_filter_full",
+        "quality_rules",
+        "scrub_pii",
+        "token_counts",
+        "dedup_exact_keep",
+        "dedup_minhash_pairs",
+        "dedup_simhash_pairs",
+        "simsearch_cosine_topk",
+        "simsearch_lsh_topk",
+        "salted_source_counts",
+        "window_rank",
+        "join_outer_agg",
+        "events_hourly",
+        "posexplode_lines",
+    ]
+    for name in bench_queries:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "webfilter_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_LABEL,
+                "pages_docs": res["docs"],
+                "pages_docs_per_s": round(docs_per_s, 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,14 @@ import argparse
 import json
 import sys
 import time
+from pathlib import Path
+
+# spark-submit puts the script's own directory (jobs/) on sys.path,
+# not the repo root; --py-files covers executors but the driver needs
+# this when run from a source checkout.
+_REPO = Path(__file__).resolve().parent.parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -26,6 +34,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--synth", type=int, default=0, help="generate N synthetic docs first")
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--run-id", default=None)
+    ap.add_argument(
+        "--warmup", action="store_true",
+        help="run the pipeline once into a scratch dir first (JIT / "
+        "python-worker warmup) so the reported timing is steady-state",
+    )
     args = ap.parse_args(argv)
 
     if not args.pages and not args.synth:
@@ -46,6 +59,17 @@ def main(argv: list[str] | None = None) -> int:
 
     from webfilter import pipeline
 
+    if args.warmup:
+        import shutil
+
+        scratch = f"{args.out}_warmup"
+        shutil.rmtree(scratch, ignore_errors=True)
+        pipeline.run_filter(
+            spark, pages_path, scratch, n_buckets=args.buckets, run_id="warmup"
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    t0 = time.time()
     res = pipeline.run_filter(
         spark, pages_path, args.out, n_buckets=args.buckets, run_id=args.run_id
     )

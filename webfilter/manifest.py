@@ -37,11 +37,15 @@ class Manifest:
     def __init__(self, catalog: ParquetCatalog, name: str = "manifest"):
         self.catalog = catalog
         self.name = name
+        self._state_cache: dict[int, tuple[str, int]] | None = None
 
     def _read_state(self) -> dict[int, tuple[str, int]]:
         """bucket_id -> (status, attempt), latest row per bucket.
         Bounded: <= n_buckets * attempts rows total — driver-side
-        collect is safe by design (never row-level)."""
+        collect is safe by design (never row-level). Cached within
+        this Manifest instance; every mark() updates the cache."""
+        if self._state_cache is not None:
+            return self._state_cache
         if not self.catalog.exists(self.name):
             return {}
         df = self.catalog.read(self.name)
@@ -50,10 +54,11 @@ class Manifest:
             .agg(F.max(F.struct("updated_at", "attempt", "status")).alias("s"))
             .select("bucket_id", "s.status", "s.attempt")
         )
-        return {
+        self._state_cache = {
             r["bucket_id"]: (r["status"], r["attempt"])
             for r in w_latest.collect()
         }
+        return self._state_cache
 
     def pending_buckets(self, n_buckets: int) -> list[int]:
         state = self._read_state()
@@ -73,3 +78,7 @@ class Manifest:
             "updated_at", F.timestamp_seconds(F.lit(now))
         )
         self.catalog.append(df, self.name)
+        cache = dict(state)
+        for run, stage_, b, st, att, _ts in rows:
+            cache[b] = (st, att)
+        self._state_cache = cache

@@ -29,7 +29,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import extract, rules, scoring, scrub
+from . import rules, scoring, scrub
 from .manifest import DONE, RUNNING, Manifest
 from .partitioning import host_col, salted_count_by_key, with_bucket
 from .tables import ParquetCatalog, latest_per_url
@@ -44,8 +44,7 @@ DECISION_COLS = [
 def filtered_frame(pages: DataFrame, cfg: rules.RuleConfig = rules.DEFAULT_RULES) -> DataFrame:
     """The pure transformation: pages -> decision rows (no writes)."""
     df = latest_per_url(pages)
-    df = extract.with_extracted_text(df)
-    df = scoring.with_scores(df)
+    df = scoring.with_extract_and_scores(df)
     df = rules.with_heuristics(df, cfg=cfg)
     df = rules.model_rule_columns(df, cfg)
     df = rules.with_decision(df)
@@ -83,14 +82,21 @@ def run_filter(
 
     out = filtered_frame(pages, cfg).withColumn("run_id", F.lit(run_id))
     out = out.select(*DECISION_COLS)
+    # one output file per bucket partition: at 10^12 scale buckets >>
+    # cores so this shuffle costs nothing extra vs the partitioned
+    # write, and it stops the (tasks x buckets) small-file explosion
+    out = out.repartition(len(pending), "bucket_id")
 
-    # one pass: write decisions, derive audit from the written table
-    # (re-reading the sink avoids recomputing the UDF stage, the
+    # write decisions, derive audit from the written table
+    # (re-reading the sink avoids recomputing the UDF stage — the
     # reference's materialize-before-iterate design note 04:10/03:6)
     catalog.overwrite_partitions(out, "decisions", "bucket_id")
 
     dec = catalog.read("decisions").filter(F.col("run_id") == run_id)
-    audit = (
+    # per-bucket lineage metrics: ONE job, collected driver-side
+    # (<= n_buckets rows by construction) and reused for the audit
+    # append, the DONE marks and the run summary
+    audit_rows = (
         dec.groupBy("bucket_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -101,9 +107,18 @@ def run_filter(
             F.avg("perplexity").alias("avg_perplexity"),
             F.avg("langid_conf").alias("avg_langid_conf"),
         )
-        .withColumn("run_id", F.lit(run_id))
-        .withColumn("stage", F.lit("filter"))
-        .withColumn("processed_at", F.current_timestamp())
+        .collect()
+    )
+    audit = spark.createDataFrame(
+        audit_rows,
+        "bucket_id int, n_docs bigint, n_kept bigint, n_pii bigint, "
+        "avg_perplexity double, avg_langid_conf double",
+    ).withColumns(
+        {
+            "run_id": F.lit(run_id),
+            "stage": F.lit("filter"),
+            "processed_at": F.current_timestamp(),
+        }
     )
     catalog.append(audit, "audit")
 
@@ -115,9 +130,7 @@ def run_filter(
     ).withColumn("run_id", F.lit(run_id))
     catalog.append(host_stats, "host_audit")
 
-    done_buckets = [r["bucket_id"] for r in dec.select("bucket_id").distinct().collect()]
-    # buckets that had no rows are still complete
-    done = sorted(set(pending) & (set(done_buckets) | set(pending)))
-    manifest.mark(run_id, "filter", done, DONE)
-    n_docs = dec.count()
-    return {"run_id": run_id, "buckets": len(done), "docs": n_docs}
+    # pending buckets with zero rows are still complete
+    manifest.mark(run_id, "filter", sorted(pending), DONE)
+    n_docs = sum(r["n_docs"] for r in audit_rows)
+    return {"run_id": run_id, "buckets": len(pending), "docs": n_docs}

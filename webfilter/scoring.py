@@ -47,3 +47,50 @@ def with_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("_score", score_udf(F.col(text_col))).select(
         "*", "_score.langid", "_score.langid_conf", "_score.perplexity"
     ).drop("_score")
+
+
+EXTRACT_SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("extract_err", T.StringType()),
+        T.StructField("langid", T.StringType()),
+        T.StructField("langid_conf", T.DoubleType()),
+        T.StructField("perplexity", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(EXTRACT_SCORE_SCHEMA)
+def extract_score_udf(html: pd.Series) -> pd.DataFrame:
+    """Fused extract+score: the html bytes cross the Arrow boundary
+    once and the extracted text never round-trips back to the JVM for
+    a second UDF — one Python hop for the whole model stage (the hot
+    path at 100 TB is Arrow serialization, not the kernels)."""
+    from webfilter.kernels import langid as _langid
+    from webfilter.kernels import perplexity as _ppl
+    from webfilter.kernels.extract import extract_batch
+
+    out = extract_batch(html).rename(columns={"err": "extract_err"})
+    scores = _langid.predict_batch(out["text"])
+    mask = scores["langid_conf"] < 0.5
+    scores.loc[mask, "langid"] = "und"
+    out["langid"] = scores["langid"]
+    out["langid_conf"] = scores["langid_conf"]
+    out["perplexity"] = _ppl.score_batch(out["text"])
+    return out
+
+
+def with_extract_and_scores(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """html -> text/title/err/langid/conf/ppl in ONE pandas-UDF pass.
+    Replaces with_extracted_text + with_scores in the pipeline."""
+    cols = [
+        c
+        for c in df.columns
+        if c not in ("text", "title", "extract_err", "langid", "langid_conf", "perplexity")
+    ]
+    return df.withColumn("_es", extract_score_udf(F.col(html_col))).select(
+        *cols,
+        "_es.text", "_es.title", "_es.extract_err",
+        "_es.langid", "_es.langid_conf", "_es.perplexity",
+    )

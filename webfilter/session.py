@@ -48,8 +48,36 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("WEBFILTER_DRIVER_MEM", "48g"))
     )
+    # shuffle/spill scratch on tmpfs when available: this sandbox has
+    # one virtual disk, which would serialize shuffle I/O and mask
+    # compute scaling; on a real cluster each executor has local SSDs
+    if os.path.isdir("/dev/shm"):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """addPyFile the webfilter package so executor python workers can
+    unpickle UDF kernels regardless of how the driver was launched
+    (spark-submit --py-files, source checkout, or embedding)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    pkg_root = Path(__file__).resolve().parent.parent
+    if not (pkg_root / "webfilter" / "__init__.py").exists():
+        return  # running from a zip already shipped via --py-files
+    zdir = Path(tempfile.gettempdir()) / "webfilter_pyfiles"
+    zdir.mkdir(exist_ok=True)
+    archive = shutil.make_archive(
+        str(zdir / "webfilter_pkg"), "zip", root_dir=pkg_root, base_dir="webfilter"
+    )
+    try:
+        spark.sparkContext.addPyFile(archive)
+    except Exception:
+        pass  # already added in this context
