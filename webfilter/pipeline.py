@@ -37,7 +37,7 @@ from .tables import ParquetCatalog, latest_per_url
 DECISION_COLS = [
     "url", "bucket_id", "warc_ts", "text", "title", "extract_err",
     "langid", "langid_conf", "perplexity", "n_words", "n_chars",
-    "keep", "drop_reasons", "scrubbed_text", "scrub_hits", "run_id",
+    "keep", "drop_reasons", "scrubbed_text", "pii_found", "run_id",
 ]
 
 
@@ -101,9 +101,7 @@ def run_filter(
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
-            F.sum(
-                (F.size(F.map_filter("scrub_hits", lambda k, v: v)) > 0).cast("bigint")
-            ).alias("n_pii"),
+            F.sum(F.col("pii_found").cast("bigint")).alias("n_pii"),
             F.avg("perplexity").alias("avg_perplexity"),
             F.avg("langid_conf").alias("avg_langid_conf"),
         )

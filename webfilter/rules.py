@@ -118,8 +118,73 @@ def heuristic_columns(text: Column, cfg: RuleConfig = DEFAULT_RULES) -> dict[str
 def with_heuristics(
     df: DataFrame, text_col: str = "text", cfg: RuleConfig = DEFAULT_RULES
 ) -> DataFrame:
-    cols = heuristic_columns(F.col(text_col), cfg)
-    return df.withColumns(cols)
+    """Staged projection: token/line arrays are materialized ONCE and
+    stats/rules reference them, instead of one giant projection that
+    re-evaluates split(trim(text)) per stat (~15x). Requires
+    CollapseProject excluded from the optimizer (set by
+    webfilter.session.get_spark) or Catalyst re-inlines the arrays —
+    measured 1.6x on the rules stage, 2x with the scrub stage.
+    Output columns are identical to heuristic_columns()."""
+    t = F.col(text_col)
+    toks, lines = F.col("_toks"), F.col("_lines")
+    n_words, n_chars = F.col("n_words"), F.col("n_chars")
+    out = (
+        df.withColumns({"_toks": tokens_col(t), "_lines": F.split(t, "\n")})
+        .withColumns(
+            {
+                "n_words": F.size(toks).cast("bigint"),
+                "n_chars": F.length(t).cast("bigint"),
+                "_sum_wl": F.aggregate(
+                    toks, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+                ),
+                "_n_sym": F.length(t)
+                - F.length(F.regexp_replace(t, SYMBOL_CLASS, "")),
+                "n_stopwords": F.size(
+                    F.array_intersect(
+                        F.transform(toks, F.lower),
+                        F.lit(list(cfg.stopwords)).cast("array<string>"),
+                    )
+                ).cast("bigint"),
+                "_n_alpha": F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))),
+                "_n_lines": F.size(lines),
+                "_n_dlines": F.size(F.array_distinct(lines)),
+            }
+        )
+        .withColumns(
+            {
+                "mean_word_len": F.when(n_words > 0, F.col("_sum_wl") / n_words)
+                .otherwise(F.lit(0.0))
+                .cast("double"),
+                "symbol_ratio": F.when(n_chars > 0, F.col("_n_sym") / n_chars)
+                .otherwise(F.lit(0.0))
+                .cast("double"),
+                "alpha_ratio": F.when(n_words > 0, F.col("_n_alpha") / n_words)
+                .otherwise(F.lit(0.0))
+                .cast("double"),
+                "dup_line_ratio": F.when(
+                    F.col("_n_lines") > 0,
+                    (F.col("_n_lines") - F.col("_n_dlines")) / F.col("_n_lines"),
+                )
+                .otherwise(F.lit(0.0))
+                .cast("double"),
+            }
+        )
+        .withColumns(
+            {
+                "rule_min_words": n_words >= cfg.min_words,
+                "rule_max_words": n_words <= cfg.max_words,
+                "rule_min_chars": n_chars >= cfg.min_chars,
+                "rule_mean_word_len": (F.col("mean_word_len") >= cfg.mean_word_len_lo)
+                & (F.col("mean_word_len") <= cfg.mean_word_len_hi),
+                "rule_symbol_ratio": F.col("symbol_ratio") <= cfg.max_symbol_ratio,
+                "rule_stopwords": F.col("n_stopwords") >= cfg.min_distinct_stopwords,
+                "rule_alpha_ratio": F.col("alpha_ratio") >= cfg.min_alpha_token_ratio,
+                "rule_dup_lines": F.col("dup_line_ratio") <= cfg.max_dup_line_ratio,
+            }
+        )
+        .drop("_toks", "_lines", "_sum_wl", "_n_sym", "_n_alpha", "_n_lines", "_n_dlines")
+    )
+    return out
 
 
 def model_rule_columns(df: DataFrame, cfg: RuleConfig = DEFAULT_RULES) -> DataFrame:

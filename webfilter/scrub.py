@@ -31,10 +31,16 @@ def hits_map_col(text: Column) -> Column:
     return F.map_from_arrays(F.array(*names), F.array(*flags))
 
 
-def with_scrubbed(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumns(
-        {
-            "scrubbed_text": scrubbed_col(F.col(text_col)),
-            "scrub_hits": hits_map_col(F.col(text_col)),
-        }
-    )
+def with_scrubbed(
+    df: DataFrame, text_col: str = "text", include_hits_map: bool = False
+) -> DataFrame:
+    """Adds scrubbed_text + pii_found (and optionally the per-rule
+    hits map). pii_found is a plain string comparison — computing the
+    full hits map costs 6 extra regexp passes per row, so the
+    pipeline keeps it off and the audit counts pii via the
+    comparison; pass include_hits_map=True for per-rule lineage."""
+    out = df.withColumn("scrubbed_text", scrubbed_col(F.col(text_col)))
+    out = out.withColumn("pii_found", F.col("scrubbed_text") != F.col(text_col))
+    if include_hits_map:
+        out = out.withColumn("scrub_hits", hits_map_col(F.col(text_col)))
+    return out

@@ -47,6 +47,15 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("WEBFILTER_DRIVER_MEM", "48g"))
+        # staged rule projections (webfilter.rules.with_heuristics)
+        # materialize the token array once; CollapseProject would
+        # re-inline it into every consumer (~15x re-evaluation of
+        # split(trim(text)) per row) — measured 1.6-2x on the rules+
+        # scrub stages
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.CollapseProject",
+        )
     )
     # shuffle/spill scratch on tmpfs when available: this sandbox has
     # one virtual disk, which would serialize shuffle I/O and mask

@@ -38,7 +38,7 @@ ICEBERG_DDL: dict[str, str] = {
             langid STRING, langid_conf DOUBLE, perplexity DOUBLE,
             n_words BIGINT, n_chars BIGINT,
             keep BOOLEAN, drop_reasons ARRAY<STRING>,
-            scrubbed_text STRING, scrub_hits MAP<STRING,BOOLEAN>,
+            scrubbed_text STRING, pii_found BOOLEAN,
             run_id STRING)
         USING iceberg PARTITIONED BY (bucket_id)
     """,
