@@ -1,0 +1,47 @@
+"""Keyed monotonic MERGE-upsert semantics + dedup order-insensitivity
+property (SURVEY §5 item 4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webfilter import dedup
+from webfilter.tables import ParquetCatalog, merge_upsert_pages
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, warc_ts string, html binary, text string, lang string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+
+def test_merge_upsert_monotonic(spark, tmp_path):
+    cat = ParquetCatalog(spark, str(tmp_path))
+    merge_upsert_pages(cat, _df(spark, [
+        ("u1", "2024-01-01 00:00:00", b"v1", "", "en"),
+        ("u2", "2024-01-01 00:00:00", b"v1", "", "en"),
+    ]))
+    # newer u1 wins; older u2 is a no-op; u3 inserts
+    merge_upsert_pages(cat, _df(spark, [
+        ("u1", "2024-02-01 00:00:00", b"v2", "", "en"),
+        ("u2", "2023-12-01 00:00:00", b"v0", "", "en"),
+        ("u3", "2024-01-15 00:00:00", b"v1", "", "en"),
+    ]))
+    got = {r["url"]: bytes(r["html"]) for r in cat.read("pages").collect()}
+    assert got == {"u1": b"v2", "u2": b"v1", "u3": b"v1"}
+    # replay of the same batch changes nothing (idempotent)
+    merge_upsert_pages(cat, _df(spark, [
+        ("u1", "2024-02-01 00:00:00", b"v2", "", "en"),
+    ]))
+    again = {r["url"]: bytes(r["html"]) for r in cat.read("pages").collect()}
+    assert again == got
+
+
+def test_exact_dedup_order_insensitive(spark):
+    rows = [(i, f"text {i % 7}") for i in range(50)]
+    a = spark.createDataFrame(rows, "doc_id long, text string")
+    b = spark.createDataFrame(list(reversed(rows)), "doc_id long, text string").repartition(7)
+    kept_a = sorted(r["doc_id"] for r in dedup.exact_dedup(a).collect())
+    kept_b = sorted(r["doc_id"] for r in dedup.exact_dedup(b).collect())
+    assert kept_a == kept_b
+    assert len(kept_a) == 7

@@ -10,6 +10,12 @@ and the pages table is only ever filtered by a pushed-down
 ``bucket_id IN (...)`` predicate (partition pruning on the Iceberg
 bucket spec).
 
+The manifest is deliberately driver-side end to end (pyarrow
+read/append, no Spark jobs): it is metadata bookkeeping of bounded
+size, and each distributed job costs hundreds of ms of scheduling —
+the reference pays that with per-micro-batch MERGEs into its
+watermark table (pmc.py:170-175); we don't.
+
 Crash safety: status rows are append-only (latest updated_at wins);
 a bucket is DONE only after its output partition is fully rewritten,
 and rewrites are idempotent (dynamic partition overwrite), so a
@@ -18,12 +24,27 @@ kill at any point re-runs at most the in-flight buckets.
 
 from __future__ import annotations
 
+import glob
+import os
 import time
+import uuid
+from datetime import datetime, timezone
 
-from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 from .tables import ParquetCatalog
+
+PA_SCHEMA = pa.schema(
+    [
+        ("run_id", pa.string()),
+        ("stage", pa.string()),
+        ("bucket_id", pa.int32()),
+        ("status", pa.string()),
+        ("attempt", pa.int32()),
+        ("updated_at", pa.timestamp("us", tz="UTC")),
+    ]
+)
 
 MANIFEST_SCHEMA = (
     "run_id string, stage string, bucket_id int, status string, "
@@ -39,26 +60,27 @@ class Manifest:
         self.name = name
         self._state_cache: dict[int, tuple[str, int]] | None = None
 
+    @property
+    def _dir(self) -> str:
+        return self.catalog.path(self.name)
+
     def _read_state(self) -> dict[int, tuple[str, int]]:
         """bucket_id -> (status, attempt), latest row per bucket.
-        Bounded: <= n_buckets * attempts rows total — driver-side
-        collect is safe by design (never row-level). Cached within
-        this Manifest instance; every mark() updates the cache."""
+        Bounded: <= n_buckets * attempts rows total — fully
+        driver-side by design (never row-level)."""
         if self._state_cache is not None:
             return self._state_cache
-        if not self.catalog.exists(self.name):
-            return {}
-        df = self.catalog.read(self.name)
-        w_latest = (
-            df.groupBy("bucket_id")
-            .agg(F.max(F.struct("updated_at", "attempt", "status")).alias("s"))
-            .select("bucket_id", "s.status", "s.attempt")
-        )
-        self._state_cache = {
-            r["bucket_id"]: (r["status"], r["attempt"])
-            for r in w_latest.collect()
-        }
-        return self._state_cache
+        files = sorted(glob.glob(f"{self._dir}/*.parquet"))
+        if not files:
+            self._state_cache = {}
+            return self._state_cache
+        table = pa.concat_tables([pq.read_table(f) for f in files])
+        pdf = table.to_pandas().sort_values(["updated_at", "attempt"])
+        state: dict[int, tuple[str, int]] = {}
+        for r in pdf.itertuples(index=False):
+            state[int(r.bucket_id)] = (r.status, int(r.attempt))
+        self._state_cache = state
+        return state
 
     def pending_buckets(self, n_buckets: int) -> list[int]:
         state = self._read_state()
@@ -68,17 +90,24 @@ class Manifest:
         if not bucket_ids:
             return
         state = self._read_state()
-        spark = self.catalog.spark
-        now = time.time()
+        now = datetime.fromtimestamp(time.time(), tz=timezone.utc)
         rows = [
-            (run_id, stage, int(b), status, state.get(b, ("", 0))[1] + (status == RUNNING), None)
+            {
+                "run_id": run_id,
+                "stage": stage,
+                "bucket_id": int(b),
+                "status": status,
+                "attempt": state.get(b, ("", 0))[1] + (1 if status == RUNNING else 0),
+                "updated_at": now,
+            }
             for b in bucket_ids
         ]
-        df = spark.createDataFrame(rows, MANIFEST_SCHEMA).withColumn(
-            "updated_at", F.timestamp_seconds(F.lit(now))
+        os.makedirs(self._dir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=PA_SCHEMA),
+            f"{self._dir}/part-{uuid.uuid4().hex}.parquet",
         )
-        self.catalog.append(df, self.name)
         cache = dict(state)
-        for run, stage_, b, st, att, _ts in rows:
-            cache[b] = (st, att)
+        for r in rows:
+            cache[r["bucket_id"]] = (r["status"], r["attempt"])
         self._state_cache = cache

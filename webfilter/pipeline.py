@@ -107,18 +107,31 @@ def run_filter(
         )
         .collect()
     )
-    audit = spark.createDataFrame(
-        audit_rows,
-        "bucket_id int, n_docs bigint, n_kept bigint, n_pii bigint, "
-        "avg_perplexity double, avg_langid_conf double",
-    ).withColumns(
-        {
-            "run_id": F.lit(run_id),
-            "stage": F.lit("filter"),
-            "processed_at": F.current_timestamp(),
-        }
+    import pyarrow as pa
+    from datetime import datetime, timezone
+
+    now = datetime.now(timezone.utc)
+    audit_schema = pa.schema(
+        [
+            ("bucket_id", pa.int32()),
+            ("n_docs", pa.int64()),
+            ("n_kept", pa.int64()),
+            ("n_pii", pa.int64()),
+            ("avg_perplexity", pa.float64()),
+            ("avg_langid_conf", pa.float64()),
+            ("run_id", pa.string()),
+            ("stage", pa.string()),
+            ("processed_at", pa.timestamp("us", tz="UTC")),
+        ]
     )
-    catalog.append(audit, "audit")
+    catalog.append_rows(
+        [
+            {**r.asDict(), "run_id": run_id, "stage": "filter", "processed_at": now}
+            for r in audit_rows
+        ],
+        audit_schema,
+        "audit",
+    )
 
     # skew-safe per-host metrics (hot hosts!) — salted two-phase agg
     host_stats = salted_count_by_key(

@@ -91,6 +91,22 @@ class ParquetCatalog:
     def append(self, df: DataFrame, name: str) -> None:
         df.write.mode("append").parquet(self.path(name))
 
+    def append_rows(self, rows: list[dict], schema: "pa.Schema", name: str) -> None:
+        """Driver-side append of a SMALL row set (manifest marks,
+        collected audit rows) as one parquet file via pyarrow —
+        metadata bookkeeping must not spin up distributed jobs
+        (several hundred ms of scheduling each; they dominate the
+        fixed cost of small runs and add up across resume cycles)."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = self.path(name)
+        os.makedirs(path, exist_ok=True)
+        table = pa.Table.from_pylist(rows, schema=schema)
+        pq.write_table(table, f"{path}/part-{uuid.uuid4().hex}.parquet")
+
     def overwrite_partitions(self, df: DataFrame, name: str, part_col: str) -> None:
         """Idempotent per-partition replace — Iceberg's
         overwritePartitions(); parquet dynamic partition overwrite
@@ -133,3 +149,30 @@ ON t.url = s.url
 WHEN MATCHED AND s.warc_ts > t.warc_ts THEN UPDATE SET *
 WHEN NOT MATCHED THEN INSERT *
 """
+
+
+def merge_upsert_pages(
+    catalog: "ParquetCatalog", updates: DataFrame, name: str = "pages"
+) -> None:
+    """Keyed monotonic upsert into a catalog table — the batch
+    equivalent of MERGE_INTO_SQL for the parquet fallback: union the
+    existing snapshot with the updates and keep the newest row per
+    url. With an Iceberg catalog this is one MERGE INTO (merge-on-read
+    positional deletes); here it is a read-modify-replace, acceptable
+    because the fallback exists for tests only.
+
+    Reference parity: whenMatchedUpdateAll(condition='src.LastUpdated
+    > tgt.LastUpdated') + insertAll (01_Metadata_Sync.py:59-65).
+    """
+    if catalog.exists(name):
+        current = catalog.read(name)
+        merged = latest_per_url(current.unionByName(updates))
+    else:
+        merged = latest_per_url(updates)
+    # write to a temp table then swap (read-before-overwrite safety)
+    tmp = f"{name}__staging"
+    merged.write.mode("overwrite").parquet(catalog.path(tmp))
+    import shutil
+
+    shutil.rmtree(catalog.path(name), ignore_errors=True)
+    shutil.move(catalog.path(tmp), catalog.path(name))
