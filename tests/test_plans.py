@@ -1,0 +1,92 @@
+"""Physical-plan shape gates: predicate pushdown, column pruning and
+broadcast joins must not silently regress (they are the difference
+between a scan that reads 2 columns and one that reads the whole
+100 TB table)."""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(docs.filter(F.col("lang") == "en").select("doc_id"))
+    assert "PushedFilters" in plan
+    assert "EqualTo(lang,en)" in plan or "lang" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning(spark):
+    from webfilter.entry_queries import q_token_counts
+
+    plan = _plan(q_token_counts(spark, SF))
+    # the scan must read only doc_id + text, not the whole schema
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "source" not in read_schema and "n_chars" not in read_schema
+
+
+def test_bucket_filter_is_pushed(spark, synth_dir):
+    """Resume filtering prunes with a pushed-down IN over the
+    partition column of the decisions table."""
+    from webfilter import pipeline
+    from webfilter.tables import ParquetCatalog
+
+    out = f"{synth_dir}/../plans_out"
+    pipeline.run_filter(spark, f"{synth_dir}/pages.parquet", out, n_buckets=8, run_id="p")
+    dec = ParquetCatalog(spark, out).read("decisions").filter(
+        F.col("bucket_id").isin([1, 2])
+    )
+    plan = _plan(dec.select("url"))
+    # bucket_id is the physical partition column -> partition pruning
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "bucket_id" in seg
+
+
+def test_broadcast_in_topk(spark):
+    from webfilter.entry_queries import q_cosine_topk
+
+    plan = _plan(q_cosine_topk(spark, SF))
+    assert "Broadcast" in plan  # probe side broadcast, no shuffle join
+
+
+def test_single_shuffle_in_filter_transform(spark, synth_dir):
+    """The hot path has exactly one wide shuffle (latest-per-url
+    window); more means a regression."""
+    from webfilter import pipeline
+
+    pages = spark.read.parquet(f"{synth_dir}/pages.parquet")
+    plan = _plan(pipeline.filtered_frame(pages))
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, f"expected <=2 Exchange nodes, got {n_exchanges}\n{plan[:2000]}"
+
+
+def test_whole_stage_codegen_covers_rules(spark):
+    from webfilter import rules
+
+    df = rules.with_heuristics(
+        spark.read.parquet(f"{SF}/documents.parquet")
+    )
+    plan = _plan(rules.with_decision(
+        rules.model_rule_columns(
+            df.withColumns({"langid": F.lit("en"), "langid_conf": F.lit(1.0), "perplexity": F.lit(1.0)})
+        )
+    ))
+    # formatted mode marks codegen'd operators with [codegen id : N];
+    # higher-order funcs (aggregate/transform lambdas) legitimately
+    # stay interpreted, but the scan->project spine must be codegen'd
+    assert "codegen id" in plan
