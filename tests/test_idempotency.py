@@ -86,3 +86,24 @@ def test_salting_preserves_row_multiset(spark, synth_dir):
     after = salted_repartition(pages, 16, "url", n_salts=4).groupBy("url").count()
     assert before.exceptAll(after).count() == 0
     assert after.exceptAll(before).count() == 0
+
+
+def test_salt_spreads_hot_key(spark, synth_dir):
+    """ADVICE r1: the salt must vary *within* a hot key (per-row), not
+    be a function of the key — otherwise two-phase aggregation is a
+    no-op. Assert the hottest host's rows land on several salts."""
+    from pyspark.sql import functions as F
+
+    from webfilter.partitioning import host_col, salt_col
+
+    pages = spark.read.parquet(f"{synth_dir}/pages.parquet")
+    hot = (
+        pages.withColumn("host", host_col(F.col("url")))
+        .withColumn("_salt", salt_col(F.col("url"), 8))
+        .groupBy("host")
+        .agg(F.countDistinct("_salt").alias("n_salts"), F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc())
+        .first()
+    )
+    assert hot["n"] > 100  # it is actually a hot key
+    assert hot["n_salts"] >= 6  # and it spreads across salts

@@ -68,3 +68,17 @@ def test_decision_composition(spark):
     rows = rules.with_decision(df).collect()
     assert rows[0]["keep"] is True and rows[0]["drop_reasons"] == []
     assert rows[1]["keep"] is False and "min_words" in rows[1]["drop_reasons"]
+
+
+def test_null_text_is_dropped_with_reasons(spark):
+    """ADVICE r1: NULL rule values must count as failures — a NULL
+    text row must never be kept with empty drop_reasons."""
+    df = spark.createDataFrame([(None,), ("tiny",)], "text string")
+    df = rules.with_heuristics(df)
+    df = df.withColumns(
+        {"rule_lang": F.lit(True), "rule_langid_conf": F.lit(True), "rule_perplexity": F.lit(True)}
+    )
+    rows = {r["text"]: r for r in rules.with_decision(df).collect()}
+    null_row = rows[None]
+    assert null_row["keep"] is False
+    assert len(null_row["drop_reasons"]) > 0

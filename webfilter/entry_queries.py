@@ -29,10 +29,15 @@ from .rules import SYMBOL_CLASS, tokens_col
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
+# Explicit whitespace class == Java's default \s ([ \t\n\x0B\f\r],
+# what Spark's split('\s+') matches). RE2's \s excludes \v, so the
+# oracles spell the class out instead of using \s.
+_WS = r"[ \t\n\v\f\r]"
+
 # DuckDB token expr for trimmed-\s+ tokens with empty -> []
 _TOKS = (
     "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
-    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+    f"ELSE regexp_split_to_array(trim(text), '{_WS}+') END"
 )
 
 
@@ -179,7 +184,7 @@ def q_token_counts(spark, sf_dir):
 SQL_TOKEN_COUNTS = f"""
 SELECT doc_id,
   len({_TOKS})::BIGINT AS n_ws_tokens,
-  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\v\\f\\r]'))::BIGINT AS n_bpe_tokens,
   length(text)::BIGINT AS n_chars
 FROM documents
 """
@@ -212,9 +217,9 @@ def q_content_fingerprint(spark, sf_dir):
     )
 
 
-SQL_CONTENT_FP = """
+SQL_CONTENT_FP = f"""
 SELECT doc_id,
-  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_fp
+  md5(regexp_replace(lower(trim(text)), '{_WS}+', ' ', 'g')) AS content_fp
 FROM documents
 """
 
@@ -455,7 +460,7 @@ def q_salted_source_counts(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     return salted_count_by_key(
-        docs, "source", n_salts=8,
+        docs, "source", n_salts=8, salt_from="doc_id",
         aggs={"n_long": F.sum((F.col("n_chars") > 300).cast("bigint"))},
     ).select("source", "n_rows", "n_long")
 

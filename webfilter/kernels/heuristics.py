@@ -10,9 +10,14 @@ import re
 
 from .corpora import EN_STOPWORDS
 
+# re.ASCII pins \s to [ \t\n\r\f\x0b] — exactly Java's default \s
+# (what Spark's split uses) and a superset-of-RE2 contract the DuckDB
+# oracles mirror with an explicit class. Without it, Python's
+# Unicode-aware \s would tokenize U+2028/U+2029/Unicode-space text
+# differently from the JVM/RE2 engines (three-way parity would lie).
 SYMBOL_RE = re.compile(r"[#$%^&*|~{}<>=+_\\]")
 ALPHA_RE = re.compile(r"[A-Za-z]")
-WS_RE = re.compile(r"\s+")
+WS_RE = re.compile(r"\s+", re.ASCII)
 
 _STOPSET = frozenset(EN_STOPWORDS)
 

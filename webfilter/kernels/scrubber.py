@@ -68,7 +68,11 @@ SCRUB_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ),
 )
 
-_COMPILED = [(name, re.compile(pat), repl) for name, pat, repl in SCRUB_PATTERNS]
+# re.ASCII: \b in Python is otherwise Unicode-aware (é counts as a
+# word char -> no boundary before a digit run), while Java (default)
+# and RE2 use ASCII \w for \b. Pinning to ASCII makes all three
+# engines agree on boundary placement around non-ASCII text.
+_COMPILED = [(name, re.compile(pat, re.ASCII), repl) for name, pat, repl in SCRUB_PATTERNS]
 
 
 def scrub_one(text: str | None) -> tuple[str, dict[str, int]]:

@@ -43,65 +43,91 @@ PA_SCHEMA = pa.schema(
         ("status", pa.string()),
         ("attempt", pa.int32()),
         ("updated_at", pa.timestamp("us", tz="UTC")),
+        # strictly-increasing per manifest: the latest-wins tiebreaker
+        # when two marks land in the same microsecond
+        ("seq", pa.int64()),
     ]
 )
 
 MANIFEST_SCHEMA = (
     "run_id string, stage string, bucket_id int, status string, "
-    "attempt int, updated_at timestamp"
+    "attempt int, updated_at timestamp, seq bigint"
 )
 
 PENDING, RUNNING, DONE, ERROR = "PENDING", "RUNNING", "DONE", "ERROR"
 
 
 class Manifest:
+    """State is keyed by (stage, bucket_id): one pipeline can run
+    several stages (filter, dedup, ...) over the same buckets without
+    a later stage's DONE shadowing an earlier stage's status. Rows
+    are append-only; latest (updated_at, seq) wins — seq is a
+    strictly-increasing per-manifest counter so two marks written in
+    the same microsecond still order deterministically."""
+
     def __init__(self, catalog: ParquetCatalog, name: str = "manifest"):
         self.catalog = catalog
         self.name = name
-        self._state_cache: dict[int, tuple[str, int]] | None = None
+        self._state_cache: dict[tuple[str, int], tuple[str, int]] | None = None
+        self._max_seq = 0
 
     @property
     def _dir(self) -> str:
         return self.catalog.path(self.name)
 
-    def _read_state(self) -> dict[int, tuple[str, int]]:
-        """bucket_id -> (status, attempt), latest row per bucket.
-        Bounded: <= n_buckets * attempts rows total — fully
-        driver-side by design (never row-level)."""
+    def _read_state(self) -> dict[tuple[str, int], tuple[str, int]]:
+        """(stage, bucket_id) -> (status, attempt), latest row per
+        key. Bounded: <= n_stages * n_buckets * attempts rows total —
+        fully driver-side by design (never row-level)."""
         if self._state_cache is not None:
             return self._state_cache
         files = sorted(glob.glob(f"{self._dir}/*.parquet"))
         if not files:
             self._state_cache = {}
             return self._state_cache
-        table = pa.concat_tables([pq.read_table(f) for f in files])
-        pdf = table.to_pandas().sort_values(["updated_at", "attempt"])
-        state: dict[int, tuple[str, int]] = {}
+        table = pa.concat_tables(
+            [pq.read_table(f) for f in files], promote_options="default"
+        )
+        pdf = table.to_pandas()
+        if "seq" not in pdf.columns:  # pre-seq manifest files
+            pdf["seq"] = 0
+        pdf["seq"] = pdf["seq"].fillna(0).astype("int64")
+        pdf = pdf.sort_values(["updated_at", "seq", "attempt"])
+        state: dict[tuple[str, int], tuple[str, int]] = {}
         for r in pdf.itertuples(index=False):
-            state[int(r.bucket_id)] = (r.status, int(r.attempt))
+            state[(str(r.stage), int(r.bucket_id))] = (r.status, int(r.attempt))
+        self._max_seq = int(pdf["seq"].max()) if len(pdf) else 0
         self._state_cache = state
         return state
 
-    def pending_buckets(self, n_buckets: int) -> list[int]:
+    def pending_buckets(self, n_buckets: int, stage: str = "filter") -> list[int]:
         state = self._read_state()
-        return [b for b in range(n_buckets) if state.get(b, (PENDING, 0))[0] != DONE]
+        return [
+            b
+            for b in range(n_buckets)
+            if state.get((stage, b), (PENDING, 0))[0] != DONE
+        ]
 
     def mark(self, run_id: str, stage: str, bucket_ids: list[int], status: str) -> None:
         if not bucket_ids:
             return
         state = self._read_state()
         now = datetime.fromtimestamp(time.time(), tz=timezone.utc)
-        rows = [
-            {
-                "run_id": run_id,
-                "stage": stage,
-                "bucket_id": int(b),
-                "status": status,
-                "attempt": state.get(b, ("", 0))[1] + (1 if status == RUNNING else 0),
-                "updated_at": now,
-            }
-            for b in bucket_ids
-        ]
+        rows = []
+        for b in bucket_ids:
+            self._max_seq += 1
+            rows.append(
+                {
+                    "run_id": run_id,
+                    "stage": stage,
+                    "bucket_id": int(b),
+                    "status": status,
+                    "attempt": state.get((stage, int(b)), ("", 0))[1]
+                    + (1 if status == RUNNING else 0),
+                    "updated_at": now,
+                    "seq": self._max_seq,
+                }
+            )
         os.makedirs(self._dir, exist_ok=True)
         pq.write_table(
             pa.Table.from_pylist(rows, schema=PA_SCHEMA),
@@ -109,5 +135,5 @@ class Manifest:
         )
         cache = dict(state)
         for r in rows:
-            cache[r["bucket_id"]] = (r["status"], r["attempt"])
+            cache[(r["stage"], r["bucket_id"])] = (r["status"], r["attempt"])
         self._state_cache = cache

@@ -37,33 +37,56 @@ def with_bucket(df: DataFrame, n_buckets: int, url_col: str = "url") -> DataFram
     return df.withColumn("bucket_id", bucket_col(F.col(url_col), n_buckets))
 
 
-def salt_col(key: Column, n_salts: int) -> Column:
-    # salt from a *different* hash of the same row key so (key, salt)
-    # spreads a hot key across n_salts reducers deterministically
-    return F.pmod(F.xxhash64(key, F.lit(0x5A17)), F.lit(n_salts)).cast("int")
+def salt_col(row_entropy: Column, n_salts: int) -> Column:
+    """Per-ROW salt. ``row_entropy`` must vary *within* a hot group
+    key (a finer-grained column like url, or a synthetic per-row id)
+    — a salt derived from the group key itself would assign every row
+    of a hot key the same salt and mitigate nothing."""
+    return F.pmod(F.xxhash64(row_entropy, F.lit(0x5A17)), F.lit(n_salts)).cast("int")
+
+
+def default_row_entropy() -> Column:
+    """Fallback per-row entropy when no finer column exists:
+    partition-local row ids. Deterministic given a fixed input
+    partitioning; aggregation results are salt-invariant either way."""
+    return F.monotonically_increasing_id()
 
 
 def salted_repartition(
-    df: DataFrame, num_partitions: int, key: str, n_salts: int = 16
+    df: DataFrame,
+    num_partitions: int,
+    key: str,
+    n_salts: int = 16,
+    salt_from: Column | str | None = None,
 ) -> DataFrame:
     """Repartition by (key, salt): co-locates mostly by key but caps
     any single key's share of one partition at ~1/n_salts."""
-    return df.repartition(num_partitions, F.col(key), salt_col(F.col(key), n_salts))
+    ent = F.col(salt_from) if isinstance(salt_from, str) else salt_from
+    ent = default_row_entropy() if ent is None else ent
+    return df.repartition(num_partitions, F.col(key), salt_col(ent, n_salts))
 
 
 def salted_count_by_key(
-    df: DataFrame, key: str, n_salts: int = 16, aggs: dict[str, Column] | None = None
+    df: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    aggs: dict[str, Column] | None = None,
+    salt_from: Column | str | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation: partial per (key, salt), then
     final per key. Default aggregation is count + kept-count; pass
-    ``aggs`` as {name: sum-able Column} for more.
+    ``aggs`` as {name: sum-able Column} for more, and ``salt_from``
+    as a per-row-varying column (e.g. url when key=host) so hot keys
+    actually spread across n_salts reducers.
 
     At 100 TB this turns one 35%-of-the-data reducer into n_salts
     parallel partials — map-side combine does most of the work and
     the final shuffle moves only n_keys * n_salts rows.
     """
     aggs = aggs or {}
-    salted = df.withColumn("_salt", salt_col(F.col(key), n_salts))
+    ent = F.col(salt_from) if isinstance(salt_from, str) else salt_from
+    ent = default_row_entropy() if ent is None else ent
+    salted = df.withColumn("_salt", salt_col(ent, n_salts))
     partial = salted.groupBy(key, "_salt").agg(
         F.count(F.lit(1)).alias("_pc"),
         *[v.alias(f"_p_{k}") for k, v in aggs.items()],

@@ -138,6 +138,7 @@ def run_filter(
         dec.withColumn("host", host_col(F.col("url"))),
         "host",
         aggs={"n_kept": F.sum(F.col("keep").cast("bigint"))},
+        salt_from="url",  # varies within a hot host -> real spread
     ).withColumn("run_id", F.lit(run_id))
     catalog.append(host_stats, "host_audit")
 

@@ -201,11 +201,18 @@ def model_rule_columns(df: DataFrame, cfg: RuleConfig = DEFAULT_RULES) -> DataFr
 def with_decision(df: DataFrame, rule_names: tuple[str, ...] = ALL_RULE_NAMES) -> DataFrame:
     """drop_reasons = names of failed rules (canonical order);
     keep = no failures. Mirrors the reference's all-critiques-pass
-    gate (01_seed_generation.py:325-326) with reasons surfaced."""
+    gate (01_seed_generation.py:325-326) with reasons surfaced.
+
+    NULL rule values (e.g. every heuristic on a NULL text column) are
+    treated as FAILED, not passed: without the coalesce, ~NULL is
+    NULL, array_compact drops it, and a NULL-text row would sail
+    through with keep=true and no reasons."""
     reason = F.array_compact(
         F.array(
             *[
-                F.when(~F.col(f"rule_{n}"), F.lit(n)).otherwise(F.lit(None))
+                F.when(~F.coalesce(F.col(f"rule_{n}"), F.lit(False)), F.lit(n)).otherwise(
+                    F.lit(None)
+                )
                 for n in rule_names
             ]
         )
