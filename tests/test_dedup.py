@@ -105,3 +105,30 @@ def test_embedding_near_dup_matches_brute_force(spark, sf_small="/root/testdata/
     assert lsh.count() <= n_brute
     if n_brute:
         assert found / n_brute >= 0.5, f"lsh recall {found}/{n_brute}"
+
+
+def test_simhash_kernel_parity_with_column_impl(spark, near_dup_docs):
+    """The numpy batch kernel must be bit-identical to the reference
+    Column-algebra SimHash on real text (VERDICT r1 swap condition)."""
+    docs = near_dup_docs.select("doc_id", "text")
+    col_fp = docs.select("doc_id", dedup.simhash_col(F.col("text")).alias("fp_col"))
+    np_fp = dedup.with_simhash(docs, "text", out_col="fp_np").select("doc_id", "fp_np")
+    diff = col_fp.join(np_fp, "doc_id").filter(F.col("fp_col") != F.col("fp_np")).count()
+    assert diff == 0
+    # edge cases: empty, whitespace-only, single token, unicode
+    edge = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one"), (4, "的一 是不 了人"), (5, "a\tb\nc d")],
+        "doc_id long, text string",
+    )
+    ec = edge.select("doc_id", dedup.simhash_col(F.col("text")).alias("fp_col"))
+    en = dedup.with_simhash(edge, "text", out_col="fp_np").select("doc_id", "fp_np")
+    assert ec.join(en, "doc_id").filter(F.col("fp_col") != F.col("fp_np")).count() == 0
+
+
+def test_simhash_pairs_same_for_both_impls(spark, near_dup_docs):
+    docs = near_dup_docs.select("doc_id", "text")
+    k = {(r["id_a"], r["id_b"], r["hamming"])
+         for r in dedup.simhash_near_dup_pairs(docs, max_hamming=5, use_kernel=True).collect()}
+    c = {(r["id_a"], r["id_b"], r["hamming"])
+         for r in dedup.simhash_near_dup_pairs(docs, max_hamming=5, use_kernel=False).collect()}
+    assert k == c
