@@ -132,3 +132,44 @@ def test_simhash_pairs_same_for_both_impls(spark, near_dup_docs):
     c = {(r["id_a"], r["id_b"], r["hamming"])
          for r in dedup.simhash_near_dup_pairs(docs, max_hamming=5, use_kernel=False).collect()}
     assert k == c
+
+
+def _rand_emb_df(spark, n, dim=16, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, dim)).astype("float32")
+    pdf = [(int(i), [float(x) for x in v[i]]) for i in range(n)]
+    return spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+
+
+def test_embedding_candidates_scale_linearly(spark):
+    """VERDICT r1: with auto_n_planes the candidate count must grow
+    ~linearly in n (a fixed plane count grows quadratically)."""
+    n1, n2 = 1500, 15000
+    c1 = dedup.embedding_candidate_pairs(
+        _rand_emb_df(spark, n1), n_planes=dedup.auto_n_planes(n1), n_tables=2, dim=16
+    ).count()
+    c2 = dedup.embedding_candidate_pairs(
+        _rand_emb_df(spark, n2), n_planes=dedup.auto_n_planes(n2), n_tables=2, dim=16
+    ).count()
+    # 10x docs -> way below the 100x quadratic blowup; allow 2x slack
+    # over perfectly-linear for bucket-occupancy variance
+    assert c2 <= 20 * max(c1, 1), f"candidates {c1} -> {c2} (superlinear)"
+    assert dedup.auto_n_planes(n2) > dedup.auto_n_planes(n1)
+
+
+def test_embedding_lsh_construction_is_plan_only(spark):
+    """Building the query with dim supplied must launch no Spark job
+    (the round-1 first() probe did)."""
+    from webfilter.simsearch import lsh_topk
+
+    emb = _rand_emb_df(spark, 50)
+    q = emb.limit(2).selectExpr("vec_id as query_id", "embedding")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    spark.sparkContext.setJobGroup("plan_only_probe", "plan-only check")
+    lsh_topk(emb, q, k=3, dim=16)
+    dedup.embedding_near_dup_pairs(emb, dim=16)
+    jobs = tracker.getJobIdsForGroup("plan_only_probe") or []
+    assert len(jobs) == 0, f"construction launched jobs: {jobs}"

@@ -549,7 +549,9 @@ def q_lsh_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, k=3).select(
+    # dim=64 is the embeddings-table contract (TESTDATA.md); passing
+    # it keeps query construction plan-only (no first() probe job)
+    return lsh_topk(emb, queries, k=3, dim=64).select(
         "query_id", "vec_id", r6(F.col("cosine")).alias("cosine"), "rank"
     )
 
@@ -558,7 +560,7 @@ def q_embedding_near_dup(spark, sf_dir):
     from .dedup import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
-        _emb(spark, sf_dir), threshold=0.9
+        _emb(spark, sf_dir), threshold=0.9, n_planes=8, dim=64
     ).select("id_a", "id_b", r6(F.col("cosine")).alias("cosine"))
 
 
