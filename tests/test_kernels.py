@@ -156,3 +156,20 @@ class TestScrubber:
         twice, hits2 = scrub_one(once)
         assert twice == once
         assert not hits2
+
+
+def test_xpath_title_on_wellformed_xml(spark):
+    """P12: the built-in xpath_string pulls titles from well-formed
+    XML JVM-side (reference 04_Chunk_Articles_Content.py:96-99)."""
+    from webfilter.extract import with_xml_title
+
+    df = spark.createDataFrame(
+        [
+            ("<article><front><title>Alpha Beta</title></front><body>x</body></article>",),
+            ("<html><head><title>T2</title></head><body/></html>",),
+            ("<doc><body>no title here</body></doc>",),
+        ],
+        "xml string",
+    )
+    got = [r["xml_title"] for r in with_xml_title(df, "xml").collect()]
+    assert got == ["Alpha Beta", "T2", ""]

@@ -43,3 +43,15 @@ def test_windowed_metrics(spark, stream_src, tmp_path):
     tot = m.agg(F.sum("n_pages")).collect()[0][0]
     assert 0 < tot <= src_n
     assert m.filter(F.col("bytes_in") <= 0).count() == 0
+
+
+def test_file_metadata_virtual_columns(spark, synth_dir):
+    """S2: _metadata.file_path/_modification_time/_size project into
+    real provenance columns on a file-source scan."""
+    from webfilter.streaming import with_file_provenance
+
+    df = with_file_provenance(spark.read.parquet(f"{synth_dir}/pages.parquet"))
+    row = df.select("src_file", "src_mtime", "src_size").first()
+    assert row["src_file"].endswith(".parquet")
+    assert row["src_size"] > 0
+    assert row["src_mtime"] is not None

@@ -393,6 +393,47 @@ GROUP BY 1
 """
 
 
+def q_full_outer_reconcile(spark, sf_dir):
+    """Reference J1 exactly: new search args FULL OUTER JOIN history
+    on the key, ranges widened via coalesce (pmc.py:62-69; the only
+    reference join shape round 1 left unexercised — left-null AND
+    right-null rows both occur: 'xx' has no corpus, es/fr/zh have no
+    request)."""
+    hist = (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.min("n_chars").alias("hist_min"),
+            F.max("n_chars").alias("hist_max"),
+        )
+    )
+    args = spark.createDataFrame(
+        [("en", 50), ("de", 100), ("xx", 10)], "lang string, req_min int"
+    )
+    a, h = args.alias("a"), hist.alias("h")
+    return a.join(h, F.col("a.lang") == F.col("h.lang"), "outer").select(
+        F.coalesce(F.col("a.lang"), F.col("h.lang")).alias("lang"),
+        F.coalesce(F.col("req_min"), F.lit(0)).cast("bigint").alias("req_min"),
+        F.coalesce(F.col("hist_min"), F.lit(-1)).cast("bigint").alias("hist_min"),
+        F.coalesce(F.col("hist_max"), F.lit(-1)).cast("bigint").alias("hist_max"),
+        (F.col("a.lang").isNotNull() & F.col("h.lang").isNotNull()).alias("seen_both"),
+    )
+
+
+SQL_FULL_OUTER_RECONCILE = """
+WITH hist AS (
+  SELECT lang, min(n_chars) AS hist_min, max(n_chars) AS hist_max
+  FROM documents GROUP BY 1),
+args(lang, req_min) AS (VALUES ('en', 50), ('de', 100), ('xx', 10))
+SELECT coalesce(a.lang, h.lang) AS lang,
+  coalesce(a.req_min, 0)::BIGINT AS req_min,
+  coalesce(h.hist_min, -1)::BIGINT AS hist_min,
+  coalesce(h.hist_max, -1)::BIGINT AS hist_max,
+  (a.lang IS NOT NULL AND h.lang IS NOT NULL) AS seen_both
+FROM args a FULL OUTER JOIN hist h ON a.lang = h.lang
+"""
+
+
 def q_posexplode_lines(spark, sf_dir):
     """doc -> (pos, line) rows (posexplode,
     04_Chunk_Articles_Content.py:100-101); line ids concat like the
@@ -745,6 +786,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "join_anti_frontier": (q_anti_join, SQL_ANTI_JOIN),
     "join_semi_workset": (q_semi_join, SQL_SEMI_JOIN),
     "join_outer_agg": (q_outer_join_agg, SQL_OUTER_JOIN_AGG),
+    "join_full_outer_reconcile": (q_full_outer_reconcile, SQL_FULL_OUTER_RECONCILE),
     "posexplode_lines": (q_posexplode_lines, SQL_POSEXPLODE_LINES),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "latest_per_key": (q_latest_per_key, SQL_LATEST_PER_KEY),

@@ -32,6 +32,23 @@ def extract_udf(html: pd.Series) -> pd.DataFrame:
     return out.rename(columns={"err": "extract_err"})
 
 
+def xml_title_col(xml: "F.Column") -> "F.Column":
+    """JVM-side title pull for WELL-FORMED XML/XHTML documents via the
+    built-in xpath_string — reference P12 parity
+    (databricks/retriever/pubmed_wf/04_Chunk_Articles_Content.py:96-99
+    uses xpath_string on curated article XML). Real web HTML is rarely
+    well-formed XML, so the robust path stays the regex kernel
+    (kernels/extract.py); this is the fast path when the corpus is
+    known-XML (e.g. re-chunking a curated table)."""
+    return F.xpath_string(xml, F.lit("//title"))
+
+
+def with_xml_title(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """Adds xml_title from a well-formed-XML string column (see
+    xml_title_col; whole-stage-codegen'd, zero Python)."""
+    return df.withColumn("xml_title", xml_title_col(F.col(xml_col)))
+
+
 def with_extracted_text(df: DataFrame, html_col: str = "html") -> DataFrame:
     """Adds text/title/extract_err. The html column is the source of
     truth (SURVEY.md §7 hard parts): any pre-existing `text` column is

@@ -99,6 +99,14 @@ def extract_one(raw: bytes | None) -> tuple[str, str, str]:
 
 
 def extract_batch(html: pd.Series) -> pd.DataFrame:
-    """Vectorized wrapper over a pandas Series of bytes objects."""
+    """Vectorized wrapper over a pandas Series of bytes objects.
+
+    The per-row loop is deliberate: regex HTML parsing has no numpy
+    form, and Arrow batching already amortizes the JVM<->Python hop.
+    It is still the hottest Python loop at 100 TB — the deploy-time
+    swap is a C-backed extractor (selectolax/lxml-class) behind this
+    same batch signature, mirroring the multimodal-kernel stub
+    convention (multimodal.py); the byte-identity tests pin whatever
+    kernel ships."""
     out = [extract_one(v) for v in html]
     return pd.DataFrame(out, columns=["text", "title", "err"])

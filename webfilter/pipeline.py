@@ -82,10 +82,13 @@ def run_filter(
 
     out = filtered_frame(pages, cfg).withColumn("run_id", F.lit(run_id))
     out = out.select(*DECISION_COLS)
-    # one output file per bucket partition: at 10^12 scale buckets >>
-    # cores so this shuffle costs nothing extra vs the partitioned
-    # write, and it stops the (tasks x buckets) small-file explosion
-    out = out.repartition(len(pending), "bucket_id")
+    # hash-repartition on bucket_id: every bucket lands wholly in ONE
+    # task, so each bucket directory gets exactly one output file (no
+    # (tasks x buckets) small-file explosion). 2x partitions over
+    # buckets just reduces two-buckets-hash-to-one-task collisions
+    # (empty tasks are free); it does NOT split a bucket. At 10^12
+    # scale buckets >> cores so the write stage stays fully parallel.
+    out = out.repartition(2 * len(pending), "bucket_id")
 
     # write decisions, derive audit from the written table
     # (re-reading the sink avoids recomputing the UDF stage — the

@@ -39,6 +39,20 @@ def read_pages_stream(spark: SparkSession, path: str, max_files: int = 16) -> Da
     )
 
 
+def with_file_provenance(df: DataFrame) -> DataFrame:
+    """Projects the _metadata virtual columns of a file source into
+    real columns — reference S2 parity (01_Metadata_Sync.py:52-54
+    projects _metadata.file_path/_modification_time/_size into the
+    metadata table). Works on batch AND streaming file-source frames;
+    the columns are scan-provided (no I/O beyond the listing)."""
+    return df.select(
+        "*",
+        F.col("_metadata.file_path").alias("src_file"),
+        F.col("_metadata.file_modification_time").alias("src_mtime"),
+        F.col("_metadata.file_size").alias("src_size"),
+    )
+
+
 def upsert_batch(out_root: str):
     """foreachBatch upsert: batch-local latest-per-url, then append;
     readers resolve cross-batch conflicts with the same monotonic
