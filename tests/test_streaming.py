@@ -55,3 +55,61 @@ def test_file_metadata_virtual_columns(spark, synth_dir):
     assert row["src_file"].endswith(".parquet")
     assert row["src_size"] > 0
     assert row["src_mtime"] is not None
+
+
+def test_stateful_url_dedup_across_batches(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): latest-wins
+    URL dedup holds ACROSS micro-batches — a replayed/stale row in a
+    later batch emits nothing; a strictly newer crawl emits once."""
+    src = tmp_path / "src"
+    rows1 = [
+        ("http://a/1", "2024-01-01 00:00:00", b"v1", None, "en"),
+        ("http://a/2", "2024-01-01 00:00:00", b"v1", None, "en"),
+    ]
+    rows2 = [
+        ("http://a/1", "2024-01-01 00:00:00", b"v1", None, "en"),  # replay
+        ("http://a/2", "2023-12-01 00:00:00", b"v0", None, "en"),  # stale
+        ("http://a/3", "2024-01-05 00:00:00", b"v1", None, "en"),  # new url
+        ("http://a/1", "2024-02-01 00:00:00", b"v2xx", None, "en"),  # newer
+    ]
+
+    def _write(rows, name):
+        (
+            spark.createDataFrame(
+                rows, "url string, warc_ts string, html binary, text string, lang string"
+            )
+            .withColumn("warc_ts", F.to_timestamp("warc_ts"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(src / name))
+        )
+
+    _write(rows1, "b1")
+    # flatten: file source wants one dir of files
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    n = 0
+    for name, rows in [("b1", rows1), ("b2", rows2)]:
+        _write(rows, name)
+        for f in (src / name).glob("*.parquet"):
+            shutil.copy(f, flat / f"{name}.parquet")
+            n += 1
+    assert n == 2
+
+    streaming.run_stateful_dedup_stream(
+        spark, str(flat), "dedup_feed", str(tmp_path / "cp"), max_files=1
+    )
+    feed = spark.sql("SELECT * FROM dedup_feed").collect()
+    per_url = {}
+    for r in feed:
+        per_url.setdefault(r["url"], []).append(r)
+    # url1: first sight + newer crawl = 2 emissions, ts strictly increasing
+    assert len(per_url["http://a/1"]) == 2
+    ts = sorted(r["warc_ts"] for r in per_url["http://a/1"])
+    assert ts[0] < ts[1] and per_url["http://a/1"][0]["n_bytes"] >= 2
+    # url2: stale second batch emitted nothing
+    assert len(per_url["http://a/2"]) == 1
+    # url3: exactly one emission
+    assert len(per_url["http://a/3"]) == 1

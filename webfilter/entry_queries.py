@@ -760,6 +760,57 @@ def q_media_frame_sample(spark, sf_dir):
     return sample_frames(synth_media(spark, 50, kind="video"))
 
 
+def q_dup_ngram_fraction(spark, sf_dir):
+    """Gopher repetition rule: fraction of repeated word-2gram
+    occurrences per doc (beyond-reference quality signal; the
+    reference's nearest analog is its dup-line dropDuplicates)."""
+    from .textstats import dup_ngram_fraction_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", r6(dup_ngram_fraction_col(F.col("text"), 2)).alias("dup_2gram_frac")
+    )
+
+
+SQL_DUP_NGRAM = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id,
+  CASE WHEN len(toks) >= 2
+    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+    ELSE []::VARCHAR[] END AS grams
+  FROM t)
+SELECT doc_id,
+  round(CASE WHEN len(grams) > 0
+    THEN (len(grams) - len(list_distinct(grams))) / len(grams)
+    ELSE 0.0 END, 6) AS dup_2gram_frac
+FROM g
+"""
+
+
+def q_json_props(spark, sf_dir):
+    """JSON field extraction + grouped agg over the events table
+    (get_json_object — the engine-side version of the reference's
+    python-side json handling, _setup/utils.py:28)."""
+    ev = _tbl(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type, count(*)::BIGINT AS n,
+  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+  max(json_extract(props, '$.k')::BIGINT) AS max_k
+FROM events GROUP BY 1
+"""
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     from .textstats import winnowing_fingerprints_col
 
@@ -796,6 +847,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "union_by_name": (q_union_by_name, SQL_UNION_BY_NAME),
     "rollup_lang_source": (q_rollup_lang_source, SQL_ROLLUP),
+    "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM),
+    "json_props_agg": (q_json_props, SQL_JSON_PROPS),
     "chat_messages": (q_chat_messages, None),
     "chunk_fixed": (q_chunk_fixed, SQL_CHUNK_FIXED),
     "chunk_paragraph": (q_chunk_paragraph, None),

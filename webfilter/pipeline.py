@@ -63,6 +63,10 @@ def run_filter(
 ) -> dict:
     """Resumable filter run. ``only_buckets`` limits this invocation
     (used by the kill/resume tests to simulate a mid-run crash)."""
+    import time as _time
+
+    t_all = _time.time()
+    timings: dict[str, float] = {}
     run_id = run_id or uuid.uuid4().hex[:12]
     catalog = ParquetCatalog(spark, out_root)
     manifest = Manifest(catalog)
@@ -93,8 +97,11 @@ def run_filter(
     # write decisions, derive audit from the written table
     # (re-reading the sink avoids recomputing the UDF stage — the
     # reference's materialize-before-iterate design note 04:10/03:6)
+    t0 = _time.time()
     catalog.overwrite_partitions(out, "decisions", "bucket_id")
+    timings["write_decisions"] = round(_time.time() - t0, 2)
 
+    t0 = _time.time()
     dec = catalog.read("decisions").filter(F.col("run_id") == run_id)
     # per-bucket lineage metrics: ONE job, collected driver-side
     # (<= n_buckets rows by construction) and reused for the audit
@@ -135,8 +142,10 @@ def run_filter(
         audit_schema,
         "audit",
     )
+    timings["audit"] = round(_time.time() - t0, 2)
 
     # skew-safe per-host metrics (hot hosts!) — salted two-phase agg
+    t0 = _time.time()
     host_stats = salted_count_by_key(
         dec.withColumn("host", host_col(F.col("url"))),
         "host",
@@ -144,8 +153,15 @@ def run_filter(
         salt_from="url",  # varies within a hot host -> real spread
     ).withColumn("run_id", F.lit(run_id))
     catalog.append(host_stats, "host_audit")
+    timings["host_audit"] = round(_time.time() - t0, 2)
 
     # pending buckets with zero rows are still complete
     manifest.mark(run_id, "filter", sorted(pending), DONE)
+    timings["total"] = round(_time.time() - t_all, 2)
     n_docs = sum(r["n_docs"] for r in audit_rows)
-    return {"run_id": run_id, "buckets": len(pending), "docs": n_docs}
+    return {
+        "run_id": run_id,
+        "buckets": len(pending),
+        "docs": n_docs,
+        "timings": timings,
+    }

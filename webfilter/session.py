@@ -29,7 +29,12 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
-        shuffle_partitions = max(cores, 8)
+        # 4 waves per stage, not 1: the post-shuffle stage carries the
+        # Arrow-UDF work, and with partitions == cores a single
+        # straggler idles every other core for the whole stage tail
+        # (this was the round-1 scaling-efficiency loss). AQE's
+        # parallelismFirst coalescing keeps tiny-query overhead flat.
+        shuffle_partitions = max(4 * cores, 16)
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -43,6 +48,12 @@ def get_spark(
         # scoring UDFs; each batch is a few MB of text
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # input splits sized for task balance, not 128MB bandwidth
+        # chunks: the scan stage feeds the url-window shuffle, and a
+        # 400MB corpus must not collapse into 3-4 splits when 8-32
+        # cores are available (maxPartitionBytes is per-SPLIT, so
+        # this only adds tasks, never breaks row groups)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         # dynamic partition overwrite = per-bucket idempotent rewrite
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")

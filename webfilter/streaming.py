@@ -91,6 +91,86 @@ def run_ingest_stream(
     return q
 
 
+DEDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+# per-url state: microseconds of the newest warc_ts emitted so far
+DEDUP_STATE_SCHEMA = T.StructType([T.StructField("best_us", T.LongType())])
+
+
+def stateful_url_dedup(pages_stream: DataFrame) -> DataFrame:
+    """Cross-batch latest-wins URL dedup as a CUSTOM STATEFUL
+    streaming operator (applyInPandasWithState) — the streaming form
+    of tables.latest_per_url, beyond the reference's streaming
+    surface (it has no stateful operators, SURVEY §2.7).
+
+    State per url = newest warc_ts emitted. A micro-batch emits at
+    most one row per url (its newest), and only when that row is
+    strictly newer than the state — replayed or stale rows are
+    no-ops, which is exactly the reference's conditional-MERGE
+    contract (01_Metadata_Sync.py:63) held across micro-batches.
+    Downstream, the emission feed IS the upsert stream: appending it
+    and resolving merge-on-read stays correct because emissions per
+    url are strictly ts-increasing.
+    """
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        best = state.get[0] if state.exists else None
+        out = None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("warc_ts")
+            row = pdf.iloc[-1]
+            us = int(row["warc_ts"].value // 1_000)  # ns -> us
+            if best is None or us > best:
+                best = us
+                out = pd.DataFrame(
+                    {
+                        "url": [row["url"]],
+                        "warc_ts": [row["warc_ts"]],
+                        "lang": [row["lang"]],
+                        "n_bytes": [len(row["html"]) if row["html"] is not None else 0],
+                    }
+                )
+        if out is not None:
+            state.update((best,))
+            yield out
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return pages_stream.groupBy("url").applyInPandasWithState(
+        fn,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_dedup_stream(
+    spark: SparkSession, src_path: str, out_table: str, checkpoint: str, max_files: int = 1
+):
+    """Drain the file stream through the stateful dedup into an
+    in-memory sink (tests); production sink = Iceberg append."""
+    q = (
+        stateful_url_dedup(read_pages_stream(spark, src_path, max_files))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def windowed_ingest_metrics(pages_stream: DataFrame) -> DataFrame:
     """Watermarked tumbling-window arrival metrics (late rows beyond
     10 minutes dropped deterministically)."""

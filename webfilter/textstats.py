@@ -63,6 +63,28 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality_score", quality_score_col(F.col(text_col)))
 
 
+def dup_ngram_fraction_col(text: Column, k: int = 2) -> Column:
+    """Gopher-style repetition signal: fraction of word k-gram
+    OCCURRENCES that are repeats of an earlier occurrence
+    ((total - distinct) / total; 0.0 when fewer than k words).
+
+    Built from k shifted slices zipped together — not element_at
+    inside a lambda (no CSE inside higher-order-function lambdas; see
+    dedup.shingle_hashes_col). Fully SQL-expressible -> DuckDB oracle.
+    """
+    toks = tokens_col(text)
+    n = F.size(toks)
+    m = n - k + 1
+    z = F.arrays_zip(*[F.slice(toks, j + 1, m).alias(f"t{j}") for j in range(k)])
+    grams = F.transform(z, lambda s: F.concat_ws(" ", *[s[f"t{j}"] for j in range(k)]))
+    total = F.size(grams)
+    return (
+        F.when(total > 0, (total - F.size(F.array_distinct(grams))) / total)
+        .otherwise(F.lit(0.0))
+        .cast("double")
+    )
+
+
 def content_fingerprint_col(text: Column) -> Column:
     """Stable whole-document content fingerprint: md5 of
     whitespace-normalized lowercased text (normalization makes the
