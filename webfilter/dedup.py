@@ -246,10 +246,15 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All-pairs exact k-shingle Jaccard >= threshold, optionally
     blocked by a key (e.g. 'source') to bound the join. For unblocked
-    web-scale use minhash_dedup_pairs instead."""
+    web-scale use minhash_dedup_pairs instead.
+
+    Computed over HASHED shingles (shingle_hashes_col): identical
+    Jaccard values to string shingles (identity-preserving modulo
+    ~n^2/2^64 collisions — the DuckDB oracle uses the string form and
+    hash-matches), at ~10x less join/intersect cost."""
     sets = df.select(
         F.col(id_col).alias("id"),
-        shingles_col(F.col(text_col), k).alias("sh"),
+        shingle_hashes_col(F.col(text_col), k).alias("sh"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     )
     a, b = sets.alias("a"), sets.alias("b")

@@ -760,6 +760,13 @@ def q_media_frame_sample(spark, sf_dir):
     return sample_frames(synth_media(spark, 50, kind="video"))
 
 
+def q_media_audio_meta(spark, sf_dir):
+    """Real WAV header decode over genuine PCM bytes (stdlib kernel)."""
+    from .multimodal import decode_audio_meta, synth_media
+
+    return decode_audio_meta(synth_media(spark, 100, kind="audio"))
+
+
 def q_dup_ngram_fraction(spark, sf_dir):
     """Gopher repetition rule: fraction of repeated word-2gram
     occurrences per doc (beyond-reference quality signal; the
@@ -863,4 +870,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "winnow_fingerprints": (q_winnow_fingerprints, None),
     "media_decode_meta": (q_media_decode_meta, None),
     "media_frame_sample": (q_media_frame_sample, None),
+    "media_audio_meta": (q_media_audio_meta, None),
 }
