@@ -173,3 +173,24 @@ def test_xpath_title_on_wellformed_xml(spark):
     )
     got = [r["xml_title"] for r in with_xml_title(df, "xml").collect()]
     assert got == ["Alpha Beta", "T2", ""]
+
+
+def test_scrub_parity_tricky_boundaries(spark):
+    """ADVICE r1: \\b placement around non-ASCII word chars must agree
+    between the Python oracle (re.ASCII) and Spark's Java regex."""
+    from pyspark.sql import functions as F
+
+    from webfilter.kernels.scrubber import scrub_one
+    from webfilter.scrub import scrubbed_col
+
+    texts = [
+        "ssn café555-12-3456 end",        # é before the digit run
+        "naïve 555-12-3456é tail",        # é after
+        "mail zoé@exämple.com x",          # non-ascii email-ish
+        "ip 1.2.3.4é and 10.0.0.1 plain",
+        "phone (555) 123-4567 nbsp",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {r["text"]: r["s"] for r in df.select("text", scrubbed_col(F.col("text")).alias("s")).collect()}
+    for t in texts:
+        assert got[t] == scrub_one(t)[0], repr(t)

@@ -82,3 +82,27 @@ def test_null_text_is_dropped_with_reasons(spark):
     null_row = rows[None]
     assert null_row["keep"] is False
     assert len(null_row["drop_reasons"]) > 0
+
+
+TRICKY_TEXTS = [
+    # ASCII \v (in Java's and re.ASCII's \s, NOT in RE2's \s)
+    "alpha\x0bbeta gamma delta epsilon",
+    # unicode spaces / separators: must NOT tokenize (ASCII-\s contract)
+    "uni sep lines and nbsp words here",
+    "em space and thin space tokens",
+    # non-ASCII word chars adjacent to digits (the \b divergence)
+    "café123 touché 555-12-3456 naïve9",
+    "emoji 😀 mixed 数字123 text",
+]
+
+
+def test_heuristic_parity_tricky_whitespace(spark):
+    """ADVICE r1: the Python oracle (re.ASCII) and the Spark Column
+    rules (Java default \\s) must tokenize non-ASCII whitespace and
+    word boundaries identically."""
+    df = spark.createDataFrame([(t,) for t in TRICKY_TEXTS], "text string")
+    for r in rules.with_heuristics(df).collect():
+        s = heuristics.stats(r["text"])
+        assert r["n_words"] == s["n_words"], repr(r["text"][:40])
+        assert r["n_stopwords"] == s["n_stopwords"]
+        assert abs(r["alpha_ratio"] - s["alpha_ratio"]) < 1e-9
