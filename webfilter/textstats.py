@@ -98,22 +98,30 @@ def winnowing_fingerprints_col(text: Column, k: int = 5, window: int = 4) -> Col
     hash every k-gram of words, keep the min hash of each sliding
     window of k-gram hashes, return the distinct selected hashes.
 
-    Pure Column algebra: k-grams via sequence+slice, window mins via
-    a second transform over sequence. Guarantees: any shared run of
-    >= window+k-1 words between two docs yields a shared fingerprint.
+    Pure Column algebra. Guarantees: any shared run of >= window+k-1
+    words between two docs yields a shared fingerprint.
+
+    Both the k-gram pass and the sliding-min pass are built from
+    shifted array SLICES zipped together — never slice(arr, i, k)
+    with a captured array inside a transform lambda: Catalyst does no
+    CSE inside higher-order-function lambdas, so the captured
+    expression re-evaluates per element and the whole thing goes
+    O(n_tokens^2) per row (measured: 48 x 500-token docs took 206 s;
+    this form is linear).
     """
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     n = F.size(toks)
-    kgram_hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+    m = n - k + 1
+    gz = F.arrays_zip(*[F.slice(toks, j + 1, m).alias(f"t{j}") for j in range(k)])
+    grams = F.transform(
+        gz, lambda s: F.xxhash64(F.concat_ws(" ", *[s[f"t{j}"] for j in range(k)]))
     )
-    m = F.size(kgram_hashes)
-    window_mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(m - window + 1, F.lit(1))),
-        lambda i: F.array_min(F.slice(kgram_hashes, i, window)),
-    )
-    return F.array_sort(F.array_distinct(window_mins))
+    kh = F.when(n < k, F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(grams)
+    mm = F.size(kh) - window + 1
+    wz = F.arrays_zip(*[F.slice(kh, j + 1, mm).alias(f"h{j}") for j in range(window)])
+    mins = F.transform(wz, lambda s: F.least(*[s[f"h{j}"] for j in range(window)]))
+    out = F.when(F.size(kh) < window, F.array(F.array_min(kh))).otherwise(mins)
+    return F.array_sort(F.array_distinct(out))
 
 
 def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
