@@ -35,6 +35,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--run-id", default=None)
     ap.add_argument(
+        "--dedup", action="store_true",
+        help="after the filter stage, run the near-dup dedup stage "
+        "(minhash pairs -> dup_pairs + kept_pages tables)",
+    )
+    ap.add_argument(
         "--warmup", action="store_true",
         help="run the pipeline once into a scratch dir first (JIT / "
         "python-worker warmup) so the reported timing is steady-state",
@@ -75,6 +80,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     res["wall_s"] = round(time.time() - t0, 2)
     res["docs_per_s"] = round(res["docs"] / max(res["wall_s"], 1e-9), 1)
+    if args.dedup:
+        res["dedup"] = pipeline.run_near_dedup(
+            spark, args.out, n_buckets=args.buckets, run_id=args.run_id
+        )
     print(json.dumps(res))
     return 0
 

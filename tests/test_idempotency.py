@@ -107,3 +107,42 @@ def test_salt_spreads_hot_key(spark, synth_dir):
     )
     assert hot["n"] > 100  # it is actually a hot key
     assert hot["n_salts"] >= 6  # and it spreads across salts
+
+
+def test_dedup_stage_chains_and_resumes(spark, synth_dir, tmp_path):
+    """Stage 2 (near-dedup) chains off the decisions table, keeps its
+    own manifest stage (no shadowing of 'filter' state), removes the
+    golden near-dup groups, and no-ops on re-run."""
+    from webfilter import pipeline
+    from webfilter.manifest import Manifest
+    from webfilter.tables import ParquetCatalog
+
+    out = str(tmp_path / "out")
+    pipeline.run_filter(spark, f"{synth_dir}/pages.parquet", out, n_buckets=8, run_id="f1")
+    res = pipeline.run_near_dedup(spark, out, n_buckets=8, threshold=0.6, run_id="d1")
+    assert res["buckets"] == 8
+
+    cat = ParquetCatalog(spark, out)
+    dec_kept = cat.read("decisions").filter("keep").count()
+    kept = cat.read("kept_pages").count()
+    assert 0 < kept <= dec_kept
+    if res["dup_pairs"] > 0:
+        assert kept < dec_kept
+    # no survivor pair is itself a near-dup pair
+    pairs = cat.read("dup_pairs")
+    k = cat.read("kept_pages").select("url")
+    still_dup = (
+        pairs.join(k.withColumnRenamed("url", "url_a"), "url_a")
+        .join(k.withColumnRenamed("url", "url_b"), "url_b")
+        .count()
+    )
+    assert still_dup == 0
+
+    # both stages keep independent manifest state
+    m = Manifest(cat)
+    assert m.pending_buckets(8, stage="filter") == []
+    assert m.pending_buckets(8, stage="dedup") == []
+
+    # re-run is a no-op (manifest resume)
+    res2 = pipeline.run_near_dedup(spark, out, n_buckets=8, run_id="d2")
+    assert res2["buckets"] == 0

@@ -165,3 +165,74 @@ def run_filter(
         "docs": n_docs,
         "timings": timings,
     }
+
+
+def run_near_dedup(
+    spark: SparkSession,
+    out_root: str,
+    n_buckets: int = 32,
+    threshold: float = 0.7,
+    run_id: str | None = None,
+) -> dict:
+    """Second pipeline stage: near-dup removal over the kept documents
+    of the decisions table (chained via TABLE STATE, the reference's
+    stage architecture — each stage reads what the previous merged).
+
+    MinHash-LSH pairs over scrubbed_text; the survivor policy is
+    deterministic 'drop any doc with a smaller-url near-dup neighbor'
+    (the standard web-pipeline greedy rule — no iterative connected
+    components on the hot path). Writes:
+      * ``dup_pairs``    (url_a, url_b, jaccard) lineage
+      * ``kept_pages``   surviving decision rows
+    and marks every bucket DONE under manifest stage='dedup' — the
+    (stage, bucket) manifest keying exists exactly so this stage
+    cannot shadow the filter stage's resume state.
+
+    Scale note: candidate generation is the banded equi-join
+    (dedup.lsh_candidate_pairs), never all-pairs; the survivor
+    anti-join is url-keyed and shuffles only the pair list.
+    """
+    import time as _time
+
+    t0 = _time.time()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    catalog = ParquetCatalog(spark, out_root)
+    manifest = Manifest(catalog)
+
+    pending = manifest.pending_buckets(n_buckets, stage="dedup")
+    if not pending:
+        return {"run_id": run_id, "buckets": 0, "docs_kept": 0, "dup_pairs": 0}
+    manifest.mark(run_id, "dedup", pending, RUNNING)
+
+    from .dedup import minhash_dedup_pairs
+
+    dec = catalog.read("decisions").filter(F.col("keep"))
+    pairs = minhash_dedup_pairs(
+        dec, id_col="url", text_col="scrubbed_text", threshold=threshold
+    ).select(
+        F.col("id_a").alias("url_a"), F.col("id_b").alias("url_b"), "jaccard"
+    )
+    catalog.overwrite_partitions(
+        pairs.withColumn("run_id", F.lit(run_id)).withColumn(
+            "bucket_id", F.pmod(F.xxhash64("url_b"), F.lit(n_buckets)).cast("int")
+        ),
+        "dup_pairs",
+        "bucket_id",
+    )
+
+    # greedy survivor rule: url_b (the larger key) of every verified
+    # pair is dropped; left-anti join keeps the rest
+    drops = catalog.read("dup_pairs").select(F.col("url_b").alias("url")).distinct()
+    kept = dec.join(drops, "url", "left_anti")
+    catalog.overwrite_partitions(kept, "kept_pages", "bucket_id")
+
+    n_kept = catalog.read("kept_pages").count()
+    n_pairs = catalog.read("dup_pairs").count()
+    manifest.mark(run_id, "dedup", sorted(pending), DONE)
+    return {
+        "run_id": run_id,
+        "buckets": len(pending),
+        "docs_kept": n_kept,
+        "dup_pairs": n_pairs,
+        "wall_s": round(_time.time() - t0, 2),
+    }
