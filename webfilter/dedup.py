@@ -251,17 +251,25 @@ def ngram_jaccard_pairs(
     Computed over HASHED shingles (shingle_hashes_col): identical
     Jaccard values to string shingles (identity-preserving modulo
     ~n^2/2^64 collisions — the DuckDB oracle uses the string form and
-    hash-matches), at ~10x less join/intersect cost."""
+    hash-matches), at ~10x less join/intersect cost.
+
+    Positional size prune (lossless): J(A,B) <= min(|A|,|B|) /
+    max(|A|,|B|), so pairs whose set sizes differ by more than 1/t
+    are rejected BEFORE the expensive array_intersect — the prune is
+    a cheap long comparison on precomputed cardinalities and cannot
+    drop a pair the oracle would keep."""
     sets = df.select(
         F.col(id_col).alias("id"),
         shingle_hashes_col(F.col(text_col), k).alias("sh"),
         *([F.col(block_col).alias("blk")] if block_col else []),
-    )
+    ).withColumn("n_sh", F.size("sh"))
     a, b = sets.alias("a"), sets.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
+    size_prune = (
+        F.col("a.n_sh") * F.lit(float(threshold)) <= F.col("b.n_sh")
+    ) & (F.col("b.n_sh") * F.lit(float(threshold)) <= F.col("a.n_sh"))
+    cond = (F.col("a.id") < F.col("b.id")) & size_prune
     if block_col:
-        cond = cond & (F.col("a.blk") == F.col("b.blk"))
-        joined = a.join(b, on=(F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        joined = a.join(b, on=(F.col("a.blk") == F.col("b.blk")) & cond)
     else:
         joined = a.crossJoin(b).filter(cond)
     inter = F.size(F.array_intersect("a.sh", "b.sh"))
