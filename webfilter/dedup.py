@@ -108,21 +108,72 @@ def shingle_hashes_col(text: Column, k: int = 3) -> Column:
 # -------------------------------------------------------- MinHash + LSH
 
 
+def _splitmix64(x):
+    """Vectorized splitmix64 finalizer over a uint64 numpy array —
+    the per-seed hash family for the minhash kernel."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def _minhash_kernel(hash_lists, n_hashes: int):
+    """Whole-batch minhash from per-doc shingle-hash arrays: one
+    concatenated uint64 array, n_hashes vectorized mix passes, minima
+    per doc via minimum.reduceat. Zero per-doc Python."""
+    import numpy as np
+
+    nd = len(hash_lists)
+    lens = np.fromiter((len(h) for h in hash_lists), dtype=np.int64, count=nd)
+    if nd == 0:
+        return np.empty((0, n_hashes), dtype=np.int64)
+    flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hash_lists]).view(
+        np.uint64
+    )
+    starts = np.zeros(nd, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    seeds = _splitmix64(np.arange(1, n_hashes + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    out = np.empty((nd, n_hashes), dtype=np.uint64)
+    for j in range(n_hashes):
+        out[:, j] = np.minimum.reduceat(_splitmix64(flat ^ seeds[j]), starts)
+    return out.view(np.int64)
+
+
 def minhash_signature_df(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
     n_hashes: int = 64,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """(id, sig array<bigint>) — n_hashes minhash values per doc.
 
-    All JVM: explode hashed shingles (shingle_hashes_col — arithmetic,
-    not string concat), xxhash64(shingle_hash, seed_j) per hash
-    function, min-agg per doc. One shuffle (the groupBy); map-side
-    partial mins keep it cheap. min over a multiset equals min over
-    the set, so upstream distinctness is a size optimization only.
+    Hybrid (the simhash recipe, VERDICT r1 #2): shingle hashing stays
+    JVM-side (shingle_hashes_col — codegen arithmetic, no strings);
+    the n_hashes min-reductions run as one numpy pass per Arrow batch
+    (splitmix64(shingle ^ seed_j) family), replacing an explode +
+    n_hashes min-aggs + shuffle. min over a multiset equals min over
+    the set, so distinctness upstream is only a size optimization.
+
+    use_kernel=False keeps the all-JVM explode+agg formulation (the
+    fallback when Python workers are undesirable; same LSH behavior,
+    different — equally valid — hash family).
     """
+    if use_kernel:
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        def _fn(hashes):
+            sig = _minhash_kernel(hashes.tolist(), n_hashes)
+            return pd.Series(list(sig), index=hashes.index)
+
+        udf = F.pandas_udf(_fn, T.ArrayType(T.LongType()))
+        return df.select(
+            F.col(id_col), udf(shingle_hashes_col(F.col(text_col), k)).alias("sig")
+        )
     sh = df.select(
         F.col(id_col),
         F.explode(shingle_hashes_col(F.col(text_col), k)).alias("shingle"),
