@@ -1,0 +1,88 @@
+"""Temporal join operators (webfilter/joins.py): as-of and range —
+hand-computed small cases + composition checks (the sf-scale oracle
+comparison lives in the driver contract: join_asof_latest,
+events_sessionized)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webfilter.joins import asof_join, range_join_counts
+
+
+def _ts(df, *cols):
+    for c in cols:
+        df = df.withColumn(c, F.to_timestamp(c))
+    return df
+
+
+def test_asof_join_hand_case(spark):
+    left = _ts(
+        spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:03:00"),
+             (3, "2024-01-01 00:05:00"), (4, "2024-01-01 00:09:00"),
+             (5, "2099-01-01 00:00:00")],
+            "event_id long, ts string",
+        ).withColumn("user_id", F.lit(7)),
+        "ts",
+    )
+    right = _ts(
+        spark.createDataFrame(
+            [("2024-01-01 00:01:00", 10.0), ("2024-01-01 00:05:00", 50.0)],
+            "ts string, value double",
+        ).withColumn("user_id", F.lit(7)),
+        "ts",
+    )
+    out = {
+        r["event_id"]: r["value_r"]
+        for r in asof_join(left, right, by="user_id", ts="ts").collect()
+    }
+    # t=0 precedes every view -> NULL; t=3 -> 10; t=5 ties the view
+    # (<= semantics) -> 50; later rows carry 50 forward
+    assert out == {1: None, 2: 10.0, 3: 50.0, 4: 50.0, 5: 50.0}
+
+
+def test_asof_join_respects_key_boundaries(spark):
+    left = _ts(
+        spark.createDataFrame(
+            [(1, 100, "2024-01-01 00:10:00"), (2, 200, "2024-01-01 00:10:00")],
+            "event_id long, user_id long, ts string",
+        ),
+        "ts",
+    )
+    right = _ts(
+        spark.createDataFrame(
+            [(100, "2024-01-01 00:00:00", 1.0)],
+            "user_id long, ts string, value double",
+        ),
+        "ts",
+    )
+    out = {r["event_id"]: r["value_r"] for r in asof_join(left, right, "user_id").collect()}
+    assert out == {1: 1.0, 2: None}  # user 200 never sees user 100's rows
+
+
+def test_range_join_counts(spark):
+    pts = _ts(
+        spark.createDataFrame(
+            [(1, "2024-01-01 00:01:00"), (1, "2024-01-01 00:02:00"),
+             (1, "2024-01-01 00:30:00"), (2, "2024-01-01 00:01:30")],
+            "user_id long, ts string",
+        ),
+        "ts",
+    )
+    iv = _ts(
+        spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", "2024-01-01 00:05:00"),
+             (1, "2024-01-01 00:10:00", "2024-01-01 00:20:00"),
+             (2, "2024-01-01 00:00:00", "2024-01-01 00:05:00")],
+            "user_id long, start string, end string",
+        ),
+        "start", "end",
+    )
+    got = {
+        (r["user_id"], str(r["start"])[:19]): r["n_points"]
+        for r in range_join_counts(pts, iv, by="user_id").collect()
+    }
+    assert got[(1, "2024-01-01 00:00:00")] == 2
+    assert got[(1, "2024-01-01 00:10:00")] == 0  # empty interval kept (left outer)
+    assert got[(2, "2024-01-01 00:00:00")] == 1

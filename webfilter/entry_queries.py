@@ -494,6 +494,74 @@ SELECT user_id, event_id, event_type FROM (
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (absent from the reference; SURVEY §2.3 notes no
+    theta/range/as-of joins there): each click event picks up the
+    most recent prior-or-simultaneous view's value per user. One
+    shuffle (union + per-key window), never a range cross-join;
+    DuckDB's native ASOF JOIN is the oracle."""
+    from .joins import asof_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(clicks, views, by="user_id", ts="ts", right_cols=["value"])
+    return out.select(
+        "event_id", "user_id", r6(F.col("value_r")).alias("view_value")
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT l.event_id, l.user_id, round(r.value, 6) AS view_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Session windows (gap 30 min) over the events table — Spark's
+    session_window in batch mode; the oracle is the classic
+    gap-and-island SQL. A new session starts when the gap to the
+    previous event is >= the gap duration (Spark's session extends
+    while the next event starts strictly before prev_ts + gap)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            r6(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "last_ts",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts, value,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events),
+m AS (
+  SELECT user_id, ts, value,
+    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM o),
+s AS (
+  SELECT user_id, ts, value,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+  count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_salted_source_counts(spark, sf_dir):
     """Skew-safe two-phase aggregation must equal the plain GROUP BY
     (north-rule salting, validated against an unsalted oracle)."""
@@ -848,6 +916,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "posexplode_lines": (q_posexplode_lines, SQL_POSEXPLODE_LINES),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "latest_per_key": (q_latest_per_key, SQL_LATEST_PER_KEY),
+    "join_asof_latest": (q_asof_join, SQL_ASOF_JOIN),
+    "events_sessionized": (q_sessionize, SQL_SESSIONIZE),
     "salted_source_counts": (q_salted_source_counts, SQL_SALTED_SOURCE_COUNTS),
     "cross_join_rules": (q_cross_join_rules, SQL_CROSS_JOIN_RULES),
     "null_coalesce": (q_null_coalesce, SQL_NULL_COALESCE),
