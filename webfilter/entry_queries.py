@@ -886,6 +886,66 @@ FROM events GROUP BY 1
 """
 
 
+def q_top_terms_per_lang(spark, sf_dir):
+    """Corpus vocabulary report: top-3 terms per language by document
+    frequency (explode tokens -> distinct per doc -> grouped count ->
+    window top-k). The doc-frequency shuffle is the IDF-table build of
+    a training pipeline; map-side combine keeps it one pass."""
+    toks = F.array_distinct(
+        F.transform(tokens_col(F.col("text")), F.lower)
+    )
+    df = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", F.explode(toks).alias("term"))
+        .filter(F.length("term") >= 3)
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("doc_freq").desc(), F.col("term"))
+    return (
+        df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "term", "doc_freq", "rnk")
+    )
+
+
+SQL_TOP_TERMS = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+    list_distinct(list_transform({_TOKS}, w -> lower(w))) AS toks
+  FROM documents),
+e AS (
+  SELECT lang, u.term, count(*)::BIGINT AS doc_freq
+  FROM (SELECT lang, list_transform(toks, x -> struct_pack(term := x)) AS z FROM t),
+    UNNEST(z) AS s(u)
+  WHERE length(u.term) >= 3
+  GROUP BY 1, 2),
+r AS (
+  SELECT lang, term, doc_freq,
+    row_number() OVER (PARTITION BY lang ORDER BY doc_freq DESC, term) AS rnk
+  FROM e)
+SELECT lang, term, doc_freq, rnk::INT AS rnk FROM r WHERE rnk <= 3
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum hash sample: ~20% of docs per lang,
+    reproducible AND cross-engine-verifiable (unlike sampleBy's RNG).
+    The training-data use: balanced per-language subsets."""
+    docs = _docs(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "lang", F.col("doc_id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("bigint")
+    return docs.filter(h % 5 == 0).select("doc_id", "lang")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(lang || '|' || doc_id::VARCHAR), 1, 8))::BIGINT % 5 = 0
+"""
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     from .textstats import winnowing_fingerprints_col
 
@@ -926,6 +986,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rollup_lang_source": (q_rollup_lang_source, SQL_ROLLUP),
     "dup_ngram_fraction": (q_dup_ngram_fraction, SQL_DUP_NGRAM),
     "json_props_agg": (q_json_props, SQL_JSON_PROPS),
+    "top_terms_per_lang": (q_top_terms_per_lang, SQL_TOP_TERMS),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "chat_messages": (q_chat_messages, None),
     "chunk_fixed": (q_chunk_fixed, SQL_CHUNK_FIXED),
     "chunk_paragraph": (q_chunk_paragraph, None),
