@@ -90,3 +90,34 @@ def test_whole_stage_codegen_covers_rules(spark):
     # higher-order funcs (aggregate/transform lambdas) legitimately
     # stay interpreted, but the scan->project spine must be codegen'd
     assert "codegen id" in plan
+
+
+def test_asof_join_has_no_cartesian(spark):
+    """as-of join must plan as one keyed window, never a range
+    cross-join (the naive formulation explodes at scale)."""
+    from webfilter.entry_queries import q_asof_join
+
+    plan = _plan(q_asof_join(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Window" in plan
+    # exactly one wide exchange: the per-user window partitioning
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:1500]
+
+
+def test_lsh_probe_side_is_broadcast(spark):
+    from webfilter.entry_queries import q_lsh_topk
+
+    plan = _plan(q_lsh_topk(spark, SF))
+    assert "Broadcast" in plan  # probes broadcast; corpus never shuffled for the join
+
+
+def test_minhash_candidate_join_is_equi(spark):
+    """Banded LSH candidates come from a hash equi-join on the short
+    (band, hash) key — a nested-loop/cartesian here means the banding
+    broke and the plan went all-pairs."""
+    from webfilter.dedup import lsh_candidate_pairs, minhash_signature_df
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sig = minhash_signature_df(docs, k=2)
+    plan = _plan(lsh_candidate_pairs(sig))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
