@@ -173,3 +173,41 @@ def test_embedding_lsh_construction_is_plan_only(spark):
     dedup.embedding_near_dup_pairs(emb, dim=16)
     jobs = tracker.getJobIdsForGroup("plan_only_probe") or []
     assert len(jobs) == 0, f"construction launched jobs: {jobs}"
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chain a-b-c plus an island pair: labels converge to the min id
+    of each component even without a direct a-c edge."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_component_survivors_exact_minimal(spark):
+    """One survivor per component; untouched rows all survive — vs the
+    greedy rule, chains no longer over-drop."""
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(1, 8)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in dedup.component_survivors(docs, pairs).collect())
+    assert kept == [1, 4, 5, 7]
+
+
+def test_components_agree_with_golden_clusters(spark, near_dup_docs):
+    """Near-dup pair graph components must sit inside golden
+    dup_groups (never merge two different groups)."""
+    pairs = dedup.minhash_dedup_pairs(near_dup_docs, k=3, threshold=0.6)
+    comp = dedup.connected_components(pairs)
+    j = comp.join(
+        near_dup_docs.select(F.col("doc_id").alias("id"), "dup_group"), "id"
+    )
+    # every component maps to exactly one dup_group
+    n_bad = (
+        j.groupBy("component")
+        .agg(F.countDistinct("dup_group").alias("g"))
+        .filter(F.col("g") > 1)
+        .count()
+    )
+    assert n_bad == 0

@@ -146,3 +146,29 @@ def test_dedup_stage_chains_and_resumes(spark, synth_dir, tmp_path):
     # re-run is a no-op (manifest resume)
     res2 = pipeline.run_near_dedup(spark, out, n_buckets=8, run_id="d2")
     assert res2["buckets"] == 0
+
+
+def test_dedup_policy_components_keeps_more_than_greedy(spark, synth_dir, tmp_path):
+    """Exact-minimal components policy never keeps fewer docs than
+    greedy (greedy over-drops chains), and still leaves no surviving
+    near-dup pair."""
+    from webfilter import pipeline
+    from webfilter.tables import ParquetCatalog
+
+    out_g = str(tmp_path / "g")
+    out_c = str(tmp_path / "c")
+    for out, pol in [(out_g, "greedy"), (out_c, "components")]:
+        pipeline.run_filter(spark, f"{synth_dir}/pages.parquet", out, n_buckets=8, run_id="f")
+        pipeline.run_near_dedup(spark, out, n_buckets=8, threshold=0.6, run_id="d", policy=pol)
+    kg = ParquetCatalog(spark, out_g).read("kept_pages").count()
+    kc = ParquetCatalog(spark, out_c).read("kept_pages").count()
+    assert kc >= kg
+    cat = ParquetCatalog(spark, out_c)
+    pairs = cat.read("dup_pairs")
+    k = cat.read("kept_pages").select("url")
+    still = (
+        pairs.join(k.withColumnRenamed("url", "url_a"), "url_a")
+        .join(k.withColumnRenamed("url", "url_b"), "url_b")
+        .count()
+    )
+    assert still == 0

@@ -501,6 +501,78 @@ def simhash_near_dup_pairs(
     )
 
 
+# ------------------------------------------------- connected components
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every vertex of the pair graph, where
+    component = the minimum id reachable from it — the principled
+    survivor rule for near-dup clusters (keep one doc per component
+    instead of the greedy drop-the-larger-of-each-pair rule, which
+    over-drops on chains a~b~c).
+
+    Iterative min-label propagation: each round every vertex takes
+    the min of its own label and its neighbors' labels; converges in
+    O(diameter) rounds (near-dup clusters are shallow — a handful).
+    One shuffle per round (the groupBy); lineage is truncated with
+    localCheckpoint every round so the plan doesn't grow with the
+    iteration count (the standard Spark iterative-algorithm pattern).
+    Convergence is detected by the monotonically decreasing label sum
+    — one cheap agg per round instead of a full frame comparison.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "label")
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        # type-agnostic fixpoint fingerprint: ids may be strings
+        # (urls) or full-range int64 hashes, so sum a hash of the
+        # label as decimal(38,0) (ANSI mode makes a bigint sum an
+        # overflow ERROR); equal consecutive fingerprints <=> labels
+        # unchanged (w.h.p.), and max_iter still bounds the loop
+        cur_sum = labels.agg(
+            F.sum(F.xxhash64("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def component_survivors(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one row (the min id) per near-dup component plus
+    every row that appears in no pair: the exact-minimal dedup policy
+    built on connected_components."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # --------------------------------------------- embedding cosine near-dup
 
 

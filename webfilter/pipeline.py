@@ -173,15 +173,19 @@ def run_near_dedup(
     n_buckets: int = 32,
     threshold: float = 0.7,
     run_id: str | None = None,
+    policy: str = "greedy",
 ) -> dict:
     """Second pipeline stage: near-dup removal over the kept documents
     of the decisions table (chained via TABLE STATE, the reference's
     stage architecture — each stage reads what the previous merged).
 
-    MinHash-LSH pairs over scrubbed_text; the survivor policy is
-    deterministic 'drop any doc with a smaller-url near-dup neighbor'
-    (the standard web-pipeline greedy rule — no iterative connected
-    components on the hot path). Writes:
+    MinHash-LSH pairs over scrubbed_text; survivor ``policy``:
+    * 'greedy' (default): drop any doc with a smaller-url near-dup
+      neighbor — one anti-join, no iterations; over-drops on chains.
+    * 'components': exact-minimal — keep one doc per connected
+      component (dedup.connected_components, O(cluster diameter)
+      label-propagation rounds).
+    Writes:
       * ``dup_pairs``    (url_a, url_b, jaccard) lineage
       * ``kept_pages``   surviving decision rows
     and marks every bucket DONE under manifest stage='dedup' — the
@@ -220,9 +224,19 @@ def run_near_dedup(
         "bucket_id",
     )
 
-    # greedy survivor rule: url_b (the larger key) of every verified
-    # pair is dropped; left-anti join keeps the rest
-    drops = catalog.read("dup_pairs").select(F.col("url_b").alias("url")).distinct()
+    if policy == "components":
+        from .dedup import connected_components
+
+        comp = connected_components(
+            catalog.read("dup_pairs"), id_a="url_a", id_b="url_b"
+        )
+        drops = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias("url")
+        )
+    else:
+        # greedy survivor rule: url_b (the larger key) of every
+        # verified pair is dropped; left-anti join keeps the rest
+        drops = catalog.read("dup_pairs").select(F.col("url_b").alias("url")).distinct()
     kept = dec.join(drops, "url", "left_anti")
     catalog.overwrite_partitions(kept, "kept_pages", "bucket_id")
 
