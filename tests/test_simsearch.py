@@ -86,3 +86,43 @@ def test_hyperplanes_deterministic():
     b = simsearch._hyperplanes(64, 8)
     assert (a == b).all()
     assert abs(a.mean()) < 0.1 and 0.7 < a.std() < 1.3
+
+
+def test_ivf_recall_on_clustered_vectors(spark):
+    """IVF cell-probe search: on clustered data, probing the n_probe
+    nearest cells must recover most of brute-force top-k, and every
+    returned score must be the exact cosine."""
+    import numpy as np
+
+    rng_base = simsearch._hyperplanes(64, 20, seed=321)
+    rows, vid = [], 0
+    for c in range(20):
+        center = rng_base[c] / np.linalg.norm(rng_base[c])
+        for _ in range(10):
+            noise = simsearch._hyperplanes(64, 1, seed=5000 + vid)[0] * 0.04
+            rows.append((vid, [float(x) for x in center + noise]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 5
+    brute = simsearch.brute_force_topk(df, queries, k=k)
+    approx = simsearch.ivf_topk(df, queries, k=k, n_centroids=24, n_probe=4)
+    hit = approx.join(brute.select("query_id", "vec_id"), ["query_id", "vec_id"]).count()
+    recall = hit / brute.count()
+    assert recall >= 0.8, f"IVF@{k} recall {recall:.2f}"
+    j = approx.alias("a").join(
+        simsearch.brute_force_topk(df, queries, k=500).alias("b"),
+        ["query_id", "vec_id"],
+    )
+    bad = j.filter(F.abs(F.col("a.cosine") - F.col("b.cosine")) > 1e-9).count()
+    assert bad == 0
+
+
+def test_ivf_deterministic_codebook(spark, emb):
+    a = simsearch.train_ivf_centroids(emb, n_centroids=16)
+    b = simsearch.train_ivf_centroids(emb, n_centroids=16)
+    import numpy as np
+
+    assert np.array_equal(a, b)

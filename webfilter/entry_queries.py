@@ -665,6 +665,20 @@ def q_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (the scale path named alongside LSH):
+    deterministic numpy codebook, cell-probe search, exact rerank."""
+    from .simsearch import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=3, n_centroids=32, n_probe=8).select(
+        "query_id", "vec_id", r6(F.col("cosine")).alias("cosine"), "rank"
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     from .dedup import embedding_near_dup_pairs
 
@@ -998,6 +1012,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_minhash_pairs": (q_minhash_pairs, None),
     "dedup_simhash_pairs": (q_simhash_pairs, None),
     "simsearch_lsh_topk": (q_lsh_topk, None),
+    "simsearch_ivf_topk": (q_ivf_topk, None),
     "dedup_embedding_pairs": (q_embedding_near_dup, None),
     "winnow_fingerprints": (q_winnow_fingerprints, None),
     "media_decode_meta": (q_media_decode_meta, None),

@@ -199,6 +199,109 @@ def bucket_codes_udf(dim: int, n_planes: int, n_tables: int, seed: int = 0x91A5)
     return F.pandas_udf(_fn, T.ArrayType(T.IntegerType()))
 
 
+# ----------------------------------------------------------------- IVF
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    sample_cap: int = 20_000,
+    iters: int = 8,
+    seed: int = 0xC3A7,
+):
+    """Deterministic IVF codebook: Lloyd iterations in numpy over a
+    bounded deterministic hash-sample of the corpus (collected to the
+    driver — index BUILD is an action by nature; the sample is capped,
+    never the corpus). Returns an (n_centroids, dim) float64 matrix of
+    L2-normalized centroids. Deterministic: hash-sample + splitmix64
+    init, no RNG state."""
+    sample = emb.select(vec_col).limit(sample_cap).toPandas()[vec_col]
+    m = np.vstack(sample.to_numpy()).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    n_centroids = min(n_centroids, len(m))
+    # deterministic init: splitmix64-ranked rows
+    x = np.arange(len(m), dtype=np.uint64) + np.uint64(seed)
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    cents = m[np.argsort(x)[:n_centroids]].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)  # cosine == dot (normalized)
+        for c in range(n_centroids):
+            pts = m[assign == c]
+            if len(pts):
+                v = pts.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cents
+
+
+def _cell_udf(centroids, top: int = 1):
+    """vector -> its `top` nearest centroid ids (one numpy matmul per
+    Arrow batch; the codebook rides in the closure — a few KB)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    def _fn(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cents.T
+        idx = np.argsort(-sims, axis=1)[:, :top].astype("int32")
+        return pd.Series(idx.tolist(), index=vecs.index)
+
+    return F.pandas_udf(_fn, T.ArrayType(T.IntegerType()))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids=None,
+) -> DataFrame:
+    """IVF approximate top-k — the coarse-quantizer scale path next to
+    lsh_topk: corpus vectors live in their nearest-centroid cell
+    (inverted list); each query scans only its n_probe nearest cells;
+    exact cosine rerank inside.
+
+    At 10^12 scale the cell id is a partition key: probing n_probe of
+    n_centroids cells scans ~n_probe/n_centroids of the corpus, and
+    the probe join is a broadcast on (cell, query). Pass a pre-trained
+    ``centroids`` matrix to keep query construction action-free; when
+    omitted, train_ivf_centroids runs the bounded sample job."""
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, vec_col, n_centroids)
+    corpus = with_norm(emb, vec_col).select(
+        id_col,
+        F.col("vec_n").alias("c_vec"),
+        F.explode(_cell_udf(centroids, top=1)(F.col(vec_col))).alias("cell"),
+    )
+    probes = with_norm(queries, vec_col).select(
+        query_id_col,
+        F.col("vec_n").alias("q_vec"),
+        F.explode(_cell_udf(centroids, top=n_probe)(F.col(vec_col))).alias("cell"),
+    )
+    cand = corpus.join(F.broadcast(probes), "cell").select(
+        query_id_col, id_col, "c_vec", "q_vec"
+    )
+    scored = cand.withColumn("cosine", cosine_sim_col(F.col("c_vec"), F.col("q_vec")))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
