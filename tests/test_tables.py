@@ -80,3 +80,18 @@ def test_merge_touches_only_affected_buckets(spark, tmp_path):
     got = {r["url"]: bytes(r["html"]) for r in cat.read("pages").collect()}
     assert got["http://h0.example/p"] == b"v2"
     assert len(got) == 40
+
+
+def test_snapshot_history_log(spark, tmp_path):
+    """S15: every table commit lands in the catalog snapshot log,
+    newest first, monotonic ids — the parquet mirror of Iceberg's
+    <table>.snapshots metadata table."""
+    cat = ParquetCatalog(spark, str(tmp_path))
+    merge_upsert_pages(cat, _df(spark, [("u1", "2024-01-01 00:00:00", b"v1", "", "en")]), n_buckets=4)
+    merge_upsert_pages(cat, _df(spark, [("u1", "2024-02-01 00:00:00", b"v2", "", "en")]), n_buckets=4)
+    h = cat.history("pages")
+    assert len(h) == 2
+    assert all(r["operation"] == "overwrite_partitions" for r in h)
+    assert h[0]["snapshot_id"] > h[1]["snapshot_id"]  # newest first
+    assert h[0]["committed_at"] >= h[1]["committed_at"]
+    assert cat.history("nonexistent") == []

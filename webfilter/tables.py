@@ -59,6 +59,19 @@ ICEBERG_DDL: dict[str, str] = {
 }
 
 
+import pyarrow as _pa
+
+HISTORY_PA_SCHEMA = _pa.schema(
+    [
+        ("table_name", _pa.string()),
+        ("snapshot_id", _pa.int64()),
+        ("operation", _pa.string()),
+        ("detail", _pa.string()),
+        ("committed_at", _pa.timestamp("us", tz="UTC")),
+    ]
+)
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     try:
         spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
@@ -94,6 +107,50 @@ class ParquetCatalog:
 
     def append(self, df: DataFrame, name: str) -> None:
         df.write.mode("append").parquet(self.path(name))
+        self._log_snapshot(name, "append", "")
+
+    def _log_snapshot(self, name: str, operation: str, detail: str) -> None:
+        """Append one commit row to the catalog's snapshot log — the
+        parquet-fallback mirror of Iceberg's `<table>.snapshots`
+        metadata table (reference S15: DESCRIBE HISTORY version
+        discovery, 02_Articles_Ingest.py:96 / config.py:187-189).
+        Driver-side pyarrow; no Spark job."""
+        import time
+        import uuid
+        from datetime import datetime, timezone
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = f"{self.root}/_history"
+        os.makedirs(d, exist_ok=True)
+        row = {
+            "table_name": name,
+            "snapshot_id": time.monotonic_ns(),
+            "operation": operation,
+            "detail": detail,
+            "committed_at": datetime.now(timezone.utc),
+        }
+        pq.write_table(
+            pa.Table.from_pylist([row], schema=HISTORY_PA_SCHEMA),
+            f"{d}/part-{uuid.uuid4().hex}.parquet",
+        )
+
+    def history(self, name: str) -> list[dict]:
+        """Commit log of one table, newest first (snapshot_id is a
+        per-process monotonic clock; committed_at breaks cross-process
+        ties). The Iceberg analog is `SELECT * FROM <t>.snapshots`."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(_glob.glob(f"{self.root}/_history/*.parquet"))
+        rows: list[dict] = []
+        for f in files:
+            rows.extend(pq.read_table(f).to_pylist())
+        rows = [r for r in rows if r["table_name"] == name]
+        rows.sort(key=lambda r: (r["committed_at"], r["snapshot_id"]), reverse=True)
+        return rows
 
     def append_rows(self, rows: list[dict], schema: "pa.Schema", name: str) -> None:
         """Driver-side append of a SMALL row set (manifest marks,
@@ -121,6 +178,7 @@ class ParquetCatalog:
             .option("partitionOverwriteMode", "dynamic")
             .parquet(self.path(name))
         )
+        self._log_snapshot(name, "overwrite_partitions", part_col)
 
 
 def latest_per_url(pages: DataFrame) -> DataFrame:
