@@ -772,6 +772,32 @@ FROM documents GROUP BY ROLLUP (lang, source)
 """
 
 
+def q_pivot_lang_by_source(spark, sf_dir):
+    """Pivot (wide aggregation): doc counts per source x language.
+    Explicit pivot values keep the plan single-pass (no distinct-scan
+    job) and the output schema static for the oracle."""
+    langs = ["de", "en", "es", "fr", "zh"]
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, langs)
+        .select("source", *[F.col(l).cast("bigint").alias(f"n_{l}") for l in langs])
+    )
+
+
+SQL_PIVOT = """
+SELECT source,
+  count(*) FILTER (WHERE lang = 'de')::BIGINT AS n_de,
+  count(*) FILTER (WHERE lang = 'en')::BIGINT AS n_en,
+  count(*) FILTER (WHERE lang = 'es')::BIGINT AS n_es,
+  count(*) FILTER (WHERE lang = 'fr')::BIGINT AS n_fr,
+  count(*) FILTER (WHERE lang = 'zh')::BIGINT AS n_zh
+FROM documents GROUP BY 1
+"""
+
+
 def q_chunk_fixed(spark, sf_dir):
     """Reference stage-04 chunker (fixed windows + 110-char gate +
     posexplode + concat id), fully SQL-mirrored."""
@@ -1002,6 +1028,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "json_props_agg": (q_json_props, SQL_JSON_PROPS),
     "top_terms_per_lang": (q_top_terms_per_lang, SQL_TOP_TERMS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "pivot_lang_by_source": (q_pivot_lang_by_source, SQL_PIVOT),
     "chat_messages": (q_chat_messages, None),
     "chunk_fixed": (q_chunk_fixed, SQL_CHUNK_FIXED),
     "chunk_paragraph": (q_chunk_paragraph, None),
