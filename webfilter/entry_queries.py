@@ -772,6 +772,55 @@ FROM documents GROUP BY ROLLUP (lang, source)
 """
 
 
+def q_length_percentiles(spark, sf_dir):
+    """Exact percentiles of doc length per language (corpus length
+    distribution — the Gopher-rule calibration query). Exact
+    `percentile` (not percentile_approx) so the DuckDB quantile_cont
+    oracle matches bit-for-bit after rounding."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            r6(F.percentile("n_chars", F.lit(0.5))).alias("p50"),
+            r6(F.percentile("n_chars", F.lit(0.9))).alias("p90"),
+            r6(F.percentile("n_chars", F.lit(0.99))).alias("p99"),
+        )
+    )
+
+
+SQL_LENGTH_PERCENTILES = """
+SELECT lang,
+  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+  round(quantile_cont(n_chars, 0.9), 6) AS p90,
+  round(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents GROUP BY 1
+"""
+
+
+def q_except_intersect(spark, sf_dir):
+    """EXCEPT ALL / INTERSECT ALL set ops (completing the set-op
+    family beyond union): long docs minus english docs, tagged, plus
+    the intersection."""
+    docs = _docs(spark, sf_dir)
+    long_docs = docs.filter(F.col("n_chars") > 300).select("doc_id")
+    en_docs = docs.filter(F.col("lang") == "en").select("doc_id")
+    return (
+        long_docs.exceptAll(en_docs).withColumn("tag", F.lit("long_not_en"))
+        .unionByName(
+            long_docs.intersectAll(en_docs).withColumn("tag", F.lit("long_and_en"))
+        )
+    )
+
+
+SQL_EXCEPT_INTERSECT = """
+WITH l AS (SELECT doc_id FROM documents WHERE n_chars > 300),
+e AS (SELECT doc_id FROM documents WHERE lang = 'en')
+SELECT doc_id, 'long_not_en' AS tag FROM (SELECT * FROM l EXCEPT ALL SELECT * FROM e)
+UNION ALL
+SELECT doc_id, 'long_and_en' AS tag FROM (SELECT * FROM l INTERSECT ALL SELECT * FROM e)
+"""
+
+
 def q_pivot_lang_by_source(spark, sf_dir):
     """Pivot (wide aggregation): doc counts per source x language.
     Explicit pivot values keep the plan single-pass (no distinct-scan
@@ -1029,6 +1078,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "top_terms_per_lang": (q_top_terms_per_lang, SQL_TOP_TERMS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "pivot_lang_by_source": (q_pivot_lang_by_source, SQL_PIVOT),
+    "length_percentiles": (q_length_percentiles, SQL_LENGTH_PERCENTILES),
+    "except_intersect": (q_except_intersect, SQL_EXCEPT_INTERSECT),
     "chat_messages": (q_chat_messages, None),
     "chunk_fixed": (q_chunk_fixed, SQL_CHUNK_FIXED),
     "chunk_paragraph": (q_chunk_paragraph, None),
