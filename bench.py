@@ -60,11 +60,11 @@ def main() -> None:
     )
     shutil.rmtree(f"{work}/warmup", ignore_errors=True)
 
-    # best of 2 timed runs: the sandbox host is shared and an external
-    # load spike during the single timed window otherwise defines the
+    # best of 3 timed runs: the sandbox host is shared and an external
+    # load spike during a single timed window otherwise defines the
     # round's headline (observed 4x swings with zero local processes)
     page_runs = []
-    for i in range(2):
+    for i in range(3):
         shutil.rmtree(f"{work}/out{i}", ignore_errors=True)
         t0 = time.time()
         res = pipeline.run_filter(
@@ -89,6 +89,8 @@ def main() -> None:
         "simsearch_cosine_topk",
         "simsearch_lsh_topk",
         "join_full_outer_reconcile",
+        "join_asof_latest",
+        "events_sessionized",
         "salted_source_counts",
         "window_rank",
         "join_outer_agg",
