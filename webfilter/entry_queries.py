@@ -772,6 +772,75 @@ FROM documents GROUP BY ROLLUP (lang, source)
 """
 
 
+def q_lineitem_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape (the canonical grouped-agg benchmark query):
+    filter on shipdate, group by (returnflag, linestatus), 8
+    aggregates, ordered. Catalyst pushes the date filter to the scan
+    and partial-aggregates map-side; one shuffle total."""
+    li = _tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # big double sums round at 2dp: a 1e8-magnitude sum of
+            # ~1e5 doubles accumulates ~1e-5 order-dependent error
+            # across engines — 6dp would flap, 2dp cannot
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            r6(F.avg("l_quantity")).alias("avg_qty"),
+            r6(F.avg("l_extendedprice")).alias("avg_price"),
+            r6(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_LINEITEM_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 6) AS avg_qty,
+  round(avg(l_extendedprice), 6) AS avg_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_unpivot_measures(spark, sf_dir):
+    """Unpivot (stack): melt lineitem's four measure columns into
+    (measure, value) rows, then sum per measure — the wide->long
+    reshape of a metrics pipeline."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice, "
+        "'discount', l_discount, 'tax', l_tax) AS (measure, value)"
+    )
+    return long.groupBy("measure").agg(
+        F.round(F.sum("value"), 2).alias("total"), F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_UNPIVOT = """
+WITH long AS (
+  SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'discount', l_discount FROM lineitem
+  UNION ALL SELECT 'tax', l_tax FROM lineitem)
+SELECT measure, round(sum(value), 2) AS total, count(*)::BIGINT AS n
+FROM long GROUP BY 1
+"""
+
+
 def q_length_percentiles(spark, sf_dir):
     """Exact percentiles of doc length per language (corpus length
     distribution — the Gopher-rule calibration query). Exact
@@ -1080,6 +1149,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pivot_lang_by_source": (q_pivot_lang_by_source, SQL_PIVOT),
     "length_percentiles": (q_length_percentiles, SQL_LENGTH_PERCENTILES),
     "except_intersect": (q_except_intersect, SQL_EXCEPT_INTERSECT),
+    "lineitem_pricing_summary": (q_lineitem_pricing_summary, SQL_LINEITEM_Q1),
+    "unpivot_measures": (q_unpivot_measures, SQL_UNPIVOT),
     "chat_messages": (q_chat_messages, None),
     "chunk_fixed": (q_chunk_fixed, SQL_CHUNK_FIXED),
     "chunk_paragraph": (q_chunk_paragraph, None),
