@@ -113,3 +113,64 @@ def test_stateful_url_dedup_across_batches(spark, tmp_path):
     assert len(per_url["http://a/2"]) == 1
     # url3: exactly one emission
     assert len(per_url["http://a/3"]) == 1
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join must produce
+    exactly the pairs the equivalent batch join produces (no late data
+    in this fixture, so watermarking drops nothing)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("kind", T.StringType()),
+        ]
+    )
+    rows = []
+    base = "2024-01-01 00:{m:02d}:00"
+    for m, kind, uid in [
+        (0, "view", 1), (4, "click", 1), (20, "click", 1),  # 2nd click too late for the 0-min view
+        (15, "view", 1), (18, "click", 1),
+        (2, "view", 2), (3, "click", 2), (3, "click", 3),   # no view for user 3
+    ]:
+        rows.append((uid, base.format(m=m), kind))
+    df = (
+        spark.createDataFrame(rows, "user_id long, ts string, kind string")
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    src = str(tmp_path / "ev")
+    df.coalesce(2).write.mode("overwrite").parquet(src)
+
+    from webfilter.streaming import stream_stream_interval_join
+
+    def split(stream_df):
+        return (
+            stream_df.filter(F.col("kind") == "click").select("user_id", "ts"),
+            stream_df.filter(F.col("kind") == "view").select("user_id", "ts"),
+        )
+
+    s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    joined = stream_stream_interval_join(*split(s))
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], str(r["left_ts"]), str(r["right_ts"]))
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    batch = {
+        (r["user_id"], str(r["left_ts"]), str(r["right_ts"]))
+        for r in stream_stream_interval_join(*split(spark.read.parquet(src))).collect()
+    }
+    assert got == batch
+    assert (1, "2024-01-01 00:04:00", "2024-01-01 00:00:00") in got
+    assert (1, "2024-01-01 00:18:00", "2024-01-01 00:15:00") in got
+    assert all(u != 3 for u, _, _ in got)

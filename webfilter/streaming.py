@@ -171,6 +171,36 @@ def run_stateful_dedup_stream(
     return q
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    ts: str = "ts",
+    within: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream INNER interval join (beyond the
+    reference, which has no stream-stream joins — SURVEY §2.7): each
+    left event pairs with right events of the same key whose timestamp
+    falls in [left.ts - within, left.ts]. Watermarks on both sides
+    bound the join state; rows later than the watermark are dropped
+    deterministically, which is the whole point — unbounded
+    stream-stream state is the classic streaming OOM."""
+    l = left.withWatermark(ts, watermark).alias("l")
+    r = right.withWatermark(ts, watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{by} = r.{by} AND r.{ts} BETWEEN l.{ts} - INTERVAL {within} AND l.{ts}"
+        ),
+        "inner",
+    ).select(
+        F.col(f"l.{by}").alias(by),
+        F.col(f"l.{ts}").alias("left_ts"),
+        F.col(f"r.{ts}").alias("right_ts"),
+    )
+
+
 def windowed_ingest_metrics(pages_stream: DataFrame) -> DataFrame:
     """Watermarked tumbling-window arrival metrics (late rows beyond
     10 minutes dropped deterministically)."""
