@@ -86,3 +86,55 @@ def test_range_join_counts(spark):
     assert got[(1, "2024-01-01 00:00:00")] == 2
     assert got[(1, "2024-01-01 00:10:00")] == 0  # empty interval kept (left outer)
     assert got[(2, "2024-01-01 00:00:00")] == 1
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized cross-check against pandas merge_asof (independent
+    implementation): 400 left rows x 300 right rows over 5 keys with
+    deliberate ts collisions."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(400),
+            "user_id": rng.integers(0, 5, 400),
+            "ts": base + pd.to_timedelta(rng.integers(0, 500, 400) * 7, unit="s"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 5, 300),
+            "ts": base + pd.to_timedelta(rng.integers(0, 500, 300) * 7, unit="s"),
+        }
+    )
+    # unique (user, ts) on the right: merge_asof picks the LAST among
+    # equal keys while our window picks max in (ts, side) order —
+    # dedupe to make the contract unambiguous for both
+    right = right.drop_duplicates(["user_id", "ts"]).copy()
+    right["value"] = rng.normal(size=len(right)).round(6)
+
+    expect = (
+        pd.merge_asof(
+            left.sort_values("ts", kind="mergesort"),
+            right.sort_values("ts", kind="mergesort"),
+            on="ts",
+            by="user_id",
+            direction="backward",  # most recent right.ts <= left.ts
+        )
+        .set_index("event_id")["value"]
+        .to_dict()
+    )
+
+    out = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right), by="user_id"
+    ).collect()
+    assert len(out) == len(left)
+    for r in out:
+        e = expect[r["event_id"]]
+        if r["value_r"] is None:
+            assert pd.isna(e), r
+        else:
+            assert abs(r["value_r"] - e) < 1e-9, r
