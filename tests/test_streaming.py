@@ -174,3 +174,24 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert (1, "2024-01-01 00:04:00", "2024-01-01 00:00:00") in got
     assert (1, "2024-01-01 00:18:00", "2024-01-01 00:15:00") in got
     assert all(u != 3 for u, _, _ in got)
+
+
+def test_file_metadata_on_streaming_frame(spark, stream_src, tmp_path):
+    """S2 on the STREAM side: _metadata virtual columns project on a
+    readStream file source too (the reference's Auto Loader usage,
+    01_Metadata_Sync.py:52-54)."""
+    from webfilter.streaming import read_pages_stream, with_file_provenance
+
+    s = with_file_provenance(read_pages_stream(spark, stream_src))
+    q = (
+        s.select("url", "src_file", "src_size")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("prov")
+        .option("checkpointLocation", str(tmp_path / "cp_prov"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM prov LIMIT 5").collect()
+    assert rows and all(r["src_file"].endswith(".parquet") and r["src_size"] > 0 for r in rows)
