@@ -10,6 +10,19 @@ on local[$SPARK_GRAFT_CPUS]:
 * representative operator queries over the sf tables (filter
   decision, dedup families, ANN top-k, salted aggs).
 
+Self-explaining measurement (VERDICT r2 #1): the sandbox host is a VM
+on shared hardware — external tenants show up as /proc/stat *steal*
+time and can inflate any single timed window 3-4x. Every headline run
+therefore records its own evidence:
+  * loadavg before the run,
+  * host CPU fractions across the run (busy / iowait / steal),
+  * this process subtree's CPU-seconds / (wall * cores) = own_util
+    (low own_util + high steal == we were starved, not slow).
+The process tree is pinned to exactly $SPARK_GRAFT_CPUS cores and
+numpy/BLAS are forced single-threaded (the bench_scaling.py protocol),
+and up to 3 extra timed runs are added when every baseline run was
+contended, so a quiet window can still be caught.
+
 Scaling-efficiency evidence (N vs 4N parallelism) is produced by
 bench_scaling.py -> BENCH/BASELINE.md, not here (the driver calls
 this file once per round).
@@ -34,8 +47,95 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PAGES_N = int(os.environ.get("WEBFILTER_BENCH_PAGES", "240000"))
 SF_LABEL = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
+# a run counts as externally contended when the hypervisor stole a
+# visible slice of the window or our own tree got well under its core
+# budget despite being the only local workload
+STEAL_CONTENDED = 0.03
+OWN_UTIL_CONTENDED = 0.60
+
+
+def _pin_and_quiesce(cpus: int) -> list[int] | None:
+    """Pin this process (inherited by the JVM + python UDF workers) to
+    exactly `cpus` cores and force single-threaded BLAS — the proven
+    bench_scaling.py protocol. Returns the effective core list."""
+    for v in (
+        "OMP_NUM_THREADS",
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+    ):
+        os.environ.setdefault(v, "1")
+    try:
+        avail = sorted(os.sched_getaffinity(0))
+        if len(avail) > cpus:
+            os.sched_setaffinity(0, set(avail[:cpus]))
+        return sorted(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        return None
+
+
+def _proc_stat() -> list[int] | None:
+    """First /proc/stat cpu line: user nice system idle iowait irq
+    softirq steal guest guest_nice (jiffies, all host cores)."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals + [0] * 10)[:10]
+    except (OSError, ValueError):
+        return None
+
+
+def _stat_fracs(before: list[int] | None, after: list[int] | None) -> dict:
+    if before is None or after is None:
+        return {}
+    d = [b - a for a, b in zip(before, after)]
+    total = sum(d[:8]) or 1
+    return {
+        "host_busy_frac": round((d[0] + d[1] + d[2] + d[5] + d[6]) / total, 3),
+        "iowait_frac": round(d[4] / total, 3),
+        "steal_frac": round(d[7] / total, 3),
+    }
+
+
+def _subtree_cpu_s() -> float | None:
+    """CPU-seconds consumed so far by this process and every live
+    descendant (JVM, python workers) plus reaped children (cutime/
+    cstime). Cross-checked against wall*cores this is the 'did we
+    actually get our cores' signal."""
+    try:
+        pids = [int(d) for d in os.listdir("/proc") if d.isdigit()]
+        ppid: dict[int, int] = {}
+        jiff: dict[int, int] = {}
+        for p in pids:
+            try:
+                with open(f"/proc/{p}/stat") as f:
+                    s = f.read()
+                fields = s[s.rindex(")") + 2 :].split()
+                ppid[p] = int(fields[1])
+                # utime + stime + cutime + cstime (fields 14-17, here
+                # offset by the 3 already-consumed columns)
+                jiff[p] = sum(int(fields[i]) for i in (11, 12, 13, 14))
+            except (OSError, ValueError, IndexError):
+                continue
+        kids: dict[int, list[int]] = {}
+        for p, pp in ppid.items():
+            kids.setdefault(pp, []).append(p)
+        acc, stack, seen = 0, [os.getpid()], set()
+        while stack:
+            p = stack.pop()
+            if p in seen:
+                continue
+            seen.add(p)
+            acc += jiff.get(p, 0)
+            stack.extend(kids.get(p, []))
+        return acc / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError):
+        return None
+
 
 def main() -> None:
+    cores = _pin_and_quiesce(CPUS)
+
     from webfilter.session import get_spark
 
     spark = get_spark("webfilter-bench", cores=CPUS, shuffle_partitions=CPUS)
@@ -46,8 +146,19 @@ def main() -> None:
 
     # --- pages-pipeline throughput (the headline) -------------------
     from webfilter import pipeline, synth
+    from webfilter.dedup import release_cached
 
-    work = "/dev/shm/webfilter_bench" if os.path.isdir("/dev/shm") else "/tmp/webfilter_bench"
+    shm = os.path.isdir("/dev/shm")
+    work = "/dev/shm/webfilter_bench" if shm else "/tmp/webfilter_bench"
+    env = {
+        "work_dir": work,
+        "shm_available": shm,
+        "spark_local_dir": "/dev/shm/spark-local" if shm else "spark-default(/tmp)",
+        "cpus_requested": CPUS,
+        "host_cpus": os.cpu_count(),
+        "affinity_cores": len(cores) if cores is not None else None,
+        "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+    }
     shutil.rmtree(work, ignore_errors=True)
     synth.write_dataset(spark, PAGES_N, f"{work}/data")
     spark.read.parquet(f"{work}/data/pages.parquet").count()  # warm FS cache
@@ -60,19 +171,49 @@ def main() -> None:
     )
     shutil.rmtree(f"{work}/warmup", ignore_errors=True)
 
-    # best of 3 timed runs: the sandbox host is shared and an external
-    # load spike during a single timed window otherwise defines the
-    # round's headline (observed 4x swings with zero local processes)
-    page_runs = []
-    for i in range(3):
+    def timed_run(i: int) -> tuple[dict, dict]:
         shutil.rmtree(f"{work}/out{i}", ignore_errors=True)
+        la = os.getloadavg()
+        st0, cpu0 = _proc_stat(), _subtree_cpu_s()
         t0 = time.time()
         res = pipeline.run_filter(
             spark, f"{work}/data/pages.parquet", f"{work}/out{i}",
             n_buckets=64, run_id=f"bench{i}",
         )
-        page_runs.append(round(time.time() - t0, 3))
-    dt = min(page_runs)
+        wall = time.time() - t0
+        st1, cpu1 = _proc_stat(), _subtree_cpu_s()
+        stats = {
+            "wall_s": round(wall, 3),
+            "loadavg_before": round(la[0], 2),
+            **_stat_fracs(st0, st1),
+        }
+        if cpu0 is not None and cpu1 is not None:
+            stats["own_util"] = round((cpu1 - cpu0) / (wall * CPUS), 3)
+        shutil.rmtree(f"{work}/out{i}", ignore_errors=True)
+        return stats, res
+
+    def contended(stats: dict) -> bool:
+        return (
+            stats.get("steal_frac", 0.0) > STEAL_CONTENDED
+            or stats.get("own_util", 1.0) < OWN_UTIL_CONTENDED
+        )
+
+    # best-of-3 timed runs, plus up to 3 extra when every run so far
+    # was externally contended: the sandbox host is shared, and a
+    # single load spike otherwise defines the round's headline
+    run_stats: list[dict] = []
+    res: dict = {}
+    for i in range(3):
+        stats, res = timed_run(i)
+        run_stats.append(stats)
+    extra = 0
+    while extra < 3 and all(contended(s) for s in run_stats):
+        stats, res = timed_run(3 + extra)
+        run_stats.append(stats)
+        extra += 1
+
+    best = min(run_stats, key=lambda s: s["wall_s"])
+    dt = best["wall_s"]
     timings["pages_filter_pipeline"] = dt
     docs_per_s = res["docs"] / dt
 
@@ -98,12 +239,13 @@ def main() -> None:
         "posexplode_lines",
     ]
     for name in bench_queries:
-        best = float("inf")
+        best_q = float("inf")
         for _ in range(2):  # best-of-2 (shared-host spike insurance)
             t0 = time.time()
             n = qs[name](spark, SF_DIR).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            best_q = min(best_q, time.time() - t0)
+        timings[name] = round(best_q, 3)
+        release_cached()  # drop operator-persisted frames between queries
         _ = n
 
     total = round(sum(timings.values()), 3)
@@ -117,7 +259,10 @@ def main() -> None:
                 "sf": SF_LABEL,
                 "pages_docs": res["docs"],
                 "pages_docs_per_s": round(docs_per_s, 1),
-                "pages_runs_s": page_runs,
+                "pages_runs_s": [s["wall_s"] for s in run_stats],
+                "pages_run_stats": run_stats,
+                "pages_best_contended": contended(best),
+                "env": env,
                 "cpus": CPUS,
             }
         )

@@ -96,7 +96,7 @@ def test_embedding_near_dup_matches_brute_force(spark, sf_small="/root/testdata/
         .filter(F.col("cosine") >= 0.9)
     )
     n_brute = brute.count()
-    lsh = dedup.embedding_near_dup_pairs(emb, threshold=0.9, n_planes=8)
+    lsh = dedup.embedding_near_dup_pairs(emb, threshold=0.9, n_planes=8, dim=64)
     found = lsh.join(
         brute.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")),
         ["id_a", "id_b"],
@@ -211,3 +211,59 @@ def test_components_agree_with_golden_clusters(spark, near_dup_docs):
         .count()
     )
     assert n_bad == 0
+
+
+def test_kernels_tolerate_null_text(spark):
+    """ADVICE r2: NULL text reaches the pandas kernels as None — both
+    signature paths must survive it (the explode fallback always did),
+    and NULL docs must never near-dup-match a real doc."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "the quick brown fox jumps over the lazy dog"),
+         (3, None), (4, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    mh = dedup.minhash_dedup_pairs(df, k=2, threshold=0.3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in mh} == {(2, 4)}
+    sh = dedup.simhash_near_dup_pairs(df, max_hamming=3).collect()
+    # NULL docs share fingerprint 0 with each other (hamming 0) but
+    # must not pair with the real identical docs
+    sh_pairs = {(r["id_a"], r["id_b"]) for r in sh}
+    assert (2, 4) in sh_pairs
+    assert not any({a, b} & {1, 3} and {a, b} & {2, 4} for a, b in sh_pairs)
+    # signature frames: no crash, one row per input doc
+    assert dedup.minhash_signature_df(df, k=2).count() == 4
+    assert dedup.with_simhash(df).count() == 4
+    dedup.release_cached()
+
+
+def test_embedding_pairs_require_dim(spark):
+    """VERDICT r2 #5: no first() probe job may hide behind a missing
+    dim — construction must raise instead."""
+    import pytest
+
+    emb = _rand_emb_df(spark, 10)
+    with pytest.raises(ValueError, match="dim is required"):
+        dedup.embedding_candidate_pairs(emb)
+    with pytest.raises(ValueError, match="dim is required"):
+        dedup.embedding_near_dup_pairs(emb)
+
+
+def test_connected_components_warns_on_non_convergence(spark):
+    """ADVICE r2: a chain longer than max_iter propagation rounds must
+    warn (silently split labels would keep extra duplicates)."""
+    import warnings as _w
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long"
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        dedup.connected_components(chain, max_iter=2).collect()
+    assert any("did not converge" in str(r.message) for r in rec)
+    # and with enough rounds it converges silently to one component
+    with _w.catch_warnings(record=True) as rec2:
+        _w.simplefilter("always")
+        comp = dedup.connected_components(chain, max_iter=25)
+        labels = {r["component"] for r in comp.collect()}
+    assert labels == {1}
+    assert not any("did not converge" in str(r.message) for r in rec2)

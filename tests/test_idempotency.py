@@ -148,6 +148,70 @@ def test_dedup_stage_chains_and_resumes(spark, synth_dir, tmp_path):
     assert res2["buckets"] == 0
 
 
+def test_dedup_kill_mid_write_resumes_per_bucket(spark, synth_dir, tmp_path):
+    """VERDICT r2 #4: the survivor-write stage resumes at BUCKET
+    granularity while candidate generation resumes at STAGE
+    granularity — a crash after the pairs table completed must not
+    recompute pairs, and must rewrite only the unfinished buckets."""
+    from webfilter.manifest import Manifest
+    from webfilter.tables import ParquetCatalog
+
+    out = str(tmp_path / "out")
+    clean = str(tmp_path / "clean")
+    pages = f"{synth_dir}/pages.parquet"
+    pipeline.run_filter(spark, pages, out, n_buckets=8, run_id="f1")
+    pipeline.run_filter(spark, pages, clean, n_buckets=8, run_id="f1")
+    pipeline.run_near_dedup(spark, clean, n_buckets=8, threshold=0.6, run_id="dc")
+
+    # crash simulation: pairs complete, survivors written for 0-2 only
+    r1 = pipeline.run_near_dedup(
+        spark, out, n_buckets=8, threshold=0.6, run_id="d1", only_buckets=[0, 1, 2]
+    )
+    assert r1["buckets"] == 3 and r1["pairs_recomputed"]
+    m = Manifest(ParquetCatalog(spark, out))
+    assert m.status("dedup_pairs", pipeline.GLOBAL_UNIT) == "DONE"
+    assert sorted(m.pending_buckets(8, stage="dedup")) == [3, 4, 5, 6, 7]
+
+    # resume: pairs NOT recomputed, remaining buckets written
+    r2 = pipeline.run_near_dedup(spark, out, n_buckets=8, threshold=0.6, run_id="d2")
+    assert r2["buckets"] == 5 and not r2["pairs_recomputed"]
+    # pairs rows still carry the run that built them
+    cat = ParquetCatalog(spark, out)
+    runs = {r["run_id"] for r in cat.read("dup_pairs").select("run_id").distinct().collect()}
+    assert runs == {"d1"}
+    # resumed result identical to the clean one-shot run
+    kept_r = sorted(r["url"] for r in cat.read("kept_pages").select("url").collect())
+    kept_c = sorted(
+        r["url"] for r in ParquetCatalog(spark, clean).read("kept_pages").select("url").collect()
+    )
+    assert kept_r == kept_c
+
+
+def test_dedup_force_rerun_ignores_stale_pairs(spark, synth_dir, tmp_path):
+    """ADVICE r2: re-running with a stricter threshold must not drop
+    documents based on the previous run's pairs left behind in
+    dynamic partitions the new run didn't overwrite."""
+    from webfilter.tables import ParquetCatalog
+
+    out = str(tmp_path / "out")
+    pipeline.run_filter(spark, f"{synth_dir}/pages.parquet", out, n_buckets=8, run_id="f1")
+    r1 = pipeline.run_near_dedup(spark, out, n_buckets=8, threshold=0.6, run_id="d1")
+    assert r1["dup_pairs"] > 0  # the loose threshold finds near-dups
+
+    cat = ParquetCatalog(spark, out)
+    n_dec_kept = cat.read("decisions").filter("keep").count()
+    assert cat.read("kept_pages").count() < n_dec_kept
+
+    # threshold 1.01 is unreachable -> zero pairs this run; the d1
+    # pairs are still physically present in the dup_pairs table but
+    # must be ignored when deriving drops
+    r2 = pipeline.run_near_dedup(
+        spark, out, n_buckets=8, threshold=1.01, run_id="d2", force=True
+    )
+    assert r2["pairs_recomputed"] and r2["dup_pairs"] == 0
+    assert cat.read("kept_pages").count() == n_dec_kept
+
+
 def test_dedup_policy_components_keeps_more_than_greedy(spark, synth_dir, tmp_path):
     """Exact-minimal components policy never keeps fewer docs than
     greedy (greedy over-drops chains), and still leaves no surviving

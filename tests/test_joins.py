@@ -88,10 +88,36 @@ def test_range_join_counts(spark):
     assert got[(2, "2024-01-01 00:00:00")] == 1
 
 
+def test_asof_join_null_right_values_not_skipped(spark):
+    """ADVICE r2: a genuinely-NULL value on the MOST RECENT right row
+    must be attached as NULL — not skipped in favor of a stale older
+    value — and with several right columns every output field must
+    come from the same right row (the struct carry guarantees both)."""
+    left = _ts(
+        spark.createDataFrame(
+            [(1, "2024-01-01 00:10:00")], "event_id long, ts string"
+        ).withColumn("user_id", F.lit(7)),
+        "ts",
+    )
+    right = _ts(
+        spark.createDataFrame(
+            [("2024-01-01 00:01:00", 10.0, "a"),
+             ("2024-01-01 00:05:00", None, "b")],
+            "ts string, value double, tag string",
+        ).withColumn("user_id", F.lit(7)),
+        "ts",
+    )
+    row = asof_join(left, right, by="user_id", ts="ts").collect()[0]
+    # most recent right row (00:05) carries (NULL, 'b') — a per-column
+    # ignorenulls carry would wrongly stitch (10.0, 'b')
+    assert row["value_r"] is None and row["tag_r"] == "b", row
+
+
 def test_asof_join_matches_pandas_merge_asof(spark):
     """Randomized cross-check against pandas merge_asof (independent
     implementation): 400 left rows x 300 right rows over 5 keys with
-    deliberate ts collisions."""
+    deliberate ts collisions AND NULL right values (a NULL on the
+    matched row must surface, paired with that row's non-null tag)."""
     import numpy as np
     import pandas as pd
 
@@ -115,26 +141,36 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     # dedupe to make the contract unambiguous for both
     right = right.drop_duplicates(["user_id", "ts"]).copy()
     right["value"] = rng.normal(size=len(right)).round(6)
+    # ~20% NULL right values: merge_asof still matches the ROW; a
+    # per-column ignorenulls carry would instead skip to older values
+    right.loc[rng.random(len(right)) < 0.2, "value"] = np.nan
+    right["seq"] = np.arange(len(right))  # always-non-null row id
 
-    expect = (
-        pd.merge_asof(
-            left.sort_values("ts", kind="mergesort"),
-            right.sort_values("ts", kind="mergesort"),
-            on="ts",
-            by="user_id",
-            direction="backward",  # most recent right.ts <= left.ts
-        )
-        .set_index("event_id")["value"]
-        .to_dict()
+    matched = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort"),
+        on="ts",
+        by="user_id",
+        direction="backward",  # most recent right.ts <= left.ts
+    ).set_index("event_id")
+    expect_v = matched["value"].to_dict()
+    expect_seq = matched["seq"].to_dict()
+
+    sright = spark.createDataFrame(right).withColumn(
+        "value", F.when(F.isnan("value"), F.lit(None)).otherwise(F.col("value"))
     )
-
     out = asof_join(
-        spark.createDataFrame(left), spark.createDataFrame(right), by="user_id"
+        spark.createDataFrame(left), sright, by="user_id",
+        right_cols=["value", "seq"],
     ).collect()
     assert len(out) == len(left)
     for r in out:
-        e = expect[r["event_id"]]
-        if r["value_r"] is None:
-            assert pd.isna(e), r
+        ev, es = expect_v[r["event_id"]], expect_seq[r["event_id"]]
+        if pd.isna(es):
+            assert r["seq_r"] is None, r  # no right row precedes
         else:
-            assert abs(r["value_r"] - e) < 1e-9, r
+            assert r["seq_r"] == int(es), r  # same matched right row
+        if r["value_r"] is None:
+            assert pd.isna(ev), r
+        else:
+            assert abs(r["value_r"] - ev) < 1e-9, r

@@ -68,17 +68,17 @@ class Manifest:
     def __init__(self, catalog: ParquetCatalog, name: str = "manifest"):
         self.catalog = catalog
         self.name = name
-        self._state_cache: dict[tuple[str, int], tuple[str, int]] | None = None
+        self._state_cache: dict[tuple[str, int], tuple[str, int, str]] | None = None
         self._max_seq = 0
 
     @property
     def _dir(self) -> str:
         return self.catalog.path(self.name)
 
-    def _read_state(self) -> dict[tuple[str, int], tuple[str, int]]:
-        """(stage, bucket_id) -> (status, attempt), latest row per
-        key. Bounded: <= n_stages * n_buckets * attempts rows total —
-        fully driver-side by design (never row-level)."""
+    def _read_state(self) -> dict[tuple[str, int], tuple[str, int, str]]:
+        """(stage, bucket_id) -> (status, attempt, run_id), latest row
+        per key. Bounded: <= n_stages * n_buckets * attempts rows total
+        — fully driver-side by design (never row-level)."""
         if self._state_cache is not None:
             return self._state_cache
         files = sorted(glob.glob(f"{self._dir}/*.parquet"))
@@ -93,9 +93,11 @@ class Manifest:
             pdf["seq"] = 0
         pdf["seq"] = pdf["seq"].fillna(0).astype("int64")
         pdf = pdf.sort_values(["updated_at", "seq", "attempt"])
-        state: dict[tuple[str, int], tuple[str, int]] = {}
+        state: dict[tuple[str, int], tuple[str, int, str]] = {}
         for r in pdf.itertuples(index=False):
-            state[(str(r.stage), int(r.bucket_id))] = (r.status, int(r.attempt))
+            state[(str(r.stage), int(r.bucket_id))] = (
+                r.status, int(r.attempt), str(r.run_id),
+            )
         self._max_seq = int(pdf["seq"].max()) if len(pdf) else 0
         self._state_cache = state
         return state
@@ -105,8 +107,20 @@ class Manifest:
         return [
             b
             for b in range(n_buckets)
-            if state.get((stage, b), (PENDING, 0))[0] != DONE
+            if state.get((stage, b), (PENDING, 0, ""))[0] != DONE
         ]
+
+    def status(self, stage: str, bucket_id: int) -> str:
+        return self._read_state().get((stage, int(bucket_id)), (PENDING, 0, ""))[0]
+
+    def run_of(self, stage: str, bucket_id: int) -> str | None:
+        """run_id of the latest mark for (stage, bucket) — the hook
+        that lets a later stage consume exactly the table rows the
+        completing run produced (e.g. dup_pairs filtered to the run
+        that finished the candidate stage, never stale pairs from an
+        earlier run/config — ADVICE r2)."""
+        row = self._read_state().get((stage, int(bucket_id)))
+        return row[2] if row else None
 
     def mark(self, run_id: str, stage: str, bucket_ids: list[int], status: str) -> None:
         if not bucket_ids:
@@ -122,7 +136,7 @@ class Manifest:
                     "stage": stage,
                     "bucket_id": int(b),
                     "status": status,
-                    "attempt": state.get((stage, int(b)), ("", 0))[1]
+                    "attempt": state.get((stage, int(b)), ("", 0, ""))[1]
                     + (1 if status == RUNNING else 0),
                     "updated_at": now,
                     "seq": self._max_seq,
@@ -135,5 +149,7 @@ class Manifest:
         )
         cache = dict(state)
         for r in rows:
-            cache[(r["stage"], r["bucket_id"])] = (r["status"], r["attempt"])
+            cache[(r["stage"], r["bucket_id"])] = (
+                r["status"], r["attempt"], r["run_id"],
+            )
         self._state_cache = cache

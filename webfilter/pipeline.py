@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import rules, scoring, scrub
-from .manifest import DONE, RUNNING, Manifest
+from .manifest import DONE, PENDING, RUNNING, Manifest
 from .partitioning import host_col, salted_count_by_key, with_bucket
 from .tables import ParquetCatalog, latest_per_url
 
@@ -167,6 +167,10 @@ def run_filter(
     }
 
 
+#: manifest bucket id for stage-level (non-bucket) work units
+GLOBAL_UNIT = -1
+
+
 def run_near_dedup(
     spark: SparkSession,
     out_root: str,
@@ -174,6 +178,8 @@ def run_near_dedup(
     threshold: float = 0.7,
     run_id: str | None = None,
     policy: str = "greedy",
+    only_buckets: list[int] | None = None,
+    force: bool = False,
 ) -> dict:
     """Second pipeline stage: near-dup removal over the kept documents
     of the decisions table (chained via TABLE STATE, the reference's
@@ -188,9 +194,23 @@ def run_near_dedup(
     Writes:
       * ``dup_pairs``    (url_a, url_b, jaccard) lineage
       * ``kept_pages``   surviving decision rows
-    and marks every bucket DONE under manifest stage='dedup' — the
-    (stage, bucket) manifest keying exists exactly so this stage
-    cannot shadow the filter stage's resume state.
+
+    Resume granularity (VERDICT r2 #4) is split to match the work's
+    true shape:
+    * stage 'dedup_pairs', ONE global unit (bucket GLOBAL_UNIT):
+      candidate generation is legitimately corpus-global (the banding
+      self-join crosses buckets), so its unit of resume is the stage —
+      a crash mid-candidates re-runs candidates, nothing else;
+    * stage 'dedup', per bucket: survivor writes are prunable — a
+      crash mid-write resumes ONLY the buckets not yet DONE, reusing
+      the completed pairs table (``only_buckets`` simulates the crash
+      in tests, exactly like run_filter).
+
+    Drops are derived ONLY from pairs rows of the run that completed
+    the candidate stage (manifest.run_of), never from stale pairs an
+    earlier run/threshold left in other dynamic partitions
+    (ADVICE r2). ``force=True`` re-opens both stages (the re-run-with-
+    new-threshold path).
 
     Scale note: candidate generation is the banded equi-join
     (dedup.lsh_candidate_pairs), never all-pairs; the survivor
@@ -203,50 +223,82 @@ def run_near_dedup(
     catalog = ParquetCatalog(spark, out_root)
     manifest = Manifest(catalog)
 
+    from .dedup import minhash_dedup_pairs, release_cached
+
+    if force:
+        manifest.mark(run_id, "dedup_pairs", [GLOBAL_UNIT], PENDING)
+        manifest.mark(run_id, "dedup", list(range(n_buckets)), PENDING)
+
     pending = manifest.pending_buckets(n_buckets, stage="dedup")
+    if only_buckets is not None:
+        pending = [b for b in pending if b in set(only_buckets)]
+
+    # ---- stage 1: global candidate generation (unit = the stage) ----
+    pairs_recomputed = False
+    if manifest.status("dedup_pairs", GLOBAL_UNIT) != DONE:
+        manifest.mark(run_id, "dedup_pairs", [GLOBAL_UNIT], RUNNING)
+        dec_all = catalog.read("decisions").filter(F.col("keep"))
+        pairs = minhash_dedup_pairs(
+            dec_all, id_col="url", text_col="scrubbed_text", threshold=threshold
+        ).select(
+            F.col("id_a").alias("url_a"), F.col("id_b").alias("url_b"), "jaccard"
+        )
+        catalog.overwrite_partitions(
+            pairs.withColumn("run_id", F.lit(run_id)).withColumn(
+                "bucket_id", F.pmod(F.xxhash64("url_b"), F.lit(n_buckets)).cast("int")
+            ),
+            "dup_pairs",
+            "bucket_id",
+        )
+        release_cached()
+        manifest.mark(run_id, "dedup_pairs", [GLOBAL_UNIT], DONE)
+        pairs_run = run_id
+        pairs_recomputed = True
+    else:
+        pairs_run = manifest.run_of("dedup_pairs", GLOBAL_UNIT)
+
     if not pending:
-        return {"run_id": run_id, "buckets": 0, "docs_kept": 0, "dup_pairs": 0}
+        return {
+            "run_id": run_id, "buckets": 0, "docs_kept": 0, "dup_pairs": 0,
+            "pairs_recomputed": pairs_recomputed,
+        }
     manifest.mark(run_id, "dedup", pending, RUNNING)
 
-    from .dedup import minhash_dedup_pairs
-
-    dec = catalog.read("decisions").filter(F.col("keep"))
-    pairs = minhash_dedup_pairs(
-        dec, id_col="url", text_col="scrubbed_text", threshold=threshold
-    ).select(
-        F.col("id_a").alias("url_a"), F.col("id_b").alias("url_b"), "jaccard"
-    )
-    catalog.overwrite_partitions(
-        pairs.withColumn("run_id", F.lit(run_id)).withColumn(
-            "bucket_id", F.pmod(F.xxhash64("url_b"), F.lit(n_buckets)).cast("int")
-        ),
-        "dup_pairs",
-        "bucket_id",
-    )
+    # current-run pairs only: dynamic overwrite legally leaves other
+    # runs' rows in buckets this run produced no pairs for
+    cur_pairs = catalog.read("dup_pairs").filter(F.col("run_id") == pairs_run)
 
     if policy == "components":
         from .dedup import connected_components
 
-        comp = connected_components(
-            catalog.read("dup_pairs"), id_a="url_a", id_b="url_b"
-        )
+        comp = connected_components(cur_pairs, id_a="url_a", id_b="url_b")
         drops = comp.filter(F.col("id") != F.col("component")).select(
             F.col("id").alias("url")
         )
     else:
         # greedy survivor rule: url_b (the larger key) of every
         # verified pair is dropped; left-anti join keeps the rest
-        drops = catalog.read("dup_pairs").select(F.col("url_b").alias("url")).distinct()
+        drops = cur_pairs.select(F.col("url_b").alias("url")).distinct()
+
+    # ---- stage 2: per-bucket survivor writes (prunable) -------------
+    dec = catalog.read("decisions").filter(F.col("keep"))
+    if len(pending) < n_buckets:
+        dec = dec.filter(F.col("bucket_id").isin(pending))  # pushed pruning
     kept = dec.join(drops, "url", "left_anti")
+    # a pending bucket whose every row is dropped writes no partition
+    # under dynamic overwrite — clear pending partitions first so
+    # zero-survivor buckets cannot retain stale files
+    catalog.drop_partitions("kept_pages", "bucket_id", pending)
     catalog.overwrite_partitions(kept, "kept_pages", "bucket_id")
 
     n_kept = catalog.read("kept_pages").count()
-    n_pairs = catalog.read("dup_pairs").count()
+    n_pairs = cur_pairs.count()
     manifest.mark(run_id, "dedup", sorted(pending), DONE)
     return {
         "run_id": run_id,
         "buckets": len(pending),
         "docs_kept": n_kept,
         "dup_pairs": n_pairs,
+        "pairs_recomputed": pairs_recomputed,
         "wall_s": round(_time.time() - t0, 2),
     }

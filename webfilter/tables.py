@@ -168,6 +168,20 @@ class ParquetCatalog:
         table = pa.Table.from_pylist(rows, schema=schema)
         pq.write_table(table, f"{path}/part-{uuid.uuid4().hex}.parquet")
 
+    def drop_partitions(self, name: str, part_col: str, values: list) -> None:
+        """Remove whole partitions (Iceberg: DELETE WHERE part_col IN
+        (...) / REPLACE PARTITIONS; parquet fallback: rm the partition
+        dirs). Needed when a partition's NEW content may be EMPTY:
+        dynamic overwrite only replaces partitions that appear in the
+        written frame, so an all-rows-dropped bucket would otherwise
+        retain its previous files."""
+        import shutil
+
+        base = self.path(name)
+        for v in values:
+            shutil.rmtree(f"{base}/{part_col}={v}", ignore_errors=True)
+        self._log_snapshot(name, "drop_partitions", f"{part_col}:{len(values)}")
+
     def overwrite_partitions(self, df: DataFrame, name: str, part_col: str) -> None:
         """Idempotent per-partition replace — Iceberg's
         overwritePartitions(); parquet dynamic partition overwrite
