@@ -111,6 +111,44 @@ def test_lsh_probe_side_is_broadcast(spark):
     assert "Broadcast" in plan  # probes broadcast; corpus never shuffled for the join
 
 
+def test_registry_construction_is_action_free(spark):
+    """No registry query may launch a Spark job during CONSTRUCTION
+    (VERDICT r2 #5): at 10^12 rows a hidden first()/limit() probe is a
+    full-scan-shaped surprise inside what callers treat as plan-only
+    code. The one documented exception — the IVF codebook index build
+    — is warmed (and cached) before the probe."""
+    import __spark_entry__ as entry_mod
+    from webfilter import entry_queries
+
+    qs = entry_mod.queries()
+    entry_queries.q_ivf_topk(spark, SF)  # documented index-build action
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def data_jobs(group: str) -> list[str]:
+        """Jobs other than parquet footer/schema inference — that one
+        ('parquet at ...', one task per read) is bounded metadata every
+        spark.read.parquet performs, not a data probe."""
+        bad = []
+        for j in tracker.getJobIdsForGroup(group) or []:
+            info = tracker.getJobInfo(j)
+            for s in info.stageIds if info else []:
+                si = tracker.getStageInfo(s)
+                if si and not si.name.startswith("parquet at"):
+                    bad.append(f"job {j} stage '{si.name}' ({si.numTasks} tasks)")
+        return bad
+
+    try:
+        for name, fn in qs.items():
+            grp = f"construction_probe_{name}"
+            sc.setJobGroup(grp, "registry construction must be plan-only")
+            fn(spark, SF)
+            bad = data_jobs(grp)
+            assert not bad, f"{name} construction launched data jobs: {bad}"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+
 def test_minhash_candidate_join_is_equi(spark):
     """Banded LSH candidates come from a hash equi-join on the short
     (band, hash) key — a nested-loop/cartesian here means the banding

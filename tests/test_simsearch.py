@@ -126,3 +126,19 @@ def test_ivf_deterministic_codebook(spark, emb):
     import numpy as np
 
     assert np.array_equal(a, b)
+
+
+def test_ivf_sample_is_partition_order_invariant(spark, emb):
+    """VERDICT r2 #3: the codebook must train on a hash-sample, not a
+    limit() prefix — repartitioning (which scrambles which rows a
+    prefix would see) must yield the identical codebook."""
+    import numpy as np
+
+    a = simsearch.train_ivf_centroids(emb.coalesce(1), n_centroids=16, sample_cap=300)
+    b = simsearch.train_ivf_centroids(
+        emb.repartition(13, "vec_id"), n_centroids=16, sample_cap=300
+    )
+    c = simsearch.train_ivf_centroids(
+        emb.orderBy(F.col("vec_id").desc()), n_centroids=16, sample_cap=300
+    )
+    assert np.array_equal(a, b) and np.array_equal(a, c)

@@ -209,14 +209,28 @@ def train_ivf_centroids(
     sample_cap: int = 20_000,
     iters: int = 8,
     seed: int = 0xC3A7,
+    id_col: str = "vec_id",
 ):
     """Deterministic IVF codebook: Lloyd iterations in numpy over a
     bounded deterministic hash-sample of the corpus (collected to the
     driver — index BUILD is an action by nature; the sample is capped,
     never the corpus). Returns an (n_centroids, dim) float64 matrix of
-    L2-normalized centroids. Deterministic: hash-sample + splitmix64
-    init, no RNG state."""
-    sample = emb.select(vec_col).limit(sample_cap).toPandas()[vec_col]
+    L2-normalized centroids.
+
+    The sample is the ``sample_cap`` rows with the smallest
+    xxhash64(id) — a uniform subset that is invariant to partitioning
+    and file order and needs no corpus count. (A ``limit(cap)`` prefix
+    — the r2 defect — would train the codebook on whatever one
+    partition's first files contain: at 10^12 vectors that is a
+    single-shard bias.) orderBy+limit compiles to TakeOrdered (top-k
+    per partition + driver merge), not a full sort. Deterministic:
+    hash order + splitmix64 init, no RNG state."""
+    sample = (
+        emb.select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(sample_cap)
+        .toPandas()[vec_col]
+    )
     m = np.vstack(sample.to_numpy()).astype(np.float64)
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     n_centroids = min(n_centroids, len(m))
