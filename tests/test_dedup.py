@@ -213,6 +213,85 @@ def test_components_agree_with_golden_clusters(spark, near_dup_docs):
     assert n_bad == 0
 
 
+def _flood_corpus(spark, m=400, n_unique=800):
+    boiler = "breaking news local weather traffic and sports roundup for today " * 8
+    rows = [(i, boiler) for i in range(m)] + [
+        (100_000 + i, f"unique article number {i} covering topic {i*7} with details {i*13} and more")
+        for i in range(n_unique)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_collapse_exact_is_linear_on_boilerplate(spark):
+    """VERDICT r2 #10: m byte-identical docs must cost m-1 star pairs,
+    not an m^2/2 clique through one hot band bucket — the quadratic
+    blowup is join OUTPUT, invisible to AQE's input-size skew split,
+    so the guard is structural."""
+    m = 400
+    docs = _flood_corpus(spark, m=m)
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.6, collapse_exact=True)
+    flood = pairs.filter((F.col("id_a") < 100_000) & (F.col("id_b") < 100_000))
+    assert flood.count() == m - 1  # star, not clique (m(m-1)/2 = 79800)
+    # rep = min doc_id, every member pairs to it at jaccard exactly 1.0
+    assert flood.filter((F.col("id_a") != 0) | (F.col("jaccard") != 1.0)).count() == 0
+    dedup.release_cached()
+
+
+def test_minhash_collapse_survivors_match_plain_path(spark):
+    """Collapsed and plain pipelines must produce the SAME survivor
+    sets under both policies (the star pairs carry exactly the drop
+    information of the clique)."""
+    rows = (
+        [(i, "alpha beta gamma delta epsilon zeta eta theta " * 6) for i in (1, 2, 3)]
+        + [(j, "alpha beta gamma delta epsilon zeta eta theta iota " * 6) for j in (10, 11)]
+        + [(50 + i, f"totally different text about {i} and {i*3} things") for i in range(8)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = dedup.minhash_dedup_pairs(docs, k=2, threshold=0.5)
+    coll = dedup.minhash_dedup_pairs(docs, k=2, threshold=0.5, collapse_exact=True)
+
+    def greedy_kept(pairs):
+        drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        return {r["doc_id"] for r in docs.join(drops, "doc_id", "left_anti").collect()}
+
+    assert greedy_kept(plain) == greedy_kept(coll)
+    kp = {r["doc_id"] for r in dedup.component_survivors(docs, plain).collect()}
+    kc = {r["doc_id"] for r in dedup.component_survivors(docs, coll).collect()}
+    assert kp == kc
+    assert coll.count() < plain.count()  # star < clique on the exact groups
+    dedup.release_cached()
+
+
+def test_aqe_splits_genuinely_skewed_input(spark):
+    """Documented AQE observation (VERDICT r2 #10): for INPUT skew —
+    one join key holding most rows — AQE's skew-join split engages
+    (SortMergeJoin(skew=true)). Thresholds are lowered to make the
+    test corpus register; production sizes cross the defaults."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 60_000).select(
+            F.when(F.col("id") % 10 < 8, F.lit(0)).otherwise(F.col("id") % 97).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id")).alias("pad"),
+        )
+        right = spark.range(0, 97).select(F.col("id").alias("k"), F.lit("r").alias("tag"))
+        j = left.join(right, "k")
+        assert len(j.collect()) == 60_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1200]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
 def test_kernels_tolerate_null_text(spark):
     """ADVICE r2: NULL text reaches the pandas kernels as None — both
     signature paths must survive it (the explode fallback always did),

@@ -194,3 +194,19 @@ def test_scrub_parity_tricky_boundaries(spark):
     got = {r["text"]: r["s"] for r in df.select("text", scrubbed_col(F.col("text")).alias("s")).collect()}
     for t in texts:
         assert got[t] == scrub_one(t)[0], repr(t)
+
+
+def test_hspace_fast_path_matches_reference():
+    """Round-3 kernel experiment: the translate + ' {2,}' collapse
+    must stay byte-identical to the _HSPACE reference regex on
+    arbitrary whitespace mixes (the old single regex matched every
+    inter-word space — 65% of the kernel's regex budget)."""
+    import random
+
+    from webfilter.kernels.extract import _HSPACE, _HSPACE_TR, _SP_RUN
+
+    random.seed(31)
+    chars = " \t\r\f\v ab\n"
+    for _ in range(30000):
+        s = "".join(random.choice(chars) for _ in range(random.randint(0, 40)))
+        assert _HSPACE.sub(" ", s) == _SP_RUN.sub(" ", s.translate(_HSPACE_TR)), repr(s)

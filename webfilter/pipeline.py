@@ -238,8 +238,14 @@ def run_near_dedup(
     if manifest.status("dedup_pairs", GLOBAL_UNIT) != DONE:
         manifest.mark(run_id, "dedup_pairs", [GLOBAL_UNIT], RUNNING)
         dec_all = catalog.read("decisions").filter(F.col("keep"))
+        # collapse_exact: byte-identical docs route through one
+        # representative, so a boilerplate flood of m copies costs m-1
+        # star pairs instead of an m^2/2 candidate blowup through one
+        # hot band key (which AQE cannot split — the skew is in join
+        # OUTPUT, not input; see dedup.minhash_dedup_pairs)
         pairs = minhash_dedup_pairs(
-            dec_all, id_col="url", text_col="scrubbed_text", threshold=threshold
+            dec_all, id_col="url", text_col="scrubbed_text", threshold=threshold,
+            collapse_exact=True,
         ).select(
             F.col("id_a").alias("url_a"), F.col("id_b").alias("url_b"), "jaccard"
         )
