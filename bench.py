@@ -237,6 +237,11 @@ def main() -> None:
         "join_outer_agg",
         "events_hourly",
         "posexplode_lines",
+        "decontaminate_ngrams",
+        "frequent_terms",
+        "bloom_anti_frontier",
+        "pack_sequences",
+        "events_running_totals",
     ]
     for name in bench_queries:
         best_q = float("inf")

@@ -1,0 +1,207 @@
+"""Training-prep operators: bloom-routed anti-join exactness and
+pruning, frequent-terms guarantee, decontamination semantics, packing
+invariants, split stability, HLL sketch error bounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from webfilter.trainprep import (
+    bloom_anti_join,
+    dataset_split_col,
+    decontaminate,
+    frequent_terms,
+    ngram_strings_col,
+    pack_sequences,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("d%03d" % i, ("alpha beta gamma delta epsilon zeta " * (1 + i % 4)).strip())
+        for i in range(40)
+    ] + [
+        ("short1", "one two"),
+        ("empty1", ""),
+        ("ws1", "   "),
+        ("uniq1", "completely unshared vocabulary sentence here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+# ------------------------------------------------------------- bloom
+
+
+def test_bloom_anti_join_equals_plain_anti(spark):
+    probe = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(500)] + [(None, -1)], "k string, v int"
+    )
+    build = spark.createDataFrame([(f"k{i}",) for i in range(0, 500, 5)], "k string")
+    got = bloom_anti_join(probe, build, "k", m_bits=1 << 12)
+    want = probe.join(build, "k", "left_anti")
+    g = {(r.k, r.v) for r in got.collect()}
+    w = {(r.k, r.v) for r in want.collect()}
+    assert g == w
+    assert (None, -1) in g  # NULL keys survive anti-join
+
+
+def test_bloom_definite_path_prunes(spark):
+    """Most non-members must exit via the bloom's definite-miss path —
+    i.e. the exact anti-join only sees the maybe sliver. Measured by
+    counting rows that pass the membership test."""
+    from webfilter.trainprep import _bloom_positions
+
+    probe = spark.createDataFrame([(f"p{i}",) for i in range(2000)], "k string")
+    build = spark.createDataFrame([(f"b{i}",) for i in range(100)], "k string")
+    out = bloom_anti_join(probe, build, "k", m_bits=1 << 16)
+    assert out.count() == 2000  # disjoint keys: everything kept
+    # false-positive rate at m=65536, n=100, k=5 is ~0 — verify the
+    # bloom would have routed nearly everything to the definite path
+    # by re-deriving the membership bits on the same bloom
+    n_words = (1 << 16) // 64
+    import numpy as np
+
+    bitmap = np.zeros(n_words, dtype=np.uint64)
+    pos_rows = build.select(
+        F.array(*_bloom_positions(F.col("k"), 1 << 16)).alias("pos")
+    ).collect()
+    for r in pos_rows:
+        p = np.array(r.pos, dtype=np.uint64)
+        np.bitwise_or.at(bitmap, p >> np.uint64(6), np.uint64(1) << (p & np.uint64(63)))
+    probe_pos = probe.select(
+        F.array(*_bloom_positions(F.col("k"), 1 << 16)).alias("pos")
+    ).collect()
+    maybes = sum(
+        all((bitmap[p >> 6] >> np.uint64(p & 63)) & np.uint64(1) for p in r.pos)
+        for r in probe_pos
+    )
+    assert maybes < 20  # <1% of 2000 reach the exact join
+
+
+def test_bloom_empty_build_keeps_everything(spark):
+    probe = spark.createDataFrame([("a",), ("b",)], "k string")
+    build = spark.createDataFrame([], "k string")
+    assert bloom_anti_join(probe, build, "k", m_bits=1 << 10).count() == 2
+
+
+# ---------------------------------------------------- frequent terms
+
+
+def test_frequent_terms_matches_exact_groupby(spark, docs):
+    got = {(r.term, r.cnt) for r in frequent_terms(docs, min_per_mille=20).collect()}
+    toks = docs.select(
+        F.explode(
+            F.when(
+                F.length(F.trim("text")) > 0,
+                F.split(F.trim(F.lower("text")), r"\s+"),
+            )
+        ).alias("term")
+    )
+    total = toks.count()
+    want = {
+        (r.term, r.cnt)
+        for r in toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") * 1000 >= 20 * total)
+        .collect()
+    }
+    assert got == want and len(want) >= 3
+
+
+def test_frequent_terms_rare_term_excluded(spark, docs):
+    terms = {r.term for r in frequent_terms(docs, min_per_mille=20).collect()}
+    assert "unshared" not in terms and "completely" not in terms
+
+
+# ---------------------------------------------------- decontaminate
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    bench = spark.createDataFrame(
+        [("b1", "the quick brown fox jumps over the lazy dog")],
+        "doc_id string, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            ("c1", "I saw the quick brown fox yesterday"),  # shares 3-grams
+            ("c2", "nothing in common at all whatsoever"),
+            ("c3", "fox jumps over fences"),  # shares "fox jumps over"
+            ("c4", "quick brown"),  # < 3 tokens of overlap run: "quick brown" only 2
+        ],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r.n_contaminated for r in decontaminate(corpus, bench, n=3).collect()}
+    assert got == {"c1": 2, "c3": 1}  # c1: "the quick brown","quick brown fox"
+
+
+def test_ngram_col_short_docs_empty(spark):
+    df = spark.createDataFrame(
+        [("a", "one two"), ("b", ""), ("c", "x y z")], "doc_id string, text string"
+    )
+    out = {
+        r.doc_id: r.g
+        for r in df.select(
+            "doc_id", ngram_strings_col(F.col("text"), 3).alias("g")
+        ).collect()
+    }
+    assert out["a"] == [] and out["b"] == [] and out["c"] == ["x y z"]
+
+
+# -------------------------------------------------------- packing
+
+
+def test_pack_sequences_offsets_and_spans(spark):
+    df = spark.createDataFrame(
+        [("a", "w " * 300), ("b", "w " * 300), ("c", "w " * 100)],
+        "doc_id string, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in pack_sequences(df, capacity=256, n_buckets=1).collect()
+    }
+    # bucket 0 for all (n_buckets=1); order a, b, c; cum = 300, 600, 700
+    assert out["a"].pack_id == 0 and out["a"].start_off == 0 and out["a"].spans_packs
+    assert out["b"].pack_id == 1 and out["b"].start_off == 44 and out["b"].spans_packs
+    assert out["c"].pack_id == 2 and out["c"].start_off == 88
+    assert not out["c"].spans_packs  # 600..700 stays inside pack 2 (512..768)
+
+
+def test_pack_sequences_partition_invariant(spark, docs):
+    a = pack_sequences(docs, capacity=64).orderBy("doc_id").collect()
+    b = pack_sequences(docs.repartition(7), capacity=64).orderBy("doc_id").collect()
+    assert a == b
+
+
+# ---------------------------------------------------------- splits
+
+
+def test_dataset_split_stable_under_growth(spark):
+    base = spark.createDataFrame([(f"d{i}",) for i in range(200)], "doc_id string")
+    grown = spark.createDataFrame([(f"d{i}",) for i in range(400)], "doc_id string")
+    s1 = {
+        r.doc_id: r.s
+        for r in base.select("doc_id", dataset_split_col(F.col("doc_id")).alias("s")).collect()
+    }
+    s2 = {
+        r.doc_id: r.s
+        for r in grown.select("doc_id", dataset_split_col(F.col("doc_id")).alias("s")).collect()
+    }
+    assert all(s2[k] == v for k, v in s1.items())
+    frac_train = sum(v == "train" for v in s2.values()) / len(s2)
+    assert 0.7 < frac_train < 0.9
+
+
+# ------------------------------------------------------------- HLL
+
+
+def test_hll_sketch_union_close_to_exact(spark):
+    df = spark.createDataFrame(
+        [(f"id{i}", "s%d" % (i % 4)) for i in range(5000)], "doc_id string, source string"
+    )
+    per_source = df.groupBy("source").agg(F.hll_sketch_agg("doc_id").alias("sk"))
+    est = per_source.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).first().e
+    assert abs(est - 5000) / 5000 < 0.05

@@ -1242,6 +1242,250 @@ def q_winnow_fingerprints(spark, sf_dir):
     )
 
 
+# ---------------------------------------------- training-prep operators
+# (webfilter/trainprep.py — the post-filter stages of a pretraining
+# pipeline: decontamination, vocabulary heavy hitters, bloom-routed
+# frontier anti-join, sequence packing, dataset splits)
+
+# lowercased token-array expr for DuckDB oracles (parallel to _TOKS)
+_TOKS_LOWER = (
+    "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
+    f"ELSE regexp_split_to_array(trim(lower(text)), '{_WS}+') END"
+)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs sharing any word
+    3-gram with a (pretend) benchmark suite — here a deterministic
+    md5-sampled slice of the corpus standing in for the eval set, so
+    hits are guaranteed and cross-engine reproducible. Probe side
+    excludes the benchmark docs themselves."""
+    from .trainprep import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    bench = docs.filter(h % 37 == 0)
+    probe = docs.filter(h % 37 != 0)
+    return decontaminate(probe, bench, n=3)
+
+
+SQL_DECONTAMINATE = f"""
+WITH h AS (
+  SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 37 AS hh
+  FROM documents),
+bg AS (
+  SELECT DISTINCT array_to_string(tk[u.i : u.i + 2], ' ') AS gram
+  FROM (SELECT {_TOKS_LOWER} AS tk FROM h WHERE hh = 0) t,
+    UNNEST(range(1, greatest(len(tk) - 3, 0) + 2)) AS u(i)
+  WHERE len(tk) >= 3),
+dg AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[u.i : u.i + 2], ' ') AS gram
+  FROM (SELECT doc_id, {_TOKS_LOWER} AS tk FROM h WHERE hh <> 0) t,
+    UNNEST(range(1, greatest(len(tk) - 3, 0) + 2)) AS u(i)
+  WHERE len(tk) >= 3)
+SELECT doc_id, count(*)::BIGINT AS n_contaminated
+FROM dg JOIN bg USING (gram)
+GROUP BY doc_id
+"""
+
+
+def q_frequent_terms(spark, sf_dir):
+    """Exact vocabulary heavy hitters (>= 2 per-mille of all token
+    occurrences) via local-threshold candidates + broadcast exact
+    verify — the full zipf-tail vocabulary never shuffles."""
+    from .trainprep import frequent_terms
+
+    return frequent_terms(_docs(spark, sf_dir), min_per_mille=2)
+
+
+SQL_FREQUENT_TERMS = f"""
+WITH toks AS (
+  SELECT u.term FROM (
+    SELECT list_transform({_TOKS_LOWER}, x -> struct_pack(term := x)) AS z
+    FROM documents), UNNEST(z) AS s(u)),
+tot AS (SELECT count(*) AS total FROM toks)
+SELECT term, count(*)::BIGINT AS cnt
+FROM toks, tot
+GROUP BY term, tot.total
+HAVING count(*) * 1000 >= 2 * tot.total
+"""
+
+
+def q_bloom_anti_frontier(spark, sf_dir):
+    """Frontier anti-join routed through a distributed Bloom filter:
+    'which docs are NOT yet in the processed set' where the bloom's
+    definite-miss verdict short-circuits the shuffle for ~all new
+    docs. Result is EXACTLY the plain anti-join (oracle-checked);
+    the bloom only routes."""
+    from .trainprep import bloom_anti_join
+
+    docs = _docs(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    processed = docs.filter(h % 7 == 0).select("doc_id")
+    return bloom_anti_join(
+        docs.select("doc_id", "lang"), processed, "doc_id", m_bits=1 << 16
+    )
+
+
+SQL_BLOOM_ANTI = """
+SELECT doc_id, lang FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents p
+  WHERE ('0x' || substr(md5(p.doc_id::VARCHAR), 1, 8))::BIGINT % 7 = 0
+    AND p.doc_id = d.doc_id)
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing: concatenation order + pack
+    boundaries per md5-bucket shard (each shard packs independently
+    in parallel — the sharded .bin layout of real training stacks)."""
+    from .trainprep import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), capacity=512)
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH d AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16 AS pack_bucket,
+    len({_TOKS})::BIGINT AS n_tokens
+  FROM documents),
+w AS (
+  SELECT *, sum(n_tokens) OVER (
+      PARTITION BY pack_bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+    ) AS cum
+  FROM d)
+SELECT doc_id, pack_bucket, n_tokens,
+  ((cum - n_tokens) // 512)::BIGINT AS pack_id,
+  ((cum - n_tokens) % 512)::BIGINT AS start_off,
+  (n_tokens > 0 AND (cum - 1) // 512 > (cum - n_tokens) // 512) AS spans_packs
+FROM w
+"""
+
+
+def q_dataset_split_counts(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split from a content-id
+    hash (stable under corpus growth, unlike randomSplit), summarized
+    per split x lang."""
+    from .trainprep import dataset_split_col
+
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("split", dataset_split_col(F.col("doc_id")))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            r6(F.avg("n_chars")).alias("avg_chars"),
+        )
+    )
+
+
+SQL_DATASET_SPLIT = """
+WITH s AS (
+  SELECT lang, n_chars,
+    CASE
+      WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80
+        THEN 'train'
+      WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
+        THEN 'val'
+      ELSE 'test'
+    END AS split
+  FROM documents)
+SELECT split, lang, count(*)::BIGINT AS n_docs,
+  round(avg(n_chars), 6) AS avg_chars
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_events_running_totals(spark, sf_dir):
+    """lag/lead + running/windowed sums per user ordered by event
+    time (SURVEY §2 window-function family beyond rank). Sums run on
+    DECIMAL(18,6) so the running accumulation is exact and engine-
+    independent (double window sums associate differently between
+    Spark's running accumulator and DuckDB's segment tree)."""
+    ev = _tbl(spark, sf_dir, "events")
+    dv = F.round(F.col("value"), 6).cast("decimal(18,6)")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wmov = w.rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag(r6(F.col("value"))).over(w).alias("prev_value"),
+        F.lead(r6(F.col("value"))).over(w).alias("next_value"),
+        F.sum(dv).over(wrun).cast("double").alias("running_sum"),
+        F.sum(dv).over(wmov).cast("double").alias("moving_sum3"),
+    )
+
+
+SQL_RUNNING_TOTALS = """
+SELECT event_id, user_id,
+  lag(round(value, 6)) OVER w AS prev_value,
+  lead(round(value, 6)) OVER w AS next_value,
+  CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum,
+  CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_string_agg_docs(spark, sf_dir):
+    """Ordered string_agg per group (collect_list -> array_sort ->
+    concat_ws). Grouped collection is inherently bounded-per-group;
+    the md5 sample bounds it here, and the docstring contract is
+    'small groups only' — unbounded text concat per group is a
+    driver-OOM shape at 100 TB."""
+    docs = _docs(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        docs.filter(h % 11 == 0)
+        .groupBy("lang")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("doc_id"))).alias("doc_ids"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+SQL_STRING_AGG = """
+SELECT lang, string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids,
+  count(*)::BIGINT AS n_docs
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 11 = 0
+GROUP BY lang
+"""
+
+
+def q_approx_distinct_terms(spark, sf_dir):
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg/hll_union_agg): per-(lang, source) sketches are
+    built in one pass, then UNIONED per lang — the two-level
+    aggregation that lets 100 TB daily partitions keep mergeable
+    sketches instead of re-scanning history. Estimates are model-
+    based -> no SQL oracle; tests/test_trainprep.py bounds relative
+    error vs exact count_distinct."""
+    docs = _docs(spark, sf_dir)
+    per_source = docs.groupBy("lang", "source").agg(
+        F.hll_sketch_agg(F.col("doc_id")).alias("sk")
+    )
+    return (
+        per_source.groupBy("lang")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("approx_docs"))
+        .select("lang", F.col("approx_docs").cast("bigint").alias("approx_docs"))
+    )
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
@@ -1297,4 +1541,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "media_decode_meta": (q_media_decode_meta, None),
     "media_frame_sample": (q_media_frame_sample, None),
     "media_audio_meta": (q_media_audio_meta, None),
+    "decontaminate_ngrams": (q_decontaminate, SQL_DECONTAMINATE),
+    "frequent_terms": (q_frequent_terms, SQL_FREQUENT_TERMS),
+    "bloom_anti_frontier": (q_bloom_anti_frontier, SQL_BLOOM_ANTI),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "dataset_split_counts": (q_dataset_split_counts, SQL_DATASET_SPLIT),
+    "events_running_totals": (q_events_running_totals, SQL_RUNNING_TOTALS),
+    "string_agg_docs": (q_string_agg_docs, SQL_STRING_AGG),
+    "approx_distinct_terms": (q_approx_distinct_terms, None),
 }

@@ -1,0 +1,325 @@
+"""Training-data preparation operators beyond the reference's surface:
+benchmark decontamination, guaranteed-superset frequent terms, bloom-
+prefiltered anti-join, sequence packing, deterministic dataset splits.
+
+These are the ops a 100 TB pretraining pipeline runs after quality
+filtering (the reference stops at curation + chunking,
+03_process_and split_dataset.py; everything here is beyond-reference
+scope, designed Spark-first):
+
+* every operator is exact — sketches/filters only generate CANDIDATE
+  supersets that are then verified with an exact join, so each one is
+  DuckDB-oracle-checkable;
+* nothing collects unbounded data to the driver, and nothing runs a
+  Spark action at DataFrame-construction time (plan-composition only);
+* the only Python crossing is the bloom bitmap builder (numpy batch
+  kernel behind mapInPandas — the map-side-combine shape); membership
+  probes, n-gram generation, packing and splits are pure Column
+  algebra that stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ngram_strings_col",
+    "decontaminate",
+    "frequent_terms",
+    "bloom_anti_join",
+    "pack_sequences",
+    "dataset_split_col",
+]
+
+# Java \s class, spelled out (matches the oracle's explicit class; see
+# entry_queries._WS for why \s differs between RE2 and Java).
+_WS_SPLIT = r"\s+"
+
+
+def ngram_strings_col(text: Column, n: int) -> Column:
+    """Distinct word n-grams of lower(text) as space-joined strings.
+
+    Shifted-slice arrays_zip form (see textstats.py:104 for why a
+    slice captured inside a transform lambda is O(tokens^2): Catalyst
+    does no CSE inside HOF lambdas). Docs with < n tokens yield [] —
+    a doc too short to contain a full n-gram cannot be contaminated
+    by one.
+    """
+    toks = F.split(F.trim(F.lower(text)), _WS_SPLIT)
+    m = F.size(toks) - n + 1
+    z = F.arrays_zip(*[F.slice(toks, j + 1, m).alias(f"t{j}") for j in range(n)])
+    grams = F.transform(z, lambda s: F.concat_ws(" ", *[s[f"t{j}"] for j in range(n)]))
+    empty = F.array().cast("array<string>")
+    return F.when(m >= 1, F.array_distinct(grams)).otherwise(empty)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: for each corpus doc, count distinct
+    word n-grams it shares with any benchmark document (the
+    GPT-3/PaLM-style n-gram-overlap test used to drop eval leakage
+    from pretraining corpora).
+
+    Returns (id_col, n_contaminated) for docs with >= 1 hit.
+
+    Scale shape: benchmark suites are tiny next to the corpus (10^4-5
+    docs vs 10^12), so the distinct benchmark-gram set is BROADCAST
+    and the corpus-side explode feeds a broadcast semi-join + partial
+    count — the 100 TB side never shuffles; the only wide exchange is
+    the per-doc hit count over the (rare) contaminated rows. At even
+    larger benchmark sets, hash grams to int64 first (xxhash64) to
+    cut broadcast bytes ~6x; the string form is kept here because it
+    is cross-engine checkable.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(ngram_strings_col(F.col(text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(ngram_strings_col(F.col(text_col), n)).alias("gram"),
+    )
+    hits = doc_grams.join(F.broadcast(bench_grams), "gram", "inner")
+    return hits.groupBy(id_col).agg(
+        F.count_distinct("gram").cast("bigint").alias("n_contaminated")
+    )
+
+
+def frequent_terms(
+    docs: DataFrame,
+    min_per_mille: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT heavy hitters: terms occurring in >= min_per_mille/1000
+    of all token occurrences, with exact counts — without ever
+    shuffling the full vocabulary.
+
+    Two phases (SpaceSaving-style candidates + exact verify):
+
+    1. candidates: within each batch, keep terms with local count
+       >= f * batch_tokens (f = min_per_mille/1000). Pigeonhole
+       guarantee: if a term's GLOBAL frequency >= f, some batch has
+       local frequency >= f (if count_i < f*N_i for every i, summing
+       gives count < f*N). So candidates ⊇ true heavy hitters, and
+       each batch emits <= 1/f candidates (bounded, tiny).
+    2. verify: broadcast the candidate set, semi-join the exploded
+       token stream against it, and count exactly. Only candidate
+       occurrences reach the shuffle — the full vocabulary (zipf
+       tail, billions of rare terms at 100 TB) never does.
+
+    The threshold compare is integer math (cnt * 1000 >= total), so
+    it is bit-exact across engines — the oracle recomputes both sides
+    from scratch with a full GROUP BY and must agree row-for-row.
+    """
+    f = min_per_mille / 1000.0
+    toks = F.split(F.trim(F.lower(F.col(text_col))), _WS_SPLIT)
+    terms = docs.select(
+        F.explode(F.when(F.length(F.trim(F.col(text_col))) > 0, toks)).alias("term")
+    )
+
+    def local_heavy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            counts = b["term"].value_counts()
+            keep = counts[counts >= f * len(b)]
+            if len(keep):
+                yield pd.DataFrame({"term": keep.index})
+
+    candidates = (
+        terms.mapInPandas(local_heavy, "term string").distinct()
+    )
+    total = terms.agg(F.count(F.lit(1)).alias("_total_tokens"))
+    exact = (
+        terms.join(F.broadcast(candidates), "term", "inner")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 1000 >= F.lit(min_per_mille) * F.col("_total_tokens"))
+        .select("term", "cnt")
+    )
+
+
+# ------------------------------------------------------------- bloom
+
+_BLOOM_K = 5  # hash functions
+
+
+def _bloom_positions(key: Column, m_bits: int) -> list[Column]:
+    """k bit positions for a key — xxhash64(key, i) mod m, computed
+    JVM-side so build and probe use the identical hash family (no
+    Python reimplementation of Spark's XXH64 to keep in sync)."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)).cast("long")
+        for i in range(_BLOOM_K)
+    ]
+
+
+def bloom_anti_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    m_bits: int = 1 << 17,
+) -> DataFrame:
+    """probe ANTI JOIN build on `key`, EXACTLY — but routed through a
+    Bloom filter so only probe rows the filter cannot clear pay for
+    the real join.
+
+    Why this matters at 100 TB: a plain anti-join shuffles the entire
+    probe side on the key. Here the bloom's "definitely absent"
+    verdict (no false negatives) lets ~all unmatched rows exit
+    map-side; only the maybe-present sliver (true matches + false
+    positives, tunable via m_bits) is exactly anti-joined. This is
+    the runtime-row-level-filtering idea Spark applies to equi-joins,
+    expressed as a reusable operator for anti semantics.
+
+    Plan shape (no driver action, no collect):
+      build:  JVM hash positions -> numpy batch kernel sets bits ->
+              one partial bitmap row per Arrow batch (map-side
+              combine) -> single-row OR-reduce via aggregate/zip_with
+      probe:  crossJoin(single bitmap row — auto-broadcast) -> pure
+              Column bit tests -> definite-misses kept directly;
+              maybes exactly anti-joined -> union.
+
+    NULL probe keys are kept (anti-join semantics: NULL never equals
+    any build key).
+    """
+    n_words = m_bits // 64
+    pos_df = build.select(F.array(*_bloom_positions(F.col(key), m_bits)).alias("pos"))
+
+    def build_bitmap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for b in batches:
+            if not len(b):
+                continue
+            bitmap = np.zeros(n_words, dtype=np.uint64)
+            pos = np.concatenate(b["pos"].to_numpy()).astype(np.uint64)
+            np.bitwise_or.at(
+                bitmap, (pos >> np.uint64(6)), np.uint64(1) << (pos & np.uint64(63))
+            )
+            yield pd.DataFrame({"bitmap": [bitmap.astype(np.int64).tolist()]})
+
+    partials = pos_df.mapInPandas(build_bitmap, "bitmap array<long>")
+    zeros = F.array_repeat(F.lit(0).cast("long"), n_words)
+    bloom = partials.agg(
+        F.aggregate(
+            F.collect_list("bitmap"),
+            zeros,
+            lambda acc, bm: F.zip_with(acc, bm, lambda a, b: a.bitwiseOR(b)),
+        ).alias("_bloom")
+    )
+
+    probed = probe.crossJoin(F.broadcast(bloom))
+    tests = [
+        F.getbit(
+            F.element_at(F.col("_bloom"), F.shiftright(p, 6).cast("int") + 1),
+            p.bitwiseAND(63),
+        )
+        == 1
+        for p in _bloom_positions(F.col(key), m_bits)
+    ]
+    might_contain = F.col(key).isNotNull()
+    for t in tests:
+        might_contain = might_contain & t
+    definite_out = probed.filter(~might_contain).drop("_bloom")
+    maybe = (
+        probed.filter(might_contain)
+        .drop("_bloom")
+        .join(build.select(key), key, "left_anti")
+    )
+    return definite_out.unionByName(maybe)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Deterministic sequence packing for pretraining batches:
+    documents are concatenated in a fixed order and cut into
+    fixed-capacity token windows; each doc learns which pack it
+    starts in and whether it crosses a pack boundary (the standard
+    "packed sequences with document breaks" layout — docs are split
+    across packs rather than bin-packed, so the layout is a pure
+    prefix-sum, fully parallel and restart-stable).
+
+    A GLOBAL concatenation order would serialize the window into one
+    partition, so packing is scoped per (md5-bucket) stream — at
+    cluster scale each bucket is an independent shard packed in
+    parallel, exactly like sharded .bin files in real training
+    stacks. Deterministic: bucket and order derive from content ids,
+    never from partition layout.
+
+    Output: id_col, pack_bucket, n_tokens, pack_id (per bucket),
+    start_off (token offset of this doc inside its pack), spans_packs.
+    """
+    toks = F.split(F.trim(F.col(text_col)), _WS_SPLIT)
+    n_tokens = (
+        F.when(F.length(F.trim(F.col(text_col))) > 0, F.size(toks))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % n_buckets
+    )
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        docs.select(
+            F.col(id_col),
+            bucket.alias("pack_bucket"),
+            n_tokens.alias("n_tokens"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("start_off", (F.col("cum") - F.col("n_tokens")) % capacity)
+        .withColumn(
+            "pack_id", ((F.col("cum") - F.col("n_tokens")) / capacity).cast("bigint")
+        )
+        .withColumn(
+            "spans_packs",
+            (F.col("n_tokens") > 0)
+            & (
+                ((F.col("cum") - 1) / capacity).cast("bigint") > F.col("pack_id")
+            ),
+        )
+        .drop("cum")
+    )
+    return out
+
+
+def dataset_split_col(id_col: Column, train: int = 80, val: int = 10) -> Column:
+    """Deterministic train/val/test assignment from a content-id hash
+    (md5 prefix — cross-engine, unlike xxhash64): reproducible across
+    runs, engines and cluster sizes, and stable under corpus growth
+    (a doc's split never changes when other docs are added — the
+    property RNG-based randomSplit lacks)."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("bigint")
+    pct = h % 100
+    return (
+        F.when(pct < train, F.lit("train"))
+        .when(pct < train + val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
