@@ -115,6 +115,54 @@ def test_stateful_url_dedup_across_batches(spark, tmp_path):
     assert len(per_url["http://a/3"]) == 1
 
 
+def test_watermarked_dedup_drops_cross_batch_replays(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: an exact (url, warc_ts) replay
+    arriving in a LATER micro-batch inside the watermark window is
+    dropped; distinct captures of the same url both pass."""
+    import shutil
+
+    src = tmp_path / "src"
+    rows1 = [
+        ("http://w/1", "2024-01-01 00:10:00", b"v1", None, "en"),
+        ("http://w/2", "2024-01-01 00:11:00", b"v1", None, "en"),
+    ]
+    rows2 = [
+        ("http://w/1", "2024-01-01 00:10:00", b"v1", None, "en"),  # exact replay
+        ("http://w/1", "2024-01-01 00:12:00", b"v2", None, "en"),  # new capture
+        ("http://w/3", "2024-01-01 00:12:30", b"v1", None, "en"),
+    ]
+
+    def _write(rows, name):
+        (
+            spark.createDataFrame(
+                rows, "url string, warc_ts string, html binary, text string, lang string"
+            )
+            .withColumn("warc_ts", F.to_timestamp("warc_ts"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(src / name))
+        )
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for name, rows in [("b1", rows1), ("b2", rows2)]:
+        _write(rows, name)
+        for f in (src / name).glob("*.parquet"):
+            shutil.copy(f, flat / f"{name}.parquet")
+
+    streaming.run_watermarked_dedup_stream(
+        spark, str(flat), "wm_dedup_feed", str(tmp_path / "cp"), max_files=1
+    )
+    feed = spark.sql("SELECT url, warc_ts FROM wm_dedup_feed").collect()
+    got = sorted((r.url, r.warc_ts.isoformat()) for r in feed)
+    assert got == [
+        ("http://w/1", "2024-01-01T00:10:00"),
+        ("http://w/1", "2024-01-01T00:12:00"),
+        ("http://w/2", "2024-01-01T00:11:00"),
+        ("http://w/3", "2024-01-01T00:12:30"),
+    ]
+
+
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     """The watermarked stream-stream interval join must produce
     exactly the pairs the equivalent batch join produces (no late data

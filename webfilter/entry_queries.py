@@ -1259,7 +1259,14 @@ def q_decontaminate(spark, sf_dir):
     3-gram with a (pretend) benchmark suite — here a deterministic
     md5-sampled slice of the corpus standing in for the eval set, so
     hits are guaranteed and cross-engine reproducible. Probe side
-    excludes the benchmark docs themselves."""
+    excludes the benchmark docs themselves.
+
+    Local-bench note: the corpus side is map-only (broadcast join, no
+    shuffle), so parallelism == input splits; the sf tables are one
+    parquet split, so local wall time is one core's scan+ngram cost.
+    At real scale the table has thousands of splits and this op
+    parallelizes linearly — deliberately NO repartition() here (it
+    would shuffle the full corpus just to help a toy layout)."""
     from .trainprep import decontaminate
 
     docs = _docs(spark, sf_dir)

@@ -171,6 +171,48 @@ def run_stateful_dedup_stream(
     return q
 
 
+def watermarked_exact_dedup(
+    pages_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Built-in bounded-state exact replay dedup:
+    `dropDuplicatesWithinWatermark` keys state by (url, warc_ts) and
+    EXPIRES each key once the event-time watermark passes it — the
+    state-GC'd form of dropDuplicates an infinite stream needs (plain
+    streaming dropDuplicates keeps every key forever; at web-crawl
+    rates that state grows without bound).
+
+    Complements stateful_url_dedup: this drops exact replays from
+    at-least-once sources (the same WARC capture delivered twice)
+    with bounded state; the custom stateful op implements
+    latest-WINS semantics with one long of state per url. A real
+    ingest chains both: replay-drop first, then latest-wins merge.
+    """
+    return (
+        pages_stream.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["url", "warc_ts"])
+        .select("url", "warc_ts", "lang")
+    )
+
+
+def run_watermarked_dedup_stream(
+    spark: SparkSession, src_path: str, out_table: str, checkpoint: str, max_files: int = 1
+):
+    """Drain the file stream through the watermark-bounded dedup into
+    an in-memory sink (tests); production sink = Iceberg append."""
+    q = (
+        watermarked_exact_dedup(read_pages_stream(spark, src_path, max_files))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -92,8 +92,10 @@ def decontaminate(
         F.explode(ngram_strings_col(F.col(text_col), n)).alias("gram"),
     )
     hits = doc_grams.join(F.broadcast(bench_grams), "gram", "inner")
+    # grams are already distinct per doc (array_distinct upstream), so
+    # a plain count IS the distinct-gram count — no second dedup pass
     return hits.groupBy(id_col).agg(
-        F.count_distinct("gram").cast("bigint").alias("n_contaminated")
+        F.count(F.lit(1)).cast("bigint").alias("n_contaminated")
     )
 
 
