@@ -346,3 +346,32 @@ def test_connected_components_warns_on_non_convergence(spark):
         labels = {r["component"] for r in comp.collect()}
     assert labels == {1}
     assert not any("did not converge" in str(r.message) for r in rec2)
+
+
+def test_remove_duplicate_spans_cuts_cross_doc_boilerplate(spark):
+    """C4-style span dedup: a 4-token chunk shared by >=2 docs is cut
+    from every doc; partial tail chunks are never boilerplate even
+    when textually identical across docs."""
+    from webfilter.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            ("a", "subscribe to our newsletter now unique alpha words here"),
+            ("b", "subscribe to our newsletter now totally different tail text"),
+            ("c", "independent document with no shared spans at all ok"),
+            ("d", "x y z"),
+            ("e", "x y z"),
+            ("f", "   "),  # whitespace-only: not emitted
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, span=4, min_docs=2).collect()}
+    assert set(out) == {"a", "b", "c", "d", "e"}
+    assert out["a"].clean_text == "now unique alpha words here"
+    assert out["a"].n_removed == 1
+    assert out["b"].clean_text == "now totally different tail text"
+    assert out["b"].n_removed == 1
+    assert out["c"].clean_text == "independent document with no shared spans at all ok"
+    assert out["c"].n_removed == 0
+    # 3-token docs are one partial chunk: kept despite being identical
+    assert out["d"].clean_text == "x y z" and out["e"].clean_text == "x y z"

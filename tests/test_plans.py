@@ -159,3 +159,38 @@ def test_minhash_candidate_join_is_equi(spark):
     sig = minhash_signature_df(docs, k=2)
     plan = _plan(lsh_candidate_pairs(sig))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_decontaminate_corpus_side_never_shuffles(spark):
+    """The 100 TB corpus side must reach the benchmark-gram join via
+    broadcast — a SortMergeJoin here means the full exploded gram
+    stream shuffles, which is the plan that dies at scale."""
+    from webfilter.entry_queries import q_decontaminate
+
+    plan = _plan(q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan
+    # wide exchanges: benchmark-gram distinct + per-doc hit count only
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:1500]
+
+
+def test_frequent_terms_verify_join_is_broadcast(spark):
+    """Exact-verify must join the token stream against BROADCAST
+    candidates — the full vocabulary never shuffles."""
+    from webfilter.entry_queries import q_frequent_terms
+
+    plan = _plan(q_frequent_terms(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_anti_probe_is_broadcast_routed(spark):
+    """The bitmap reaches probes as a broadcast single row (nested-
+    loop cross of 1 row), and the exact anti-join exists only for the
+    maybe sliver — the probe table itself must not sort-merge."""
+    from webfilter.entry_queries import q_bloom_anti_frontier
+
+    plan = _plan(q_bloom_anti_frontier(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:1500]
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan

@@ -424,6 +424,73 @@ def ngram_jaccard_pairs(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    span: int = 4,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style corpus-wide span dedup (C4 removed any three-sentence
+    span occurring more than once in the corpus; here the unit is a
+    fixed `span`-token chunk, the tokenizer-only analog): every
+    non-overlapping span-token chunk that appears in >= min_docs
+    DISTINCT documents is boilerplate and is cut from every document
+    that contains it; remaining chunks are rejoined in order.
+
+    Operates on whitespace-normalized tokens (like C4): the rebuilt
+    text is single-space-joined, and docs with no tokens are not
+    emitted (nothing to dedup). The trailing partial chunk (< span
+    tokens) is never boilerplate.
+
+    Scale shape: tokens shuffle once to form chunks (keyed on
+    (doc, chunk_id) — perfectly uniform), chunk texts shuffle once
+    for the cross-doc count, and the boilerplate set (tiny: only
+    spans repeated across documents — C4 measured a small fraction)
+    broadcasts back. At 10^12 docs, key the count/join on
+    xxhash64(chunk) instead of the string to cut shuffle bytes; the
+    string form here is what makes the op oracle-checkable.
+
+    Output: id_col, clean_text, n_removed.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    ex = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+        .withColumn("chunk_id", (F.col("pos") / span).cast("bigint"))
+    )
+    chunks = ex.groupBy(id_col, "chunk_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+        ).alias("chunk"),
+        F.count(F.lit(1)).alias("clen"),
+    )
+    boiler = (
+        chunks.filter(F.col("clen") == span)
+        .groupBy("chunk")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("chunk", F.lit(True).alias("removed"))
+    )
+    marked = chunks.join(F.broadcast(boiler), "chunk", "left")
+    kept_struct = F.when(
+        F.col("removed").isNull(), F.struct("chunk_id", "chunk")
+    )  # no otherwise: collect_list drops NULLs -> only kept chunks
+    return marked.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s.chunk),
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("removed"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+
+
 # ---------------------------------------------------------------- SimHash
 
 

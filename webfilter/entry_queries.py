@@ -1474,6 +1474,38 @@ GROUP BY lang
 """
 
 
+def q_remove_dup_spans(spark, sf_dir):
+    """C4-style corpus-wide span dedup: cut every 4-token chunk that
+    occurs in >= 2 distinct docs, rebuild the text in order (C4's
+    repeated-three-sentence-span rule with token chunks as the
+    sentence-free analog)."""
+    from .dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs(spark, sf_dir), span=4, min_docs=2)
+
+
+SQL_REMOVE_DUP_SPANS = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+c AS (
+  SELECT doc_id, u.i - 1 AS chunk_id,
+    array_to_string(tk[(u.i - 1) * 4 + 1 : least(u.i * 4, len(tk))], ' ') AS chunk,
+    least(u.i * 4, len(tk)) - (u.i - 1) * 4 AS clen
+  FROM t, UNNEST(range(1, ((len(tk) + 3) // 4)::BIGINT + 1)) AS u(i)
+  WHERE len(tk) >= 1),
+b AS (
+  SELECT chunk FROM c WHERE clen = 4
+  GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+m AS (
+  SELECT c.*, (b.chunk IS NOT NULL) AS removed
+  FROM c LEFT JOIN b ON c.chunk = b.chunk)
+SELECT doc_id,
+  coalesce(string_agg(chunk, ' ' ORDER BY chunk_id)
+    FILTER (WHERE NOT removed), '') AS clean_text,
+  count(*) FILTER (WHERE removed)::BIGINT AS n_removed
+FROM m GROUP BY doc_id
+"""
+
+
 def q_approx_distinct_terms(spark, sf_dir):
     """Mergeable distinct-count sketches (Apache DataSketches HLL via
     hll_sketch_agg/hll_union_agg): per-(lang, source) sketches are
@@ -1556,4 +1588,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_running_totals": (q_events_running_totals, SQL_RUNNING_TOTALS),
     "string_agg_docs": (q_string_agg_docs, SQL_STRING_AGG),
     "approx_distinct_terms": (q_approx_distinct_terms, None),
+    "remove_dup_spans": (q_remove_dup_spans, SQL_REMOVE_DUP_SPANS),
 }
