@@ -287,9 +287,14 @@ def test_aqe_splits_genuinely_skewed_input(spark):
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in plan, plan[:1200]
     finally:
+        # unset keys read back as None — restore must UNSET those, not
+        # skip them, or autoBroadcastJoinThreshold=-1 leaks into every
+        # later test and the plan-shape gates see phantom SortMergeJoins
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
 
 
 def test_kernels_tolerate_null_text(spark):
