@@ -106,3 +106,56 @@ def test_heuristic_parity_tricky_whitespace(spark):
         assert r["n_words"] == s["n_words"], repr(r["text"][:40])
         assert r["n_stopwords"] == s["n_stopwords"]
         assert abs(r["alpha_ratio"] - s["alpha_ratio"]) < 1e-9
+
+
+# -------------------------------------------------- C4 line filter
+
+
+def test_c4_line_filter_hand_cases(spark):
+    doc = "\n".join(
+        [
+            "This line has enough words and ends properly.",  # kept
+            "Short line.",  # < 5 words
+            "this line has plenty of words but no terminal punctuation",  # no punct
+            "Please enable JavaScript to view the comments.",  # boilerplate
+            "Another perfectly fine sentence with many words here!",  # kept
+            "A third good sentence keeps this page alive today?",  # kept
+            "",  # empty
+        ]
+    )
+    df = spark.createDataFrame([(1, doc), (2, "Too few lines survive here.")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in rules.c4_line_filter(df).collect()}
+    assert out[1]["n_lines"] == 7
+    assert out[1]["n_kept_lines"] == 3
+    assert out[1]["c4_keep"] is True
+    assert out[1]["clean_text"].splitlines() == [
+        "This line has enough words and ends properly.",
+        "Another perfectly fine sentence with many words here!",
+        "A third good sentence keeps this page alive today?",
+    ]
+    # one good line is below min_kept_lines
+    assert out[2]["n_kept_lines"] == 1 and out[2]["c4_keep"] is False
+
+
+def test_c4_brace_drops_page_but_keeps_lines(spark):
+    doc = (
+        "A perfectly good first sentence stands right here.\n"
+        "A perfectly good second sentence stands right here.\n"
+        "A perfectly good third sentence stands right here.\n"
+        "function f() { return 1; }"
+    )
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    r = rules.c4_line_filter(df).collect()[0]
+    assert r["n_kept_lines"] == 3  # the brace line itself fails line rules
+    assert r["c4_keep"] is False  # but '{' anywhere kills the page
+
+
+def test_c4_line_filter_is_narrow(spark):
+    """No shuffle: line cleaning must stay a pure map over the scan."""
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("Sentence with five good words no. "), F.col("id")).alias("text"),
+    )
+    plan = rules.c4_line_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -205,3 +205,67 @@ def test_hll_sketch_union_close_to_exact(spark):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
     ).first().e
     assert abs(est - 5000) / 5000 < 0.05
+
+
+# ------------------------------------------------- domain mixture
+
+
+def test_domain_mixture_weights_alpha_limits(spark):
+    from webfilter.trainprep import domain_mixture_weights
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    # alpha=1 -> proportional
+    w1 = {r["source"]: r["weight"] for r in domain_mixture_weights(df, alpha=1.0).collect()}
+    assert abs(w1["big"] - 0.9) < 1e-9 and abs(w1["small"] - 0.1) < 1e-9
+    # alpha=0 -> uniform regardless of counts
+    w0 = {r["source"]: r["weight"] for r in domain_mixture_weights(df, alpha=0.0).collect()}
+    assert abs(w0["big"] - 0.5) < 1e-9 and abs(w0["small"] - 0.5) < 1e-9
+    # alpha in between upweights the small domain above its share
+    wh = {r["source"]: r["weight"] for r in domain_mixture_weights(df, alpha=0.5).collect()}
+    assert 0.1 < wh["small"] < 0.5
+    assert abs(sum(wh.values()) - 1.0) < 1e-9
+
+
+def test_domain_mixture_sample_hits_target_and_is_deterministic(spark):
+    from webfilter.trainprep import domain_mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 5)) for i in range(5000)], "doc_id long, source string"
+    )
+    s1 = domain_mixture_sample(df, alpha=0.7, target_docs=500)
+    ids1 = {r["doc_id"] for r in s1.collect()}
+    # binomial around 500: generous 5-sigma band
+    assert 380 < len(ids1) < 620
+    ids2 = {r["doc_id"] for r in
+            domain_mixture_sample(df.repartition(13), alpha=0.7, target_docs=500).collect()}
+    assert ids1 == ids2  # partitioning-invariant
+
+
+def test_domain_mixture_sample_rate_capped_at_one(spark):
+    from webfilter.trainprep import domain_mixture_sample
+
+    # tiny domain: rate would exceed 1 without the cap; every doc kept
+    df = spark.createDataFrame(
+        [(i, "big" if i < 990 else "tiny") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    out = domain_mixture_sample(df, alpha=0.1, target_docs=900)
+    tiny = out.filter(F.col("source") == "tiny").count()
+    assert tiny == 10
+
+
+def test_domain_mixture_weights_join_is_broadcast(spark):
+    from webfilter.trainprep import domain_mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 5)) for i in range(1000)], "doc_id long, source string"
+    )
+    plan = (
+        domain_mixture_sample(df, target_docs=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,71 @@
+"""URL canonicalization: hand-case semantics + dedup determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webfilter.urls import canonical_dedup, canonical_url_col, host_col
+
+
+def _canon(spark, urls: list[str | None]) -> list[str | None]:
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r["c"] for r in df.select(canonical_url_col(F.col("url")).alias("c")).collect()
+    ]
+
+
+def test_canonical_hand_cases(spark):
+    cases = {
+        # scheme+host lowercased, path case preserved
+        "HTTPS://WWW.Example.COM/Path/A": "https://www.example.com/Path/A",
+        # default ports stripped, non-default kept
+        "http://a.com:80/x": "http://a.com/x",
+        "https://a.com:443/x": "https://a.com/x",
+        "http://a.com:8080/x": "http://a.com:8080/x",
+        # fragment off
+        "http://a.com/x#frag": "http://a.com/x",
+        # tracking params stripped, survivors byte-sorted
+        "http://a.com/x?utm_source=f&b=2&a=1": "http://a.com/x?a=1&b=2",
+        "http://a.com/x?a=1&b=2": "http://a.com/x?a=1&b=2",
+        "http://a.com/x?fbclid=1&gclid=2&ref=h&msclkid=3": "http://a.com/x",
+        # trailing slashes collapsed
+        "http://a.com/x/": "http://a.com/x",
+        "http://a.com///": "http://a.com",
+        # empty query after strip -> no '?'
+        "http://a.com/x?utm_campaign=z#f": "http://a.com/x",
+    }
+    got = _canon(spark, list(cases))
+    assert got == list(cases.values())
+
+
+def test_canonical_null_and_variants_collide(spark):
+    assert _canon(spark, [None]) == [None]
+    variants = [
+        "HTTPS://A.com:443/p?b=2&a=1#x",
+        "https://a.com/p?a=1&utm_source=s&b=2",
+        "https://a.com/p/?b=2&a=1",
+    ]
+    assert len(set(_canon(spark, variants))) == 1
+
+
+def test_host_col(spark):
+    df = spark.createDataFrame(
+        [("HTTP://Sub.Host.COM:8080/p?q=1",), ("no-scheme/path",)], "url string"
+    )
+    hosts = [r["h"] for r in df.select(host_col(F.col("url")).alias("h")).collect()]
+    assert hosts == ["sub.host.com", None]
+
+
+def test_canonical_dedup_single_rep_per_key(spark):
+    rows = [
+        (1, "https://a.com/p?b=2&a=1"),
+        (2, "HTTPS://A.COM/p?a=1&b=2&utm_source=x"),
+        (3, "https://a.com/q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = canonical_dedup(df, order_col="doc_id").collect()
+    reps = {r["doc_id"]: r["canon_rep"] for r in out}
+    # min doc_id per canonical key is the representative
+    assert reps == {1: True, 2: False, 3: True}
+    keys = {r["canon_url"] for r in out}
+    assert keys == {"https://a.com/p?a=1&b=2", "https://a.com/q"}

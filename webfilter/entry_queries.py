@@ -1525,6 +1525,286 @@ def q_approx_distinct_terms(spark, sf_dir):
     )
 
 
+def _derived_lines(doc_id, toks):
+    """Deterministic multi-line fixture shared with the DuckDB oracle:
+    the flat synthetic documents carry no newlines, so C4's LINE-level
+    rules are exercised on a reflow — 8-token lines, suffix cycling
+    (doc_id + line_id) % 4 over {none, '.', '?', ' javascript.'} so
+    terminal-punctuation, min-words and boilerplate rules each fire,
+    plus a '{ code block }.' line on every 13th doc for the brace
+    drop."""
+    n = F.size(toks)
+    nlines = F.floor((n + F.lit(7)) / F.lit(8)).cast("int")
+    body = F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), nlines - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+                F.when((doc_id + i) % 4 == 1, F.lit("."))
+                .when((doc_id + i) % 4 == 2, F.lit("?"))
+                .when((doc_id + i) % 4 == 3, F.lit(" javascript."))
+                .otherwise(F.lit("")),
+            ),
+        )
+    )
+    return F.concat(
+        body,
+        F.when(doc_id % 13 == 0, F.array(F.lit("{ code block }."))).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) over a
+    derived multi-line corpus: keep lines ending in terminal
+    punctuation with >= 5 words and no boilerplate marker; drop docs
+    with '{' or < 3 surviving lines. Pure Column HOFs — narrow map,
+    no shuffle (`rules.c4_line_filter`)."""
+    from .rules import c4_line_filter
+
+    docs = _docs(spark, sf_dir)
+    lines = _derived_lines(F.col("doc_id"), tokens_col(F.col("text")))
+    staged = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return c4_line_filter(staged).select(
+        "doc_id", "n_lines", "n_kept_lines", "clean_text", "c4_keep"
+    )
+
+
+_LINE_WORDS = "len(regexp_split_to_array(line, '[ \\t\\n\\v\\f\\r]+'))"
+
+SQL_C4_LINE_FILTER = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+l AS (
+  SELECT doc_id, u.i - 1 AS line_id,
+    array_to_string(tk[(u.i - 1) * 8 + 1 : least(u.i * 8, len(tk))], ' ')
+      || CASE (doc_id + u.i - 1) % 4
+           WHEN 1 THEN '.' WHEN 2 THEN '?' WHEN 3 THEN ' javascript.'
+           ELSE '' END AS line
+  FROM t, UNNEST(range(1, ((len(tk) + 7) // 8)::BIGINT + 1)) AS u(i)
+  UNION ALL
+  SELECT doc_id, 1000000 AS line_id, '{{ code block }}.' AS line
+  FROM t WHERE doc_id % 13 = 0),
+m AS (
+  SELECT doc_id, line_id, line,
+    regexp_matches(line, '[.!?"'']$')
+      AND {_LINE_WORDS} >= 5
+      AND NOT regexp_matches(lower(line),
+        'javascript|lorem ipsum|cookie policy|privacy policy|terms of use')
+      AS kept
+  FROM l)
+SELECT doc_id,
+  count(*)::BIGINT AS n_lines,
+  count(*) FILTER (WHERE kept)::BIGINT AS n_kept_lines,
+  coalesce(string_agg(line, chr(10) ORDER BY line_id) FILTER (WHERE kept), '')
+    AS clean_text,
+  (count(*) FILTER (WHERE kept) >= 3 AND doc_id % 13 <> 0) AS c4_keep
+FROM m GROUP BY doc_id
+"""
+
+
+def q_canonical_url_dedup(spark, sf_dir):
+    """URL canonicalization + canonical-key dedup (`webfilter.urls`):
+    dirty URLs (case-variant scheme/host, default ports, tracking
+    params, unsorted query, fragments, trailing slashes) are
+    synthesized deterministically from doc_id, canonicalized with
+    pure Column regex/HOF algebra, and deduped latest-per-canonical
+    (one window shuffle — the `latest_per_url` shape)."""
+    from .urls import canonical_dedup
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 4 < 2, F.lit("WWW.")).otherwise(F.lit("www.")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(d % 5 == 0, F.lit(":443"))
+        .when(d % 5 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Path/"),
+        (d % 40).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="),
+        (d % 20).cast("string"),
+        F.when(d % 2 == 0, F.lit("&b=2&a=1")).otherwise(F.lit("&a=1&b=2")),
+        F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    staged = docs.select("doc_id", url.alias("url"))
+    return canonical_dedup(staged, order_col="doc_id").select(
+        "doc_id", "canon_url", "canon_rep"
+    )
+
+
+SQL_CANONICAL_URL = """
+WITH raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
+    || (CASE WHEN doc_id % 4 < 2 THEN 'WWW.' ELSE 'www.' END)
+    || source || '.Example.COM'
+    || (CASE doc_id % 5 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END)
+    || '/Path/' || (doc_id % 40)
+    || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+    || '?utm_source=feed&id=' || (doc_id % 20)
+    || (CASE WHEN doc_id % 2 = 0 THEN '&b=2&a=1' ELSE '&a=1&b=2' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id, url,
+    regexp_replace(regexp_replace(url, '#.*$', ''), '\\?.*$', '') AS base,
+    regexp_extract(regexp_replace(url, '#.*$', ''), '\\?(.*)$', 1) AS query
+  FROM raw),
+canon AS (
+  SELECT doc_id, url,
+    regexp_replace(lower(regexp_extract(base, '^([^/]*//[^/?]*)', 1)),
+                   ':(80|443)$', '')
+    || regexp_replace(regexp_replace(base, '^[^/]*//[^/?]*', ''), '/+$', '')
+    || (CASE WHEN len(p) > 0 THEN '?' || array_to_string(p, '&') ELSE '' END)
+      AS canon_url
+  FROM (SELECT *,
+          list_sort(list_filter(string_split(query, '&'),
+            x -> x <> '' AND NOT regexp_matches(x,
+              '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))) AS p
+        FROM parts))
+SELECT doc_id, canon_url,
+  row_number() OVER (PARTITION BY canon_url ORDER BY doc_id, url) = 1 AS canon_rep
+FROM canon
+"""
+
+
+def q_domain_mixture(spark, sf_dir):
+    """Temperature-scaled domain mixture (w_d ∝ n_d^0.5) + the
+    deterministic hash-sample realizing it (`trainprep`): per-source
+    weight, accept-everything-below-rate md5 threshold. One count
+    shuffle + one broadcast-joined narrow filter pass."""
+    from .trainprep import domain_mixture_sample, domain_mixture_weights
+
+    docs = _docs(spark, sf_dir)
+    w = domain_mixture_weights(docs, alpha=0.5)
+    s = (
+        domain_mixture_sample(docs, alpha=0.5, target_docs=300)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
+    )
+    return (
+        w.join(s, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            r6(F.col("weight")).alias("weight"),
+            F.coalesce(F.col("n_sampled"), F.lit(0)).cast("bigint").alias("n_sampled"),
+        )
+    )
+
+
+SQL_DOMAIN_MIXTURE = """
+WITH c AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+w AS (SELECT source, n_docs,
+        pow(n_docs, 0.5) / sum(pow(n_docs, 0.5)) OVER () AS weight
+      FROM c),
+r AS (SELECT source, n_docs, weight,
+        least(1.0, weight * 300 / n_docs) AS rate
+      FROM w),
+s AS (SELECT d.source, count(*)::BIGINT AS n_sampled
+      FROM documents d JOIN r ON d.source = r.source
+      WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+            < rate * 1000000
+      GROUP BY d.source)
+SELECT r.source, r.n_docs, round(r.weight, 6) AS weight,
+  coalesce(s.n_sampled, 0)::BIGINT AS n_sampled
+FROM r LEFT JOIN s USING (source)
+"""
+
+
+def q_pagerank_hosts(spark, sf_dir):
+    """PageRank over a deterministic host graph derived from events
+    (src = user_id % 23, dst = event_id % 30 — nodes 23-29 are
+    dangling, exercising the uniform-redistribution term). Iterative
+    DataFrame power iteration (`graph.pagerank`), 12 rounds, d=0.85;
+    the DuckDB oracle replays it as a recursive CTE over the
+    expanded transition relation."""
+    from .graph import pagerank
+
+    ev = _tbl(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 23).alias("src"), (F.col("event_id") % 30).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    return pagerank(edges, iters=12).select(
+        "node", r6(F.col("rank")).alias("rank")
+    )
+
+
+SQL_PAGERANK = """
+WITH RECURSIVE
+e AS (SELECT user_id % 23 AS src, event_id % 30 AS dst FROM events
+      WHERE user_id % 23 <> event_id % 30),
+-- NOTE: inside WITH RECURSIVE, DuckDB does NOT dedup a plain UNION in
+-- helper CTEs (observed: 2x|e| rows) — spell the dedup out
+nodes AS (SELECT DISTINCT node
+          FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+deg AS (SELECT src AS node, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+-- expanded transition: out-edges carry 1/deg; dangling nodes donate
+-- 1/n to EVERY node; zero-share self rows keep isolated receivers in
+-- the grouped join
+t AS (
+  SELECT e.src AS u, e.dst AS v, 1.0 / d.deg AS share
+  FROM e JOIN deg d ON d.node = e.src
+  UNION ALL
+  SELECT dn.node AS u, x.node AS v, 1.0 / (SELECT n FROM nn) AS share
+  FROM (SELECT node FROM nodes
+        WHERE node NOT IN (SELECT node FROM deg)) dn, nodes x
+  UNION ALL
+  SELECT node AS u, node AS v, 0.0 AS share FROM nodes),
+pr AS (
+  SELECT 0 AS it, node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+  UNION ALL
+  SELECT p.it + 1, t.v AS node,
+    0.15 / (SELECT n FROM nn) + 0.85 * sum(p.rank * t.share) AS rank
+  FROM pr p JOIN t ON t.u = p.node
+  WHERE p.it < 12
+  GROUP BY p.it, t.v)
+SELECT node, round(rank, 6) AS rank FROM pr WHERE it = 12
+"""
+
+
+def q_hof_token_stats(spark, sf_dir):
+    """Higher-order array functions end to end — transform / filter /
+    exists / aggregate / zip_with (SURVEY §2 expression surface; all
+    JVM-side, no UDF): per-doc token-length stats, digit detection,
+    and a first-last token pairing via zip_with over the reversed
+    array."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    lens = F.transform(toks, F.length)
+    pairs = F.zip_with(toks, F.reverse(toks), lambda a, b: F.concat(a, F.lit("-"), b))
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda w: F.length(w) >= 6)).cast("bigint").alias(
+            "n_long_toks"
+        ),
+        F.aggregate(lens, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "total_len"
+        ),
+        F.array_max(lens).cast("int").alias("max_len"),
+        F.exists(toks, lambda w: w.rlike("[0-9]")).alias("has_digit"),
+        F.get(pairs, 0).alias("first_last"),
+    )
+
+
+SQL_HOF_TOKEN_STATS = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents)
+SELECT doc_id,
+  len(list_filter(tk, x -> length(x) >= 6))::BIGINT AS n_long_toks,
+  coalesce(list_sum(list_transform(tk, x -> length(x))), 0)::BIGINT AS total_len,
+  list_max(list_transform(tk, x -> length(x)))::INT AS max_len,
+  len(list_filter(tk, x -> regexp_matches(x, '[0-9]'))) > 0 AS has_digit,
+  CASE WHEN len(tk) > 0 THEN tk[1] || '-' || tk[len(tk)] END AS first_last
+FROM t
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
@@ -1589,4 +1869,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "string_agg_docs": (q_string_agg_docs, SQL_STRING_AGG),
     "approx_distinct_terms": (q_approx_distinct_terms, None),
     "remove_dup_spans": (q_remove_dup_spans, SQL_REMOVE_DUP_SPANS),
+    "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
+    "canonical_url_dedup": (q_canonical_url_dedup, SQL_CANONICAL_URL),
+    "domain_mixture_sample": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
+    "pagerank_hosts": (q_pagerank_hosts, SQL_PAGERANK),
+    "hof_token_stats": (q_hof_token_stats, SQL_HOF_TOKEN_STATS),
 }

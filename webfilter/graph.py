@@ -1,0 +1,92 @@
+"""Host-level link-graph analytics: PageRank as iterative DataFrame
+algebra (the web-corpus quality prior — Common-Crawl pipelines rank
+hosts by centrality to weight or gate documents).
+
+Design (same family as `dedup.connected_components`):
+
+* one edge-normalization shuffle up front (out-degrees);
+* per iteration: contributions = edges ⋈ ranks on src (shuffle on
+  the src key), summed per dst (same key — AQE coalesces), plus the
+  two scalar corrections (teleport, dangling mass) carried as a
+  BROADCAST single-row aggregate cross-join — no driver action per
+  iteration, the whole loop is lazy until the caller materializes;
+* `localCheckpoint` every few rounds truncates the lineage so the
+  plan does not grow exponentially with iterations.
+
+At 10^12 edges each iteration is one join shuffle on the node key —
+the canonical distributed PageRank shape. Dangling nodes (no
+out-links) donate their mass uniformly, so total rank stays 1.0
+every iteration (asserted in tests vs numpy power iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 12,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Rank every node reachable as an endpoint of ``edges``
+    (directed, duplicates allowed — parallel edges weigh double,
+    matching the multigraph adjacency matrix). Returns
+    (node, rank) with ranks summing to 1.
+
+    Fixed iteration count (not convergence-probed): deterministic
+    plan depth, and 10-15 rounds is within 1e-6 of the fixpoint on
+    web-ish graphs with d=0.85.
+    """
+    d = float(damping)
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    # one bounded action: n is a scalar (node count), needed for the
+    # teleport term — same discipline as connected_components' probe
+    n = nodes.count()
+    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    norm_edges = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("dst"))
+        .join(out_deg, "node")
+        .select("node", "dst", (F.lit(1.0) / F.col("deg")).alias("share"))
+        .localCheckpoint(eager=False)
+    )
+    has_out = out_deg.select("node")
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iters):
+        # mass sitting on dangling nodes this round (single-row agg,
+        # broadcast — no driver action)
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        )
+        contribs = (
+            norm_edges.join(ranks, "node")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dang") / n)
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

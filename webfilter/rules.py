@@ -220,3 +220,58 @@ def with_decision(df: DataFrame, rule_names: tuple[str, ...] = ALL_RULE_NAMES) -
     return df.withColumn("drop_reasons", reason).withColumn(
         "keep", F.size("drop_reasons") == 0
     )
+
+
+# ---------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020 §2.2) — the line-granular
+# pass that runs BEFORE doc-level heuristics: C4 keeps only lines that
+# end in terminal punctuation, have >= 5 words, and carry no
+# javascript/boilerplate markers, then drops whole pages with code
+# braces or fewer than a minimum of surviving lines. Pure Column HOFs
+# (split -> transform -> filter -> array_join): JVM-side, no Python,
+# no shuffle — a narrow map over the corpus regardless of scale.
+
+C4_LINE_MIN_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+# matched against the LOWERCASED line (dialect-portable: no (?i))
+C4_BOILERPLATE_RE = r"javascript|lorem ipsum|cookie policy|privacy policy|terms of use"
+C4_TERMINAL_PUNCT_RE = r"""[.!?"']$"""
+
+
+def c4_kept_lines_col(
+    text: Column,
+    min_line_words: int = C4_LINE_MIN_WORDS,
+) -> Column:
+    """Array of the lines of ``text`` that survive C4's line rules:
+    terminal punctuation, >= min_line_words whitespace tokens, no
+    boilerplate marker (case-insensitive)."""
+    lines = F.transform(F.split(text, "\n"), F.trim)
+    return F.filter(
+        lines,
+        lambda l: l.rlike(C4_TERMINAL_PUNCT_RE)
+        & (F.size(F.split(l, r"\s+")) >= min_line_words)
+        & ~F.lower(l).rlike(C4_BOILERPLATE_RE),
+    )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = C4_LINE_MIN_WORDS,
+    min_kept_lines: int = C4_MIN_KEPT_LINES,
+) -> DataFrame:
+    """C4 cleaning as lineage-preserving columns: ``clean_text`` (the
+    surviving lines rejoined), ``n_lines`` / ``n_kept_lines``, and
+    ``c4_keep`` (enough lines survived AND no '{' on the page —
+    C4's code-page drop). Rows are flagged, not dropped; callers
+    filter on ``c4_keep``."""
+    t = F.col(text_col)
+    kept = c4_kept_lines_col(t, min_line_words)
+    return df.withColumns(
+        {
+            "n_lines": F.size(F.split(t, "\n")).cast("bigint"),
+            "n_kept_lines": F.size(kept).cast("bigint"),
+            "clean_text": F.array_join(kept, "\n"),
+            "c4_keep": (F.size(kept) >= min_kept_lines) & ~t.contains("{"),
+        }
+    )

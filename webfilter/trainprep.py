@@ -325,3 +325,61 @@ def dataset_split_col(id_col: Column, train: int = 80, val: int = 10) -> Column:
         .when(pct < train + val, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+
+
+def domain_mixture_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled domain sampling weights: w_d ∝ n_d^alpha,
+    normalized to sum 1 (alpha < 1 upweights small domains — the
+    multilingual-LM mixing rule, e.g. XLM-R's alpha=0.3 / mT5's 0.7).
+
+    One count shuffle on the domain key; the normalizing sum runs
+    over the post-agg domain dim (thousands of rows at web scale,
+    not documents), via an unpartitioned window — fine BECAUSE it is
+    post-agg; never apply this window pre-agg."""
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    wsum = Window.partitionBy()
+    raw = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    return counts.withColumn(
+        "weight", raw / F.sum(raw).over(wsum)
+    ).withColumn("n_docs", F.col("n_docs").cast("bigint"))
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    alpha: float = 0.7,
+    target_docs: int = 1000,
+) -> DataFrame:
+    """Deterministic hash-sample realizing the temperature mixture:
+    per-domain accept rate = min(1, weight_d * target / n_d), doc
+    accepted iff md5(id) % 1e6 < rate * 1e6. Reproducible across
+    engines/cluster sizes (no RNG), and a doc's fate is independent
+    of partitioning — the `dataset_split_col` discipline applied to
+    mixture sampling.
+
+    The weight table is a broadcast-joined post-agg dim: the doc
+    table is touched by exactly one narrow filter pass after one
+    count shuffle.
+    """
+    weights = domain_mixture_weights(df, domain_col, alpha).withColumn(
+        "accept_rate",
+        F.least(
+            F.lit(1.0), F.col("weight") * F.lit(float(target_docs)) / F.col("n_docs")
+        ),
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % 1_000_000
+    )
+    return (
+        df.join(F.broadcast(weights.select(domain_col, "accept_rate")), domain_col)
+        .filter(h < F.col("accept_rate") * 1_000_000)
+        .drop("accept_rate")
+    )

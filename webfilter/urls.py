@@ -1,0 +1,92 @@
+"""URL canonicalization as pure Column algebra — the web-scale
+dedup key every Common-Crawl-style pipeline needs before content
+dedup (the same page is recrawled under utm-tagged / fragment /
+case-variant URLs).
+
+Canonical form (RFC 3986 normalization + tracking-param strip):
+
+* scheme and host lowercased (path/query case is significant and
+  preserved);
+* default ports ``:80`` / ``:443`` dropped;
+* fragment (``#...``) dropped;
+* tracking query params dropped (``utm_*``, ``fbclid``, ``gclid``,
+  ``msclkid``, ``ref``), remaining params sorted byte-wise so
+  ``?b=2&a=1`` and ``?a=1&b=2`` collide;
+* trailing slashes on the path collapsed away.
+
+Everything is built from `pyspark.sql.functions` — JVM regex +
+array HOFs, whole-stage-codegen'd, zero Python. At 100 TB the
+canonical key feeds the same one-shuffle latest-per-key dedup as
+content hashes (`tables.latest_per_url`): no new shuffle shape.
+
+Reference parity: the reference keys its article tables on a
+normalized accession id (pmc/01_Metadata_Sync.py:59-65 MERGE key);
+canonical URL is the web-corpus analog of that key discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# params that never affect page content (tracking/attribution)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Canonical form of ``url`` (see module docstring). NULL in ->
+    NULL out; a URL with no scheme/host is canonicalized on its
+    path/query alone (the regexes degrade gracefully)."""
+    # 1. fragment off (first '#' to end — fragments never reach the
+    # server, so '#' cannot appear in path/query unencoded)
+    u = F.regexp_replace(url, r"#.*$", "")
+    # 2. split query off
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    base = F.regexp_replace(u, r"\?.*$", "")
+    # 3. scheme://host lowercased, default port off; path untouched
+    scheme_host = F.lower(F.regexp_extract(base, r"^([^/]*//[^/?]*)", 1))
+    scheme_host = F.regexp_replace(scheme_host, r":(80|443)$", "")
+    path = F.regexp_replace(base, r"^[^/]*//[^/?]*", "")
+    path = F.regexp_replace(path, r"/+$", "")
+    # 4. query params: drop tracking, drop empties, byte-sort
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(url.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(scheme_host, path, qs)
+    )
+
+
+def host_col(url: Column) -> Column:
+    """Lowercased registrable host (port stripped) — the per-host
+    skew/metrics key (`partitioning.py` salting operates on this)."""
+    h = F.lower(F.regexp_extract(url, r"^[^/]*//([^/?:]*)", 1))
+    return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
+
+
+def canonical_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Keep ONE row per canonical URL: the minimal `order_col`
+    (default: the url string itself, so the choice is deterministic
+    under any row order / parallelism). Adds `canon_url` and a
+    `canon_rep` flag instead of dropping rows — callers filter on
+    the flag, keeping lineage inspectable.
+
+    One shuffle on canon_url (the latest_per_url window shape); at
+    10^12 rows the window runs per canonical-key group, never
+    global.
+    """
+    order = F.col(order_col) if order_col else F.col(url_col)
+    w = Window.partitionBy("canon_url").orderBy(order, F.col(url_col))
+    return df.withColumn("canon_url", canonical_url_col(F.col(url_col))).withColumn(
+        "canon_rep", F.row_number().over(w) == 1
+    )
