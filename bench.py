@@ -242,6 +242,11 @@ def main() -> None:
         "bloom_anti_frontier",
         "pack_sequences",
         "events_running_totals",
+        "c4_line_filter",
+        "canonical_url_dedup",
+        "domain_mixture_sample",
+        "hof_token_stats",
+        "pagerank_hosts",
     ]
     for name in bench_queries:
         best_q = float("inf")

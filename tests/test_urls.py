@@ -69,3 +69,19 @@ def test_canonical_dedup_single_rep_per_key(spark):
     assert reps == {1: True, 2: False, 3: True}
     keys = {r["canon_url"] for r in out}
     assert keys == {"https://a.com/p?a=1&b=2", "https://a.com/q"}
+
+
+def test_outlink_extraction_hand_case(spark):
+    from webfilter.urls import outlink_host_counts
+
+    html = (
+        '<p>pre</p><a href="http://A.com/x">1</a>'
+        '<a class="z" href="https://b.com:443/y?q=1">2</a>'
+        '<a href="/relative">3</a>'
+        "<a href='http://single.com/q'>4</a>"  # single-quoted: not matched
+        '<a href="http://a.com/other">5</a>'
+    )
+    df = spark.createDataFrame([(1, html), (2, '<a href="http://a.com/z">z</a>')],
+                               "doc_id long, html string")
+    out = {r["host"]: (r["n_links"], r["n_docs"]) for r in outlink_host_counts(df).collect()}
+    assert out == {"a.com": (3, 2), "b.com": (1, 1)}

@@ -1805,6 +1805,71 @@ FROM t
 """
 
 
+def q_outlink_hosts(spark, sf_dir):
+    """Outlink extraction + host-level edge aggregation
+    (`urls.outlink_host_counts`): hrefs pulled with JVM
+    `regexp_extract_all`, exploded, keyed by lowercased host (ports
+    stripped, relative links dropped), one shuffle. The html is
+    synthesized deterministically from doc_id — absolute, case-
+    variant, ported and relative links all exercised."""
+    from .urls import outlink_host_counts
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><a href="http://h'),
+        (d % 7).cast("string"),
+        F.lit('.example.com/a/'),
+        d.cast("string"),
+        F.lit('">x</a>'),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit('<a href="HTTPS://H'),
+                (d % 11).cast("string"),
+                F.lit('.Example.com/b">y</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit('<a href="/relative/path">z</a>')).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            d % 5 == 0,
+            F.lit('<a class="m" href="http://h3.example.com:8080/c">w</a>'),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return outlink_host_counts(docs.select("doc_id", html.alias("html")))
+
+
+SQL_OUTLINK_HOSTS = """
+WITH pages AS (
+  SELECT doc_id,
+    '<html><body><a href="http://h' || (doc_id % 7) || '.example.com/a/'
+    || doc_id || '">x</a>'
+    || (CASE WHEN doc_id % 2 = 0
+        THEN '<a href="HTTPS://H' || (doc_id % 11) || '.Example.com/b">y</a>'
+        ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0
+        THEN '<a href="/relative/path">z</a>' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+        THEN '<a class="m" href="http://h3.example.com:8080/c">w</a>'
+        ELSE '' END)
+    || '</body></html>' AS html
+  FROM documents),
+links AS (
+  SELECT doc_id,
+    lower(regexp_extract(u.href, '^[^/]*//([^/?:]*)', 1)) AS host
+  FROM (SELECT doc_id,
+          regexp_extract_all(html, '<a[^>]+href="([^"]+)"', 1) AS hs
+        FROM pages),
+    UNNEST(hs) AS u(href))
+SELECT host, count(*)::BIGINT AS n_links,
+  count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM links WHERE host <> '' GROUP BY host
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
@@ -1874,4 +1939,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "domain_mixture_sample": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "pagerank_hosts": (q_pagerank_hosts, SQL_PAGERANK),
     "hof_token_stats": (q_hof_token_stats, SQL_HOF_TOKEN_STATS),
+    "outlink_hosts": (q_outlink_hosts, SQL_OUTLINK_HOSTS),
 }

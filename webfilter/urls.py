@@ -90,3 +90,33 @@ def canonical_dedup(
     return df.withColumn("canon_url", canonical_url_col(F.col(url_col))).withColumn(
         "canon_rep", F.row_number().over(w) == 1
     )
+
+
+def outlink_urls_col(html: Column) -> Column:
+    """All href targets in an html/text column, in document order —
+    `regexp_extract_all` (JVM, codegen) over double-quoted href
+    attributes; relative links come out as-is (no host)."""
+    return F.regexp_extract_all(html, F.lit(r'<a[^>]+href="([^"]+)"'), 1)
+
+
+def outlink_host_counts(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-host outlink stats over a page corpus: explode the
+    extracted hrefs, key by lowercased host, count links and distinct
+    linking docs. One shuffle on the host key (count-distinct of the
+    doc id rides the same exchange); relative/hostless links are
+    dropped. The web link graph's edge-aggregation step — feeds
+    `graph.pagerank` at host granularity."""
+    links = df.select(
+        F.col(id_col),
+        F.explode(outlink_urls_col(F.col(html_col))).alias("href"),
+    ).select(F.col(id_col), host_col(F.col("href")).alias("host"))
+    return (
+        links.filter(F.col("host").isNotNull())
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_links"),
+            F.countDistinct(F.col(id_col)).cast("bigint").alias("n_docs"),
+        )
+    )
