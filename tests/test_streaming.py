@@ -243,3 +243,52 @@ def test_file_metadata_on_streaming_frame(spark, stream_src, tmp_path):
     q.awaitTermination()
     rows = spark.sql("SELECT * FROM prov LIMIT 5").collect()
     assert rows and all(r["src_file"].endswith(".parquet") and r["src_size"] > 0 for r in rows)
+
+
+def test_streaming_sessionization_matches_batch(spark, synth_dir, tmp_path):
+    """Streaming session_window (watermarked, append mode) must be an
+    incrementalization of the BATCH session_window aggregation: with
+    an in-order arrival (time-ranged files, written oldest-first so
+    the file source replays them chronologically) no event is late,
+    every emitted session equals a batch session exactly — including
+    sessions MERGED across micro-batches — and only still-open tail
+    sessions per key are withheld by the final watermark."""
+    src = tmp_path / "sess_src"
+    pages = spark.read.parquet(f"{synth_dir}/pages.parquet")
+    qs = list(
+        pages.selectExpr(
+            "percentile(cast(warc_ts as double), array(0.25, 0.5, 0.75))"
+        ).collect()[0][0]
+    )
+    bounds = [float("-inf"), *qs, float("inf")]
+    for i in range(4):  # sequential writes -> increasing mtimes
+        (pages.filter(
+            (F.col("warc_ts").cast("double") > bounds[i])
+            & (F.col("warc_ts").cast("double") <= bounds[i + 1])
+        ).coalesce(1).write.mode("append").parquet(str(src)))
+    streaming.run_sessionized_stream(
+        spark, str(src), "sessionized_stream", str(tmp_path / "cp_sess")
+    )
+    got = spark.sql("SELECT * FROM sessionized_stream")
+
+    batch = (
+        spark.read.parquet(str(src))
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        .groupBy(F.session_window(F.col("warc_ts"), "30 minutes").alias("sw"), "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "lang",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    got_rows = {tuple(r) for r in got.collect()}
+    batch_rows = {tuple(r) for r in batch.collect()}
+    assert got_rows, "stream emitted nothing"
+    assert got_rows <= batch_rows  # exact agreement on emitted sessions
+    # in-order arrival -> nothing dropped as late; the final watermark
+    # (1h behind max ts) withholds at most the sessions still closable
+    # in that hour: ends are >= gap (30 min) apart, so <= 2 per key
+    n_keys = batch.select("lang").distinct().count()
+    assert len(batch_rows) - len(got_rows) <= 2 * n_keys

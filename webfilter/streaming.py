@@ -273,3 +273,56 @@ def run_metrics_stream(
     )
     q.awaitTermination()
     return q
+
+
+def streaming_sessionized_counts(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts: str = "warc_ts",
+    key: str = "lang",
+) -> DataFrame:
+    """Watermarked STREAMING session windows (`F.session_window` in a
+    streaming groupBy — beyond the reference, which has no streaming
+    aggregation at all): per-key dynamic-gap sessions whose state is
+    GC'd once the watermark passes a session's close. The batch twin
+    is `entry_queries.q_sessionize`; `tests/test_streaming.py`
+    asserts the drained stream equals the batch `session_window`
+    aggregation on the same input — the streaming/batch unification
+    Spark's incrementalization contract promises.
+
+    At crawl scale, per-key session state is bounded by gap x event
+    rate per key; the watermark is what keeps a 10^12-event stream's
+    state finite."""
+    return (
+        events_stream.withColumn(ts, F.col(ts).cast("timestamp"))
+        .withWatermark(ts, watermark)
+        .groupBy(F.session_window(F.col(ts), gap).alias("sw"), F.col(key))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_sessionized_stream(
+    spark: SparkSession, src_path: str, out_table: str, checkpoint: str,
+    max_files: int = 1, gap: str = "30 minutes",
+):
+    """Drain the file stream through streaming sessionization into an
+    in-memory sink (tests); production sink = Iceberg append. Append
+    mode emits a session only once the watermark closes it."""
+    q = (
+        streaming_sessionized_counts(read_pages_stream(spark, src_path, max_files), gap=gap)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
