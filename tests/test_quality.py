@@ -1,0 +1,67 @@
+"""Quality classifier: golden accuracy on held-out snippets,
+determinism, batch-size invariance, and Spark-side delivery."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from webfilter.kernels.qualityclf import quality_prob_batch
+
+GOOD = [
+    "The history of the city includes many important events and people "
+    "that shaped its development over the years of study.",
+    "Water is an important part of life and the world around us, and "
+    "there are many questions about its place in research.",
+    "The government of the country announced a new education program "
+    "for schools and students in the community last week.",
+    "Die Geschichte der Stadt und die Entwicklung der Gesellschaft "
+    "sind wichtig für die Menschen in Deutschland.",
+    "El gobierno y la historia de la ciudad son una parte importante "
+    "de la vida de las personas del mundo.",
+    "La ville et son histoire sont une partie importante de la vie "
+    "des personnes et de la question du temps.",
+]
+SPAM = [
+    "FREE CASH click here now buy cheap viagra pills winner casino "
+    "bonus $$$ !!! 100% guaranteed act now",
+    "win prize claim urgent act now instant approval loan credit earn "
+    "money fast >>> *** #1 deal discount",
+    "hot singles xxx download crack keygen serial free76 click83 "
+    "buy90 now97 cheap4 winner11 cash18 prize25",
+    "CONGRATULATIONS WINNER claim your exclusive bonus offer limited "
+    "deal subscribe now 24/7 miracle cure weight loss",
+]
+
+
+def test_quality_classifier_separates_held_out():
+    p = quality_prob_batch(pd.Series(GOOD + SPAM))
+    assert all(v > 0.6 for v in p[: len(GOOD)]), list(p[: len(GOOD)])
+    assert all(v < 0.4 for v in p[len(GOOD) :]), list(p[len(GOOD) :])
+
+
+def test_quality_classifier_degenerate_is_half():
+    p = quality_prob_batch(pd.Series(["", "ab", None]))
+    assert list(p) == [0.5, 0.5, 0.5]
+
+
+def test_quality_classifier_batch_invariant():
+    """Scores must not depend on which docs share an Arrow batch."""
+    all_at_once = quality_prob_batch(pd.Series(GOOD + SPAM)).to_numpy()
+    one_by_one = np.array(
+        [quality_prob_batch(pd.Series([t]))[0] for t in GOOD + SPAM]
+    )
+    assert np.allclose(all_at_once, one_by_one, atol=1e-12)
+
+
+def test_quality_prob_spark_stage(spark):
+    from webfilter.quality import with_quality_prob
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(GOOD + SPAM)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["quality_prob"] for r in with_quality_prob(df).collect()}
+    local = quality_prob_batch(pd.Series(GOOD + SPAM))
+    for i in range(len(GOOD + SPAM)):
+        assert abs(rows[i] - local[i]) < 1e-9

@@ -1870,6 +1870,18 @@ FROM links WHERE host <> '' GROUP BY host
 """
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality probability (hashed char-4gram logistic
+    classifier, `kernels/qualityclf.py`) per document — model-based,
+    no SQL oracle; tests/test_quality.py holds golden accuracy,
+    determinism and batch-size invariance."""
+    from .quality import with_quality_prob
+
+    return with_quality_prob(_docs(spark, sf_dir)).select(
+        "doc_id", r6(F.col("quality_prob")).alias("quality_prob")
+    )
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
@@ -1940,4 +1952,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pagerank_hosts": (q_pagerank_hosts, SQL_PAGERANK),
     "hof_token_stats": (q_hof_token_stats, SQL_HOF_TOKEN_STATS),
     "outlink_hosts": (q_outlink_hosts, SQL_OUTLINK_HOSTS),
+    "quality_classifier": (q_quality_classifier, None),
 }

@@ -122,3 +122,33 @@ def lang_training_text(lang: str) -> str:
     for shift in range(3):
         parts.extend(words[(i * (shift + 1) + shift) % n] for i in range(n))
     return " ".join(parts)
+
+
+# keyword-stuffed / scammy vocabulary for the quality classifier's
+# NEGATIVE class (the wiki-vs-spam axis every fastText-style web
+# quality classifier is trained on); symbols and digit-noise included
+# deliberately — spam pages are symbol- and digit-heavy
+SPAM_WORDS: tuple[str, ...] = (
+    "free", "click", "here", "buy", "now", "cheap", "winner", "win",
+    "cash", "prize", "casino", "bonus", "offer", "limited", "deal",
+    "discount", "viagra", "pills", "loan", "credit", "earn", "money",
+    "fast", "guaranteed", "exclusive", "subscribe", "unsubscribe",
+    "congratulations", "claim", "urgent", "act", "instant", "approval",
+    "weight", "loss", "miracle", "cure", "hot", "singles", "xxx",
+    "download", "crack", "keygen", "serial", "$$$", "!!!", "100%",
+    "#1", "24/7", ">>>", "***",
+)
+
+
+def spam_training_text() -> str:
+    """Deterministic keyword-stuffed 'document' for the quality
+    classifier's negative class: fixed rotations (spam repeats its
+    pitch), shouted case every third pass, digit noise interleaved."""
+    parts: list[str] = []
+    n = len(SPAM_WORDS)
+    for r in range(3):
+        rot = [SPAM_WORDS[(i * (r + 3) + r) % n] for i in range(n)]
+        line = " ".join(rot)
+        parts.append(line.upper() if r == 2 else line)
+        parts.append(" ".join(f"{w}{(i * 7 + r) % 100}" for i, w in enumerate(rot[:20])))
+    return "\n".join(parts)
