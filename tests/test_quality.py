@@ -65,3 +65,44 @@ def test_quality_prob_spark_stage(spark):
     local = quality_prob_batch(pd.Series(GOOD + SPAM))
     for i in range(len(GOOD + SPAM)):
         assert abs(rows[i] - local[i]) < 1e-9
+
+
+def test_pipeline_quality_gate_optional(spark):
+    """min_quality_prob=None (default) leaves decisions untouched;
+    setting it drops spam docs via rule_quality_prob with lineage."""
+    from webfilter import rules
+    from webfilter.pipeline import filtered_frame
+
+    good_body = (
+        "The history of the city includes many important events and people "
+        "that shaped its development over the years. " * 3
+    )
+    spam_body = (
+        "free click here buy now cheap winner casino bonus offer deal "
+        "discount loan credit earn money fast win prize claim urgent " * 3
+    )
+    rows = [
+        (f"http://ok{i}.com/a", f"<html><title>t</title><body><p>{good_body}</p>"
+         f"</body></html>".encode(), "2024-01-01T00:00:00")
+        for i in range(3)
+    ] + [
+        (f"http://spam{i}.com/a", f"<html><title>s</title><body><p>{spam_body}</p>"
+         f"</body></html>".encode(), "2024-01-01T00:00:00")
+        for i in range(3)
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary, warc_ts string")
+
+    base = filtered_frame(pages)
+    gated = filtered_frame(
+        pages, rules.RuleConfig(min_quality_prob=0.5)
+    )
+    b = {r["url"]: r for r in base.collect()}
+    g = {r["url"]: r for r in gated.collect()}
+    # scores always present in lineage
+    assert all(r["quality_prob"] is not None for r in b.values())
+    # default config: rule absent, spam keep-status decided by classic rules
+    assert all("quality_prob" not in r["drop_reasons"] for r in b.values())
+    # gated: every spam doc dropped WITH the reason; good docs unaffected
+    for i in range(3):
+        assert "quality_prob" in g[f"http://spam{i}.com/a"]["drop_reasons"]
+        assert g[f"http://ok{i}.com/a"]["keep"] == b[f"http://ok{i}.com/a"]["keep"]

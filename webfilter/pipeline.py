@@ -36,7 +36,7 @@ from .tables import ParquetCatalog, latest_per_url
 
 DECISION_COLS = [
     "url", "bucket_id", "warc_ts", "text", "title", "extract_err",
-    "langid", "langid_conf", "perplexity", "n_words", "n_chars",
+    "langid", "langid_conf", "perplexity", "quality_prob", "n_words", "n_chars",
     "keep", "drop_reasons", "scrubbed_text", "pii_found", "run_id",
 ]
 
@@ -47,7 +47,7 @@ def filtered_frame(pages: DataFrame, cfg: rules.RuleConfig = rules.DEFAULT_RULES
     df = scoring.with_extract_and_scores(df)
     df = rules.with_heuristics(df, cfg=cfg)
     df = rules.model_rule_columns(df, cfg)
-    df = rules.with_decision(df)
+    df = rules.with_decision(df, rules.rule_names_for(cfg))
     df = scrub.with_scrubbed(df)
     return df
 

@@ -42,6 +42,9 @@ class RuleConfig:
     min_langid_conf: float = 0.50
     keep_langs: tuple[str, ...] = ("en",)
     stopwords: tuple[str, ...] = field(default=EN_STOPWORDS)
+    # optional model-based quality gate (kernels/qualityclf.py);
+    # None (default) keeps the classic rule set and golden labels
+    min_quality_prob: float | None = None
 
 
 DEFAULT_RULES = RuleConfig()
@@ -188,14 +191,23 @@ def with_heuristics(
 
 
 def model_rule_columns(df: DataFrame, cfg: RuleConfig = DEFAULT_RULES) -> DataFrame:
-    """Rules over the scoring-stage outputs (langid/conf/perplexity)."""
-    return df.withColumns(
-        {
-            "rule_lang": F.col("langid").isin(list(cfg.keep_langs)),
-            "rule_langid_conf": F.col("langid_conf") >= cfg.min_langid_conf,
-            "rule_perplexity": F.col("perplexity") <= cfg.max_perplexity,
-        }
-    )
+    """Rules over the scoring-stage outputs (langid/conf/perplexity,
+    plus the optional quality-classifier gate when configured)."""
+    cols = {
+        "rule_lang": F.col("langid").isin(list(cfg.keep_langs)),
+        "rule_langid_conf": F.col("langid_conf") >= cfg.min_langid_conf,
+        "rule_perplexity": F.col("perplexity") <= cfg.max_perplexity,
+    }
+    if cfg.min_quality_prob is not None:
+        cols["rule_quality_prob"] = F.col("quality_prob") >= cfg.min_quality_prob
+    return df.withColumns(cols)
+
+
+def rule_names_for(cfg: RuleConfig) -> tuple[str, ...]:
+    """The decision rule set a config activates (canonical order)."""
+    if cfg.min_quality_prob is not None:
+        return ALL_RULE_NAMES + ("quality_prob",)
+    return ALL_RULE_NAMES
 
 
 def with_decision(df: DataFrame, rule_names: tuple[str, ...] = ALL_RULE_NAMES) -> DataFrame:

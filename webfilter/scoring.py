@@ -22,6 +22,7 @@ SCORE_SCHEMA = T.StructType(
         T.StructField("langid", T.StringType()),
         T.StructField("langid_conf", T.DoubleType()),
         T.StructField("perplexity", T.DoubleType()),
+        T.StructField("quality_prob", T.DoubleType()),
     ]
 )
 
@@ -32,6 +33,7 @@ def score_udf(text: pd.Series) -> pd.DataFrame:
     # python worker (module import is cached), never per batch
     from webfilter.kernels import langid as _langid
     from webfilter.kernels import perplexity as _ppl
+    from webfilter.kernels import qualityclf as _qclf
 
     out = _langid.predict_batch(text)
     # low-confidence predictions are unreliable -> 'und' (fastText
@@ -39,13 +41,15 @@ def score_udf(text: pd.Series) -> pd.DataFrame:
     mask = out["langid_conf"] < 0.5
     out.loc[mask, "langid"] = "und"
     out["perplexity"] = _ppl.score_batch(text)
+    out["quality_prob"] = _qclf.quality_prob_batch(text)
     return out
 
 
 def with_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds langid, langid_conf, perplexity via one Arrow round-trip."""
     return df.withColumn("_score", score_udf(F.col(text_col))).select(
-        "*", "_score.langid", "_score.langid_conf", "_score.perplexity"
+        "*", "_score.langid", "_score.langid_conf", "_score.perplexity",
+        "_score.quality_prob",
     ).drop("_score")
 
 
@@ -57,6 +61,7 @@ EXTRACT_SCORE_SCHEMA = T.StructType(
         T.StructField("langid", T.StringType()),
         T.StructField("langid_conf", T.DoubleType()),
         T.StructField("perplexity", T.DoubleType()),
+        T.StructField("quality_prob", T.DoubleType()),
     ]
 )
 
@@ -69,6 +74,7 @@ def extract_score_udf(html: pd.Series) -> pd.DataFrame:
     path at 100 TB is Arrow serialization, not the kernels)."""
     from webfilter.kernels import langid as _langid
     from webfilter.kernels import perplexity as _ppl
+    from webfilter.kernels import qualityclf as _qclf
     from webfilter.kernels.extract import extract_batch
 
     out = extract_batch(html).rename(columns={"err": "extract_err"})
@@ -78,6 +84,7 @@ def extract_score_udf(html: pd.Series) -> pd.DataFrame:
     out["langid"] = scores["langid"]
     out["langid_conf"] = scores["langid_conf"]
     out["perplexity"] = _ppl.score_batch(out["text"])
+    out["quality_prob"] = _qclf.quality_prob_batch(out["text"])
     return out
 
 
@@ -87,10 +94,11 @@ def with_extract_and_scores(df: DataFrame, html_col: str = "html") -> DataFrame:
     cols = [
         c
         for c in df.columns
-        if c not in ("text", "title", "extract_err", "langid", "langid_conf", "perplexity")
+        if c not in ("text", "title", "extract_err", "langid", "langid_conf",
+                     "perplexity", "quality_prob")
     ]
     return df.withColumn("_es", extract_score_udf(F.col(html_col))).select(
         *cols,
         "_es.text", "_es.title", "_es.extract_err",
-        "_es.langid", "_es.langid_conf", "_es.perplexity",
+        "_es.langid", "_es.langid_conf", "_es.perplexity", "_es.quality_prob",
     )
