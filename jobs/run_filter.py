@@ -40,6 +40,12 @@ def main(argv: list[str] | None = None) -> int:
         "(minhash pairs -> dup_pairs + kept_pages tables)",
     )
     ap.add_argument(
+        "--min-quality-prob", type=float, default=None,
+        help="activate the model-based quality gate: drop docs whose "
+        "classifier P(wiki-like) is below this (lineage column "
+        "quality_prob is recorded either way)",
+    )
+    ap.add_argument(
         "--warmup", action="store_true",
         help="run the pipeline once into a scratch dir first (JIT / "
         "python-worker warmup) so the reported timing is steady-state",
@@ -62,7 +68,11 @@ def main(argv: list[str] | None = None) -> int:
         synth.write_dataset(spark, args.synth, pages_path)
         pages_path = f"{pages_path}/pages.parquet"
 
-    from webfilter import pipeline
+    from webfilter import pipeline, rules
+
+    cfg = rules.DEFAULT_RULES
+    if args.min_quality_prob is not None:
+        cfg = rules.RuleConfig(min_quality_prob=args.min_quality_prob)
 
     if args.warmup:
         import shutil
@@ -70,13 +80,15 @@ def main(argv: list[str] | None = None) -> int:
         scratch = f"{args.out}_warmup"
         shutil.rmtree(scratch, ignore_errors=True)
         pipeline.run_filter(
-            spark, pages_path, scratch, n_buckets=args.buckets, run_id="warmup"
+            spark, pages_path, scratch, n_buckets=args.buckets, run_id="warmup",
+            cfg=cfg,
         )
         shutil.rmtree(scratch, ignore_errors=True)
 
     t0 = time.time()
     res = pipeline.run_filter(
-        spark, pages_path, args.out, n_buckets=args.buckets, run_id=args.run_id
+        spark, pages_path, args.out, n_buckets=args.buckets, run_id=args.run_id,
+        cfg=cfg,
     )
     res["wall_s"] = round(time.time() - t0, 2)
     res["docs_per_s"] = round(res["docs"] / max(res["wall_s"], 1e-9), 1)

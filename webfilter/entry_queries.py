@@ -1882,6 +1882,94 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_window_ntile(spark, sf_dir):
+    """Rank-family windows beyond rank/dense_rank: ntile, percent_rank
+    and cume_dist over per-type event values (SURVEY §2 window
+    surface)."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.round(F.col("value"), 6), F.col("event_id")
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+SQL_WINDOW_NTILE = """
+SELECT event_id, event_type,
+  ntile(4) OVER w AS quartile,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY round(value, 6), event_id)
+"""
+
+
+def q_events_time_profile(spark, sf_dir):
+    """Datetime expression surface: date_trunc / extract parts
+    aggregated into a weekday x hour activity profile. dow is
+    normalized to 0=Sunday on both engines (Spark dayofweek is
+    1-based, DuckDB dow is 0-based)."""
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hour"),
+            F.round(F.col("value"), 6).alias("v"),
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            r6(F.sum(F.col("v").cast("decimal(18,6)")).cast("double")).alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+SQL_EVENTS_TIME_PROFILE = """
+SELECT extract(dow FROM ts)::BIGINT AS dow, extract(hour FROM ts)::BIGINT AS hour,
+  count(*)::BIGINT AS n_events,
+  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS subqueries (Catalyst rewrites
+    them to semi/anti joins — SURVEY §2 SQL surface): customers with
+    at least one high-value order and no urgent order."""
+    _tbl(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    _tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer_v c
+        WHERE EXISTS (SELECT 1 FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 100000)
+          AND NOT EXISTS (SELECT 1 FROM orders_v o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        """
+    )
+
+
+SQL_EXISTS_SUBQUERY = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
@@ -1953,4 +2041,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hof_token_stats": (q_hof_token_stats, SQL_HOF_TOKEN_STATS),
     "outlink_hosts": (q_outlink_hosts, SQL_OUTLINK_HOSTS),
     "quality_classifier": (q_quality_classifier, None),
+    "window_ntile": (q_window_ntile, SQL_WINDOW_NTILE),
+    "events_time_profile": (q_events_time_profile, SQL_EVENTS_TIME_PROFILE),
+    "exists_subquery": (q_exists_subquery, SQL_EXISTS_SUBQUERY),
 }
