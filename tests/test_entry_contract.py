@@ -90,3 +90,37 @@ def test_entry_flagship(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert "keep" in df.columns
+
+
+def test_approx_percentiles_near_exact(spark):
+    """The GK-sketch approx percentiles must sit within the accuracy
+    bound of the exact per-lang percentiles (n < 2000 per lang at
+    sf0.01, so the sketch should be EXACT here)."""
+    import webfilter.entry_queries as eq
+
+    approx = {
+        r["lang"]: (r["p50"], r["p90"], r["p99"])
+        for r in eq.q_length_percentiles_approx(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    import pyspark.sql.functions as F
+
+    vals = {}
+    for r in docs.select("lang", "n_chars").collect():
+        vals.setdefault(r["lang"], []).append(r["n_chars"])
+    assert set(approx) == set(vals)
+    # GK guarantee is on RANK, not value (and sidesteps the discrete-
+    # vs-interpolated definition gap): the returned element's rank
+    # must be within eps*n of p*n, and with accuracy 2000 > n the
+    # sketch holds every element -> rank error <= 1
+    import bisect
+
+    for lang, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        for p, a in zip((0.5, 0.9, 0.99), approx[lang]):
+            lo = bisect.bisect_left(xs, a)
+            hi = bisect.bisect_right(xs, a) - 1
+            target = p * n
+            dist = min(abs(lo - target), abs(hi - target))
+            assert dist <= 1 + 0.01 * n, (lang, p, a, lo, hi, target)

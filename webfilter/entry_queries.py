@@ -1970,6 +1970,62 @@ WHERE EXISTS (SELECT 1 FROM orders o
 """
 
 
+def q_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build from an event stream:
+    collapse consecutive same-value rows (change detection via lag),
+    then close each version with lead — (valid_from, valid_to,
+    is_current) per user_id x event_type run. Two windows over the
+    SAME (user_id, ts) partitioning/order — one shuffle, the second
+    window reuses the sort."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ev.withColumn("_prev", F.lag("event_type").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type")))
+        .drop("_prev")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+SQL_SCD2_INTERVALS = """
+WITH chg AS (
+  SELECT user_id, event_type, ts, event_id,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT user_id, event_type, ts AS valid_from,
+  lead(ts) OVER w AS valid_to,
+  lead(ts) OVER w IS NULL AS is_current
+FROM chg
+WHERE prev IS NULL OR prev <> event_type
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_length_percentiles_approx(spark, sf_dir):
+    """Mergeable approximate percentiles (`percentile_approx`,
+    Greenwald-Khanna sketch — the 100 TB path where exact
+    percentile's full sort-per-group is not affordable). Sketch
+    output is model-based -> rows-only; tests/test_entry_contract.py
+    bounds the error vs the exact `length_percentiles` oracle
+    query."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.percentile_approx("n_chars", [0.5, 0.9, 0.99], 2000).alias("pcts_approx")
+    ).select(
+        "lang",
+        F.col("pcts_approx").getItem(0).cast("double").alias("p50"),
+        F.col("pcts_approx").getItem(1).cast("double").alias("p90"),
+        F.col("pcts_approx").getItem(2).cast("double").alias("p99"),
+    )
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
@@ -2044,4 +2100,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "window_ntile": (q_window_ntile, SQL_WINDOW_NTILE),
     "events_time_profile": (q_events_time_profile, SQL_EVENTS_TIME_PROFILE),
     "exists_subquery": (q_exists_subquery, SQL_EXISTS_SUBQUERY),
+    "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
+    "length_percentiles_approx": (q_length_percentiles_approx, None),
 }
