@@ -1730,7 +1730,9 @@ def q_pagerank_hosts(spark, sf_dir):
     edges = ev.select(
         (F.col("user_id") % 23).alias("src"), (F.col("event_id") % 30).alias("dst")
     ).filter(F.col("src") != F.col("dst"))
-    return pagerank(edges, iters=12).select(
+    # n_nodes=30 by construction (dst = event_id % 30 covers 0..29 at
+    # every sf) -> construction stays action-free (registry rule)
+    return pagerank(edges, iters=12, n_nodes=30).select(
         "node", r6(F.col("rank")).alias("rank")
     )
 

@@ -32,6 +32,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 12,
     checkpoint_every: int = 4,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """Rank every node reachable as an endpoint of ``edges``
     (directed, duplicates allowed — parallel edges weigh double,
@@ -41,6 +42,11 @@ def pagerank(
     Fixed iteration count (not convergence-probed): deterministic
     plan depth, and 10-15 rounds is within 1e-6 of the fixpoint on
     web-ish graphs with d=0.85.
+
+    ``n_nodes``: pass the node count when the caller knows it (keeps
+    construction action-free — the registry rule); omit and ONE
+    bounded count() action runs here, the connected_components
+    discipline.
     """
     d = float(damping)
     nodes = (
@@ -48,9 +54,7 @@ def pagerank(
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
-    # one bounded action: n is a scalar (node count), needed for the
-    # teleport term — same discipline as connected_components' probe
-    n = nodes.count()
+    n = n_nodes if n_nodes is not None else nodes.count()
     out_deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("deg")
     )
@@ -88,5 +92,10 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            # eager=False: the logical plan is truncated immediately
+            # (the frame wraps a LogicalRDD) but nothing materializes
+            # until the caller's action — construction stays
+            # action-free (the registry rule); the RDD chain executes
+            # once, in order, at that action
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
