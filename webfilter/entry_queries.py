@@ -2028,6 +2028,34 @@ def q_length_percentiles_approx(spark, sf_dir):
     )
 
 
+def q_udtf_term_counts(spark, sf_dir):
+    """Python UDTF in LATERAL position (SURVEY §2.8 surface —
+    documented slow-path demo, see webfilter/udtfs.py; the hot-path
+    twin is posexplode+groupBy). md5-sampled to a few docs so the
+    per-row-Python cost stays a demo, not a stage."""
+    from .udtfs import register_all
+
+    register_all(spark)
+    _docs(spark, sf_dir).createOrReplaceTempView("docs_udtf_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.term, t.tf
+        FROM docs_udtf_v d, LATERAL term_counts(d.text) t
+        WHERE CAST(conv(substr(md5(CAST(d.doc_id AS STRING)), 1, 8), 16, 10)
+                   AS BIGINT) % 29 = 0
+        """
+    )
+
+
+SQL_UDTF_TERM_COUNTS = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents
+           WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 29 = 0)
+SELECT doc_id, u.term, count(*)::INT AS tf
+FROM t, UNNEST(tk) AS u(term)
+GROUP BY doc_id, u.term
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
@@ -2104,4 +2132,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "exists_subquery": (q_exists_subquery, SQL_EXISTS_SUBQUERY),
     "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
     "length_percentiles_approx": (q_length_percentiles_approx, None),
+    "udtf_term_counts": (q_udtf_term_counts, SQL_UDTF_TERM_COUNTS),
 }
