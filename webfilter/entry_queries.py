@@ -2056,6 +2056,178 @@ GROUP BY doc_id, u.term
 """
 
 
+def q_events_rolling_range(spark, sf_dir):
+    """Event-TIME range window (RANGE BETWEEN INTERVAL ... PRECEDING —
+    a different frame type from the rows-window in
+    events_running_totals): per-user count and decimal-exact sum of
+    events in the trailing 10 minutes. The range frame is
+    time-correct under irregular event spacing, where a rows frame is
+    not."""
+    ev = _tbl(spark, sf_dir, "events")
+    dv = F.round(F.col("value"), 6).cast("decimal(18,6)")
+    # integer microsecond epochs keep the frame boundary EXACT on
+    # both engines (a float-seconds ordering would make rows on the
+    # 600 s edge engine-dependent)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))  # NTZ->TZ is identity under the pinned UTC session
+        .rangeBetween(-600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_10min"),
+        F.sum(dv).over(w).cast("double").alias("sum_10min"),
+    )
+
+
+SQL_EVENTS_ROLLING_RANGE = """
+SELECT event_id, user_id,
+  count(*) OVER w::BIGINT AS n_10min,
+  CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_10min
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """CDC-style snapshot diff: full-outer join two table versions on
+    the key and classify added / removed / changed / same by value
+    hash — the incremental-sync primitive under every merge. The
+    'new' snapshot is derived deterministically (every 7th doc
+    deleted, every 5th text-bumped, 3 fresh docs appended)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    d = F.col("doc_id")
+    new = (
+        docs.filter(d % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(d % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+                F.col("text")
+            ).alias("text"),
+        )
+        .unionByName(
+            spark.range(3).select(
+                (F.col("id") + 1_000_000).alias("doc_id"),
+                F.concat(F.lit("fresh doc "), F.col("id")).alias("text"),
+            )
+        )
+    )
+    o = docs.alias("o")
+    n = new.alias("n")
+    j = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    status = (
+        F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+        .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("o.text") != F.col("n.text"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return j.select(
+        F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+        status.alias("status"),
+    ).groupBy("status").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (SELECT doc_id, text FROM documents),
+new AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT 1000000 + r.i AS doc_id, 'fresh doc ' || r.i AS text
+  FROM UNNEST(range(0, 3)) AS r(i)),
+j AS (
+  SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text <> n.text THEN 'changed'
+              ELSE 'same' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+SELECT status, count(*)::BIGINT AS n_docs FROM j GROUP BY status
+"""
+
+
+def q_edit_distance_pairs(spark, sf_dir):
+    """Built-in Levenshtein edit distance over blocked candidate
+    pairs (the verify step of a fuzzy-title dedup): docs paired
+    within (lang, source) blocks by adjacent md5 rank, distance on
+    the first 40 chars. Blocking bounds the pair count; the distance
+    itself is a JVM builtin (no UDF)."""
+    docs = _docs(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    w = Window.partitionBy("lang", "source").orderBy(h, "doc_id")
+    ranked = docs.select(
+        "doc_id", "lang", "source", F.substring("text", 1, 40).alias("head"),
+        F.row_number().over(w).alias("rk"),
+    )
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.rk") + 1 == F.col("b.rk")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.head"), F.col("b.head")).cast("int").alias("edit_d"),
+        )
+    )
+
+
+SQL_EDIT_DISTANCE = """
+WITH ranked AS (
+  SELECT doc_id, lang, source, substr(text, 1, 40) AS head,
+    row_number() OVER (PARTITION BY lang, source
+                       ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
+                                doc_id) AS rk
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  levenshtein(a.head, b.head)::INT AS edit_d
+FROM ranked a JOIN ranked b
+  ON a.lang = b.lang AND a.source = b.source AND a.rk + 1 = b.rk
+"""
+
+
+def q_map_token_counts(spark, sf_dir):
+    """Map-typed HOF surface (map_from_entries -> map_filter ->
+    transform_values -> explode) — per-doc token-count map, filtered
+    to tf >= 2, values scaled, exploded back to sorted rows so the
+    cross-engine compare never sees engine-specific map rendering."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    # (token, count) entries via aggregate over distinct tokens
+    pairs = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            t.alias("k"),
+            F.size(F.filter(toks, lambda x: x == t)).alias("v"),
+        ),
+    )
+    m = F.map_from_entries(pairs)
+    m2 = F.map_filter(m, lambda k, v: v >= 2)
+    m3 = F.transform_values(m2, lambda k, v: v * 10)
+    return (
+        docs.select("doc_id", F.explode(m3).alias("term", "tf10"))
+        .select("doc_id", "term", F.col("tf10").cast("bigint").alias("tf10"))
+    )
+
+
+SQL_MAP_TOKEN_COUNTS = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+c AS (
+  SELECT doc_id, u.term, count(*) AS tf
+  FROM t, UNNEST(tk) AS u(term)
+  GROUP BY doc_id, u.term)
+SELECT doc_id, term, (tf * 10)::BIGINT AS tf10 FROM c WHERE tf >= 2
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
@@ -2133,4 +2305,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
     "length_percentiles_approx": (q_length_percentiles_approx, None),
     "udtf_term_counts": (q_udtf_term_counts, SQL_UDTF_TERM_COUNTS),
+    "events_rolling_range": (q_events_rolling_range, SQL_EVENTS_ROLLING_RANGE),
+    "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "edit_distance_pairs": (q_edit_distance_pairs, SQL_EDIT_DISTANCE),
+    "map_token_counts": (q_map_token_counts, SQL_MAP_TOKEN_COUNTS),
 }
