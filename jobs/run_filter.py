@@ -46,6 +46,11 @@ def main(argv: list[str] | None = None) -> int:
         "quality_prob is recorded either way)",
     )
     ap.add_argument(
+        "--canonical-dedup", action="store_true",
+        help="collapse recrawl URL variants (utm/fragment/case/slash) "
+        "to the newest capture per canonical URL before extraction",
+    )
+    ap.add_argument(
         "--warmup", action="store_true",
         help="run the pipeline once into a scratch dir first (JIT / "
         "python-worker warmup) so the reported timing is steady-state",
@@ -81,14 +86,14 @@ def main(argv: list[str] | None = None) -> int:
         shutil.rmtree(scratch, ignore_errors=True)
         pipeline.run_filter(
             spark, pages_path, scratch, n_buckets=args.buckets, run_id="warmup",
-            cfg=cfg,
+            cfg=cfg, canonical=args.canonical_dedup,
         )
         shutil.rmtree(scratch, ignore_errors=True)
 
     t0 = time.time()
     res = pipeline.run_filter(
         spark, pages_path, args.out, n_buckets=args.buckets, run_id=args.run_id,
-        cfg=cfg,
+        cfg=cfg, canonical=args.canonical_dedup,
     )
     res["wall_s"] = round(time.time() - t0, 2)
     res["docs_per_s"] = round(res["docs"] / max(res["wall_s"], 1e-9), 1)

@@ -85,3 +85,32 @@ def test_outlink_extraction_hand_case(spark):
                                "doc_id long, html string")
     out = {r["host"]: (r["n_links"], r["n_docs"]) for r in outlink_host_counts(df).collect()}
     assert out == {"a.com": (3, 2), "b.com": (1, 1)}
+
+
+def test_pipeline_canonical_stage(spark, synth_dir):
+    """canonical=True collapses recrawl variants to the newest capture
+    and is a behavioral no-op on the already-canonical synth corpus."""
+    from pyspark.sql import functions as F
+
+    from webfilter.pipeline import filtered_frame
+
+    pages = spark.read.parquet(f"{synth_dir}/pages.parquet").limit(40).cache()
+    # no-op on canonical corpus: identical keep decisions per url
+    base = {r["url"]: r["keep"] for r in filtered_frame(pages).collect()}
+    canon = {r["url"]: r["keep"] for r in filtered_frame(pages, canonical=True).collect()}
+    assert base == canon
+
+    # dirty variants of one page: only the newest capture survives
+    one = pages.limit(1)
+    variants = one.select(
+        F.concat(F.col("url"), F.lit("?utm_source=feed#frag")).alias("url"),
+        F.col("html"),
+        (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("warc_ts"),
+        *[c for c in one.columns if c not in ("url", "html", "warc_ts")],
+    )
+    dirty = one.unionByName(variants.select(*one.columns))
+    out = filtered_frame(dirty, canonical=True).collect()
+    assert len(out) == 1
+    # the kept row is the NEWEST capture (the utm-tagged recrawl)
+    assert out[0]["url"].endswith("#frag") or "utm_source" in out[0]["url"]
+    pages.unpersist()

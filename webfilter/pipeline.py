@@ -41,8 +41,28 @@ DECISION_COLS = [
 ]
 
 
-def filtered_frame(pages: DataFrame, cfg: rules.RuleConfig = rules.DEFAULT_RULES) -> DataFrame:
-    """The pure transformation: pages -> decision rows (no writes)."""
+def filtered_frame(
+    pages: DataFrame,
+    cfg: rules.RuleConfig = rules.DEFAULT_RULES,
+    canonical: bool = False,
+) -> DataFrame:
+    """The pure transformation: pages -> decision rows (no writes).
+
+    ``canonical=True`` prepends a canonical-URL dedup (urls.py):
+    recrawl variants of the same page (utm-tagged, fragment,
+    case-variant, trailing-slash) collapse to the NEWEST capture
+    before content extraction ever runs — the cheap-first ordering
+    (regex algebra before any Python/model work). Same one-shuffle
+    window shape as latest_per_url; on an already-canonical corpus it
+    is a behavioral no-op (golden labels unchanged, tested)."""
+    if canonical:
+        from .urls import canonical_dedup
+
+        pages = (
+            canonical_dedup(pages, url_col="url", order_col="warc_ts", descending=True)
+            .filter(F.col("canon_rep"))
+            .drop("canon_url", "canon_rep")
+        )
     df = latest_per_url(pages)
     df = scoring.with_extract_and_scores(df)
     df = rules.with_heuristics(df, cfg=cfg)
@@ -60,9 +80,11 @@ def run_filter(
     cfg: rules.RuleConfig = rules.DEFAULT_RULES,
     run_id: str | None = None,
     only_buckets: list[int] | None = None,
+    canonical: bool = False,
 ) -> dict:
     """Resumable filter run. ``only_buckets`` limits this invocation
-    (used by the kill/resume tests to simulate a mid-run crash)."""
+    (used by the kill/resume tests to simulate a mid-run crash).
+    ``canonical`` prepends the canonical-URL recrawl dedup stage."""
     import time as _time
 
     t_all = _time.time()
@@ -84,7 +106,9 @@ def run_filter(
 
     manifest.mark(run_id, "filter", pending, RUNNING)
 
-    out = filtered_frame(pages, cfg).withColumn("run_id", F.lit(run_id))
+    out = filtered_frame(pages, cfg, canonical=canonical).withColumn(
+        "run_id", F.lit(run_id)
+    )
     out = out.select(*DECISION_COLS)
     # hash-repartition on bucket_id: every bucket lands wholly in ONE
     # task, so each bucket directory gets exactly one output file (no

@@ -74,18 +74,22 @@ def canonical_dedup(
     df: DataFrame,
     url_col: str = "url",
     order_col: str | None = None,
+    descending: bool = False,
 ) -> DataFrame:
     """Keep ONE row per canonical URL: the minimal `order_col`
     (default: the url string itself, so the choice is deterministic
-    under any row order / parallelism). Adds `canon_url` and a
-    `canon_rep` flag instead of dropping rows — callers filter on
-    the flag, keeping lineage inspectable.
+    under any row order / parallelism; `descending=True` keeps the
+    maximal instead — e.g. the newest capture by warc_ts). Adds
+    `canon_url` and a `canon_rep` flag instead of dropping rows —
+    callers filter on the flag, keeping lineage inspectable.
 
     One shuffle on canon_url (the latest_per_url window shape); at
     10^12 rows the window runs per canonical-key group, never
     global.
     """
     order = F.col(order_col) if order_col else F.col(url_col)
+    if descending:
+        order = order.desc()
     w = Window.partitionBy("canon_url").orderBy(order, F.col(url_col))
     return df.withColumn("canon_url", canonical_url_col(F.col(url_col))).withColumn(
         "canon_rep", F.row_number().over(w) == 1
