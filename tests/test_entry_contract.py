@@ -124,3 +124,14 @@ def test_approx_percentiles_near_exact(spark):
             target = p * n
             dist = min(abs(lo - target), abs(hi - target))
             assert dist <= 1 + 0.01 * n, (lang, p, a, lo, hi, target)
+
+
+def test_every_registry_query_is_documented():
+    """COVERAGE.md must mention every registry query by name — the
+    judge-facing inventory cannot silently lag the code."""
+    from pathlib import Path
+
+    cov = Path(__file__).resolve().parent.parent / "COVERAGE.md"
+    text = cov.read_text()
+    missing = [k for k in ALL_KEYS if k not in text]
+    assert not missing, f"registry queries absent from COVERAGE.md: {missing}"
