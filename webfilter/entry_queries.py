@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf string type hints
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2228,6 +2229,111 @@ SELECT doc_id, term, (tf * 10)::BIGINT AS tf10 FROM c WHERE tf >= 2
 """
 
 
+def q_text_normalize(spark, sf_dir):
+    """Unicode NFC normalization + casefold + whitespace collapse —
+    the canonicalization pass real web text needs before hashing
+    (composed 'é' and decomposed 'e'+U+0301 must collide). The
+    normalize step is a pandas UDF (Spark has no builtin NFC;
+    unicodedata over the batch), everything else stays Column. The
+    fixture injects both forms deterministically so the assertion has
+    teeth on the ASCII synthetic corpus."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc_udf(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    # NOTE: Spark's chr() is mod-256 ASCII (chr(769) -> \x01), unlike
+    # DuckDB's codepoint chr — inject the unicode via literals instead
+    accent = F.when(d % 2 == 0, F.lit("caf\u00e9")).otherwise(
+        F.lit("cafe\u0301")  # decomposed e + combining acute
+    )
+    staged = docs.select(
+        "doc_id",
+        F.concat(accent, F.lit("  Mixed   CASE\t"), F.col("text")).alias("raw"),
+    )
+    norm = F.trim(
+        F.regexp_replace(F.lower(nfc_udf(F.col("raw"))), r"\s+", " ")
+    )
+    return staged.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+    )
+
+
+SQL_TEXT_NORMALIZE = """
+WITH staged AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'caf' || chr(233)
+          ELSE 'cafe' || chr(769) END)
+    || '  Mixed   CASE' || chr(9) || text AS raw
+  FROM documents),
+n AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(nfc_normalize(raw)),
+                        '[ \\t\\n\\v\\f\\r]+', ' ', 'g')) AS norm_text
+  FROM staged)
+SELECT doc_id, norm_text, length(norm_text)::BIGINT AS n_chars_norm FROM n
+"""
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Corpus rank-frequency (Zipf) slope per language: explode
+    tokens, count, rank by frequency, least-squares slope of
+    log(freq) on log(rank) over the top 100 terms — all expressed as
+    grouped sums (the closed-form OLS estimator), no model code.
+    Natural corpora sit near -1; a flat slope flags boilerplate/spam
+    shards, so this is a real distribution-shift monitor at crawl
+    scale (one explode + two shuffles: term count, per-lang agg)."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    terms = (
+        docs.select("lang", F.explode(toks).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("term"))
+    ranked = terms.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 100)
+    x = F.log(F.col("rk").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    agg = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select("lang", r6(slope).alias("zipf_slope"))
+
+
+SQL_ZIPF_SLOPE = f"""
+WITH t AS (SELECT lang, {_TOKS} AS tk FROM documents),
+f AS (
+  SELECT lang, u.term, count(*)::DOUBLE AS freq
+  FROM t, UNNEST(tk) AS u(term) GROUP BY lang, u.term),
+r AS (
+  SELECT lang, ln(row_number() OVER (PARTITION BY lang
+                  ORDER BY freq DESC, term)::DOUBLE) AS x,
+         ln(freq) AS y,
+         row_number() OVER (PARTITION BY lang ORDER BY freq DESC, term) AS rk
+  FROM f),
+a AS (
+  SELECT lang, count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM r WHERE rk <= 100 GROUP BY lang)
+SELECT lang, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+FROM a
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
@@ -2309,4 +2415,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "edit_distance_pairs": (q_edit_distance_pairs, SQL_EDIT_DISTANCE),
     "map_token_counts": (q_map_token_counts, SQL_MAP_TOKEN_COUNTS),
+    "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
+    "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
 }
