@@ -24,10 +24,27 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 
 
+def _package_zip(work: Path) -> str:
+    """Build the --py-files package (the north-rule ship form): the
+    measured job runs from the zip, exactly as a cluster would."""
+    import zipfile
+
+    zp = work / "webfilter_pkg.zip"
+    zp.parent.mkdir(parents=True, exist_ok=True)
+    with zipfile.ZipFile(zp, "w", zipfile.ZIP_DEFLATED) as z:
+        for f in sorted((REPO / "webfilter").rglob("*.py")):
+            z.write(f, f.relative_to(REPO))
+    return str(zp)
+
+
+_PKG_ZIP: str | None = None
+
+
 def run_level(pages: str, out: str, cores: int, buckets: int) -> dict:
     shutil.rmtree(out, ignore_errors=True)
     cmd = [
         "spark-submit", "--driver-memory", "48g",
+        *( ["--py-files", _PKG_ZIP] if _PKG_ZIP else [] ),
         str(REPO / "jobs" / "run_filter.py"),
         "--pages", pages, "--out", out,
         "--buckets", str(buckets), "--cores", str(cores),
@@ -96,6 +113,11 @@ def main() -> None:
         if gen.returncode != 0:
             sys.stderr.write(gen.stderr[-2000:])
             raise RuntimeError("generation failed")
+
+    # build AFTER the work-dir reset; measured levels then run from
+    # the --py-files zip, the north-rule ship form
+    global _PKG_ZIP
+    _PKG_ZIP = _package_zip(work)
 
     # the sandbox host is shared (load spikes from other tenants show
     # up with zero local processes) — run the levels alternately
