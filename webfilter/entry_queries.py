@@ -2334,6 +2334,102 @@ FROM a
 """
 
 
+def q_bigram_counts(spark, sf_dir):
+    """KenLM-style LM training counts: corpus-wide (w1, w2) bigram
+    frequencies with a min-count cutoff — the table the perplexity
+    kernel's class of model trains from. Bigrams come from the
+    shifted-slice arrays_zip idiom (textstats.py:104 — no captured
+    array inside a HOF lambda, which Catalyst re-evaluates per
+    element, O(n^2)/row); one explode + one count shuffle."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col(F.lower(F.col("text")))
+    m = F.size(toks) - 1
+    pairs = F.when(m < 1, F.array().cast("array<struct<w1:string,w2:string>>")).otherwise(
+        F.arrays_zip(
+            F.slice(toks, 1, m).alias("w1"), F.slice(toks, 2, m).alias("w2")
+        ).cast("array<struct<w1:string,w2:string>>")
+    )
+    return (
+        docs.select(F.explode(pairs).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+
+
+SQL_BIGRAM_COUNTS = f"""
+WITH t AS (SELECT doc_id, {_TOKS.replace("trim(text)", "trim(lower(text))")} AS tk
+           FROM documents),
+b AS (
+  SELECT tk[u.i] AS w1, tk[u.i + 1] AS w2
+  FROM t, UNNEST(range(1, greatest(len(tk), 1)::BIGINT)) AS u(i)
+  WHERE len(tk) >= 2)
+SELECT w1, w2, count(*)::BIGINT AS n FROM b GROUP BY w1, w2 HAVING count(*) >= 3
+"""
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population-stability-index drift between two corpus snapshots
+    (the 'new' one derived deterministically: every 3rd doc dropped,
+    lengths perturbed): bucket doc lengths into fixed bins, compare
+    the two distributions with PSI = Σ (p-q)·ln(p/q) — the crawl
+    monitor that flags a shifted shard before it poisons training.
+    Laplace-smoothed so empty bins stay finite; two count shuffles
+    over post-agg bin dims."""
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    d = F.col("doc_id")
+    newer = docs.filter(d % 3 != 0).select(
+        "doc_id", (F.col("n_chars") + (d % 40)).alias("n_chars")
+    )
+    bin_ = lambda c: F.least(F.floor(c / 100), F.lit(9)).cast("int")  # noqa: E731
+
+    def dist(df):
+        return df.groupBy(bin_(F.col("n_chars")).alias("bin")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+
+    bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    p = bins.join(dist(docs), "bin", "left").select(
+        "bin", F.coalesce(F.col("cnt"), F.lit(0)).alias("p_cnt")
+    )
+    q = bins.join(dist(newer), "bin", "left").select(
+        "bin", F.coalesce(F.col("cnt"), F.lit(0)).alias("q_cnt")
+    )
+    j = p.join(q, "bin")
+    wsum = Window.partitionBy()
+    pf = (F.col("p_cnt") + 0.5) / F.sum(F.col("p_cnt") + 0.5).over(wsum)
+    qf = (F.col("q_cnt") + 0.5) / F.sum(F.col("q_cnt") + 0.5).over(wsum)
+    return j.select(
+        "bin",
+        F.col("p_cnt").cast("bigint").alias("p_cnt"),
+        F.col("q_cnt").cast("bigint").alias("q_cnt"),
+        r6((pf - qf) * F.log(pf / qf)).alias("psi_term"),
+    )
+
+
+SQL_PSI_DRIFT = """
+WITH newer AS (
+  SELECT doc_id, n_chars + (doc_id % 40) AS n_chars
+  FROM documents WHERE doc_id % 3 <> 0),
+bins AS (SELECT r.i::INT AS bin FROM UNNEST(range(0, 10)) AS r(i)),
+p AS (SELECT least((n_chars // 100), 9)::INT AS bin, count(*) AS cnt
+      FROM documents GROUP BY 1),
+q AS (SELECT least((n_chars // 100), 9)::INT AS bin, count(*) AS cnt
+      FROM newer GROUP BY 1),
+j AS (
+  SELECT b.bin, coalesce(p.cnt, 0) AS p_cnt, coalesce(q.cnt, 0) AS q_cnt
+  FROM bins b LEFT JOIN p ON p.bin = b.bin LEFT JOIN q ON q.bin = b.bin),
+f AS (
+  SELECT bin, p_cnt, q_cnt,
+    (p_cnt + 0.5) / sum(p_cnt + 0.5) OVER () AS pf,
+    (q_cnt + 0.5) / sum(q_cnt + 0.5) OVER () AS qf
+  FROM j)
+SELECT bin, p_cnt::BIGINT AS p_cnt, q_cnt::BIGINT AS q_cnt,
+  round((pf - qf) * ln(pf / qf), 6) AS psi_term
+FROM f
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
@@ -2417,4 +2513,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "map_token_counts": (q_map_token_counts, SQL_MAP_TOKEN_COUNTS),
     "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
     "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
+    "bigram_counts": (q_bigram_counts, SQL_BIGRAM_COUNTS),
+    "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
 }
