@@ -64,3 +64,41 @@ def test_pagerank_no_action_during_loop_and_no_cartesian(spark, small_graph):
     _, df = small_graph
     plan = pagerank(df, iters=2, checkpoint_every=10)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_host_pagerank_from_pages(spark):
+    from webfilter.graph import host_pagerank_from_pages
+
+    rows = [
+        ("http://a.com/1", b'<a href="http://b.com/x">l</a><a href="http://c.com/y">l</a>'),
+        ("http://b.com/1", b'<a href="http://c.com/z">l</a>'),
+        ("http://c.com/1", b'<a href="http://a.com/h">l</a>'),
+        ("http://d.com/1", b"no links here"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["node"]: r["rank"] for r in host_pagerank_from_pages(df, iters=12).collect()}
+    assert set(got) == {"a.com", "b.com", "c.com"}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # c receives from both a and b -> highest authority
+    assert got["c.com"] > got["a.com"] and got["c.com"] > got["b.com"]
+
+
+def test_component_survivors_score_policy(spark):
+    from pyspark.sql import functions as F
+
+    from webfilter import dedup
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (4, 0.7), (5, 0.1)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    # default: min id (1) survives the {1,2,3} component
+    kept_min = {r["doc_id"] for r in dedup.component_survivors(docs, pairs).collect()}
+    assert kept_min == {1, 4, 5}
+    # score policy: highest quality (2) survives instead
+    kept_q = {
+        r["doc_id"]
+        for r in dedup.component_survivors(docs, pairs, score_col="quality").collect()
+    }
+    assert kept_q == {2, 4, 5}

@@ -750,14 +750,36 @@ def connected_components(
 
 
 def component_survivors(
-    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    score_col: str | None = None,
 ) -> DataFrame:
-    """Keep exactly one row (the min id) per near-dup component plus
-    every row that appears in no pair: the exact-minimal dedup policy
-    built on connected_components."""
+    """Keep exactly one row per near-dup component plus every row
+    that appears in no pair, built on connected_components.
+
+    Default policy: the min id survives (exact-minimal,
+    deterministic). With ``score_col``: the HIGHEST-scoring member of
+    each component survives (ties broken by min id) — the curation-
+    quality policy: when recrawl variants near-duplicate each other,
+    keep the one the quality classifier likes best, not whichever id
+    sorts first. One extra broadcast-scale join on the component dim
+    (components ≪ corpus); the component labeling cost is unchanged.
+    """
     comp = connected_components(pairs)
-    losers = comp.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
+    if score_col is None:
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(losers, id_col, "left_anti")
+    scored = comp.join(
+        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s")), "id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("_s").desc_nulls_last(), F.col("id")
+    )
+    losers = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > 1)
+        .select(F.col("id").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
 

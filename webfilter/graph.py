@@ -99,3 +99,34 @@ def pagerank(
             # once, in order, at that action
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def host_pagerank_from_pages(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    damping: float = 0.85,
+    iters: int = 12,
+) -> DataFrame:
+    """End-to-end host authority from a raw pages corpus: extract
+    outlinks (urls.outlink_urls_col), build source-host -> target-host
+    edges, run pagerank. Returns (node, rank) over hosts. Composes
+    the two already-scaled pieces (one extract map + one edge shuffle,
+    then the iterative node-key shuffles)."""
+    from pyspark.sql.types import StringType
+
+    from .urls import host_col, outlink_urls_col
+
+    html_as_str = F.col(html_col)
+    if dict(pages.dtypes).get(html_col) == "binary":
+        html_as_str = F.col(html_col).cast(StringType())
+    edges = (
+        pages.select(
+            host_col(F.col(url_col)).alias("src"),
+            F.explode(outlink_urls_col(html_as_str)).alias("href"),
+        )
+        .select("src", host_col(F.col("href")).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return pagerank(edges, damping=damping, iters=iters)
