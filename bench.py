@@ -247,6 +247,12 @@ def main() -> None:
         "domain_mixture_sample",
         "hof_token_stats",
         "pagerank_hosts",
+        "scd2_intervals",
+        "events_rolling_range",
+        "snapshot_diff",
+        "map_token_counts",
+        "bigram_counts",
+        "zipf_slope",
     ]
     for name in bench_queries:
         best_q = float("inf")
