@@ -265,24 +265,47 @@ def main() -> None:
         _ = n
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "webfilter_bench_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_LABEL,
-                "pages_docs": res["docs"],
-                "pages_docs_per_s": round(docs_per_s, 1),
-                "pages_runs_s": [s["wall_s"] for s in run_stats],
-                "pages_run_stats": run_stats,
-                "pages_best_contended": contended(best),
-                "env": env,
-                "cpus": CPUS,
-            }
-        )
-    )
+    full = {
+        "metric": "webfilter_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_LABEL,
+        "pages_docs": res["docs"],
+        "pages_docs_per_s": round(docs_per_s, 1),
+        "pages_runs_s": [s["wall_s"] for s in run_stats],
+        "pages_run_stats": run_stats,
+        "pages_best_contended": contended(best),
+        "env": env,
+        "cpus": CPUS,
+    }
+    # Full record (per-run contention evidence, env) goes to an EARLIER
+    # stdout line and a sidecar file; the FINAL line stays short so the
+    # driver's 2000-char tail capture always parses it (VERDICT r3 #1:
+    # BENCH_r03 lost its graded headline to "parsed": null).
+    print(json.dumps(full))
+    try:
+        out = Path(__file__).resolve().parent / "BENCH" / "last_run_full.json"
+        out.parent.mkdir(exist_ok=True)
+        out.write_text(json.dumps(full, indent=1))
+    except OSError:
+        pass
+    headline = {
+        "metric": "webfilter_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": SF_LABEL,
+        "pages_docs": res["docs"],
+        "pages_docs_per_s": round(docs_per_s, 1),
+        "pages_best_contended": contended(best),
+        "cpus": CPUS,
+    }
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1800:  # never outgrow the tail window again
+        headline["queries"] = {"n_queries": len(timings)}
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1585,7 +1585,12 @@ l AS (
   FROM t, UNNEST(range(1, ((len(tk) + 7) // 8)::BIGINT + 1)) AS u(i)
   UNION ALL
   SELECT doc_id, 1000000 AS line_id, '{{ code block }}.' AS line
-  FROM t WHERE doc_id % 13 = 0),
+  FROM t WHERE doc_id % 13 = 0
+  UNION ALL
+  -- zero-token docs: Spark splitting empty text on newline yields
+  -- one empty line while range(1,1) yields none — emit the match
+  SELECT doc_id, 0 AS line_id, '' AS line
+  FROM t WHERE len(tk) = 0 AND doc_id % 13 <> 0),
 m AS (
   SELECT doc_id, line_id, line,
     regexp_matches(line, '[.!?"'']$')
@@ -1731,9 +1736,11 @@ def q_pagerank_hosts(spark, sf_dir):
     edges = ev.select(
         (F.col("user_id") % 23).alias("src"), (F.col("event_id") % 30).alias("dst")
     ).filter(F.col("src") != F.col("dst"))
-    # n_nodes=30 by construction (dst = event_id % 30 covers 0..29 at
-    # every sf) -> construction stays action-free (registry rule)
-    return pagerank(edges, iters=12, n_nodes=30).select(
+    # the node UNIVERSE is hosts 0..29 by definition (not by observed
+    # coverage): pass it explicitly so n_nodes and the endpoint set
+    # cannot disagree at any sf — construction stays action-free
+    universe = spark.range(30).select(F.col("id").alias("node"))
+    return pagerank(edges, iters=12, n_nodes=30, nodes=universe).select(
         "node", r6(F.col("rank")).alias("rank")
     )
 
@@ -1742,10 +1749,9 @@ SQL_PAGERANK = """
 WITH RECURSIVE
 e AS (SELECT user_id % 23 AS src, event_id % 30 AS dst FROM events
       WHERE user_id % 23 <> event_id % 30),
--- NOTE: inside WITH RECURSIVE, DuckDB does NOT dedup a plain UNION in
--- helper CTEs (observed: 2x|e| rows) — spell the dedup out
-nodes AS (SELECT DISTINCT node
-          FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+-- fixed node universe 0..29 (matches the Spark side's explicit
+-- universe — coverage-independent by construction)
+nodes AS (SELECT range::BIGINT AS node FROM range(0, 30)),
 nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
 deg AS (SELECT src AS node, count(*)::DOUBLE AS deg FROM e GROUP BY src),
 -- expanded transition: out-edges carry 1/deg; dangling nodes donate
@@ -2202,19 +2208,23 @@ def q_map_token_counts(spark, sf_dir):
     cross-engine compare never sees engine-specific map rendering."""
     docs = _docs(spark, sf_dir)
     toks = tokens_col(F.col("text"))
-    # (token, count) entries via aggregate over distinct tokens
-    pairs = F.transform(
-        F.array_distinct(toks),
-        lambda t: F.struct(
-            t.alias("k"),
-            F.size(F.filter(toks, lambda x: x == t)).alias("v"),
-        ),
+    # counts via explode + groupBy (linear, one pass — NOT the
+    # captured-array-in-HOF-lambda form, which Catalyst re-evaluates
+    # per element, O(n*distinct)/row; ADVICE r3 + the bigram_counts
+    # ban note), then back into a map for the map-HOF surface
+    counts = (
+        docs.select("doc_id", F.explode(toks).alias("k"))
+        .groupBy("doc_id", "k")
+        .agg(F.count(F.lit(1)).cast("int").alias("v"))
     )
-    m = F.map_from_entries(pairs)
+    per_doc = counts.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("k", "v"))).alias("m")
+    )
+    m = F.col("m")
     m2 = F.map_filter(m, lambda k, v: v >= 2)
     m3 = F.transform_values(m2, lambda k, v: v * 10)
     return (
-        docs.select("doc_id", F.explode(m3).alias("term", "tf10"))
+        per_doc.select("doc_id", F.explode(m3).alias("term", "tf10"))
         .select("doc_id", "term", F.col("tf10").cast("bigint").alias("tf10"))
     )
 
@@ -2515,4 +2525,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
     "bigram_counts": (q_bigram_counts, SQL_BIGRAM_COUNTS),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
+}
+
+# The driver oracle-grades exactly the first 50 entries in insertion
+# order (VERDICT r3 #2, verified: list(REGISTRY)[:50] == CORRECTNESS
+# keys). Keep every oracle-backed query ahead of the rows-only ones so
+# no graded slot is wasted; tests/test_entry_contract.py enforces it.
+REGISTRY = {
+    **{k: v for k, v in REGISTRY.items() if v[1] is not None},
+    **{k: v for k, v in REGISTRY.items() if v[1] is None},
 }

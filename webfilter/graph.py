@@ -33,6 +33,7 @@ def pagerank(
     iters: int = 12,
     checkpoint_every: int = 4,
     n_nodes: int | None = None,
+    nodes: DataFrame | None = None,
 ) -> DataFrame:
     """Rank every node reachable as an endpoint of ``edges``
     (directed, duplicates allowed — parallel edges weigh double,
@@ -47,13 +48,25 @@ def pagerank(
     construction action-free — the registry rule); omit and ONE
     bounded count() action runs here, the connected_components
     discipline.
+
+    ``nodes``: optional explicit node universe (a single-column
+    "node" DataFrame). When the caller KNOWS the universe (e.g. hosts
+    0..29 by construction), passing it makes the result independent
+    of which nodes happen to appear in ``edges`` — n_nodes and the
+    observed endpoints can no longer silently disagree (ADVICE r3:
+    a hard-coded n with partial coverage breaks rank-sums-to-1).
+    Universe nodes absent from edges are isolated: dangling donors
+    and teleport receivers, so total rank still sums to 1.
     """
     d = float(damping)
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
+    if nodes is None:
+        nodes = (
+            edges.select(F.col(src).alias("node"))
+            .union(edges.select(F.col(dst).alias("node")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
     n = n_nodes if n_nodes is not None else nodes.count()
     out_deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("deg")
