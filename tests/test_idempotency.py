@@ -48,6 +48,32 @@ def test_partial_then_resume_equals_clean_run(spark, synth_dir, tmp_path):
     assert fp_clean == fp_resumed
 
 
+def test_resume_refuses_schema_change(spark, synth_dir, tmp_path, monkeypatch):
+    """Resuming across a DECISION_COLS change would mix bucket files
+    with inconsistent schemas (ADVICE r3) — the manifest records the
+    column list and refuses the resume while old-schema buckets are
+    DONE. A fresh output (nothing DONE) just updates the record."""
+    import pytest
+
+    pages = f"{synth_dir}/pages.parquet"
+    out = tmp_path / "schema_guard"
+    pipeline.run_filter(
+        spark, pages, str(out), n_buckets=8, run_id="s1", only_buckets=[0, 1]
+    )
+
+    shrunk = [c for c in pipeline.DECISION_COLS if c != "quality_prob"]
+    monkeypatch.setattr(pipeline, "DECISION_COLS", shrunk)
+    with pytest.raises(ValueError, match="schema changed"):
+        pipeline.run_filter(spark, pages, str(out), n_buckets=8, run_id="s2")
+
+    # a brand-new output dir under the new schema is fine
+    r = pipeline.run_filter(
+        spark, pages, str(tmp_path / "fresh"), n_buckets=8, run_id="s3",
+        only_buckets=[0],
+    )
+    assert r["buckets"] == 1
+
+
 def test_rerun_is_noop(spark, synth_dir, tmp_path):
     pages = f"{synth_dir}/pages.parquet"
     out = tmp_path / "once"

@@ -111,6 +111,19 @@ def test_lsh_probe_side_is_broadcast(spark):
     assert "Broadcast" in plan  # probes broadcast; corpus never shuffled for the join
 
 
+def test_omitted_dim_raises_never_probes(spark):
+    """Both simsearch entry points share dedup's contract: omitting
+    dim raises at construction instead of running a first() job
+    (VERDICT r3 #5 — the modules previously disagreed)."""
+    from webfilter.simsearch import lsh_topk, with_hyperplane_bucket, with_norm
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(ValueError, match="dim is required"):
+        with_hyperplane_bucket(with_norm(emb))
+    with pytest.raises(ValueError, match="dim is required"):
+        lsh_topk(emb, emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding"))
+
+
 def test_registry_construction_is_action_free(spark):
     """No registry query may launch a Spark job during CONSTRUCTION
     (VERDICT r2 #5): at 10^12 rows a hidden first()/limit() probe is a

@@ -1080,11 +1080,14 @@ FROM (SELECT doc_id, list_transform(cs, (x, i) -> struct_pack(pos := i - 1, chun
 
 def q_chat_messages(spark, sf_dir):
     """ARRAY<STRUCT> pandas-UDF return (the reference's one vectorized
-    UDF, _setup/utils.py:61-63) — rows-only (nested-struct rendering
-    differs across engines)."""
+    UDF, _setup/utils.py:61-63). Raw nested rendering differs across
+    engines, so the result unpacks EVERY struct field to scalars —
+    the full UDF output is hash-verified against a DuckDB
+    list_value/struct_pack reconstruction (VERDICT r3 #6). Input is a
+    deterministic doc_id slice, not limit() (order-dependent)."""
     from .messages import with_chat_messages
 
-    docs = _docs(spark, sf_dir).limit(200)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     df = docs.select(
         "doc_id",
         F.col("text").alias("context"),
@@ -1092,11 +1095,38 @@ def q_chat_messages(spark, sf_dir):
         F.col("source").alias("answer"),
     )
     out = with_chat_messages(df, "context", "question", "answer")
+    m = F.col("messages")
     return out.select(
         "doc_id",
         F.size("messages").alias("n_messages"),
-        F.col("messages").getItem(1).getField("content").alias("user_content"),
+        m.getItem(0).getField("role").alias("role0"),
+        m.getItem(1).getField("role").alias("role1"),
+        m.getItem(2).getField("role").alias("role2"),
+        m.getItem(0).getField("content").alias("sys_content"),
+        m.getItem(1).getField("content").alias("user_content"),
+        m.getItem(2).getField("content").alias("asst_content"),
     )
+
+
+SQL_CHAT_MESSAGES = """
+WITH m AS (
+  SELECT doc_id,
+    list_value(
+      struct_pack(role := 'system',
+                  content := 'You are a careful assistant. Use the context to answer.'),
+      struct_pack(role := 'user',
+                  content := 'context: ' || text || chr(10) || chr(10)
+                             || 'question: what is doc ' || doc_id),
+      struct_pack(role := 'assistant', content := source)
+    ) AS messages
+  FROM documents WHERE doc_id < 200)
+SELECT doc_id, len(messages) AS n_messages,
+  messages[1].role AS role0, messages[2].role AS role1, messages[3].role AS role2,
+  messages[1].content AS sys_content,
+  messages[2].content AS user_content,
+  messages[3].content AS asst_content
+FROM m
+"""
 
 
 def q_media_decode_meta(spark, sf_dir):
@@ -2479,7 +2509,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "except_intersect": (q_except_intersect, SQL_EXCEPT_INTERSECT),
     "lineitem_pricing_summary": (q_lineitem_pricing_summary, SQL_LINEITEM_Q1),
     "unpivot_measures": (q_unpivot_measures, SQL_UNPIVOT),
-    "chat_messages": (q_chat_messages, None),
+    "chat_messages": (q_chat_messages, SQL_CHAT_MESSAGES),
     "chunk_fixed": (q_chunk_fixed, SQL_CHUNK_FIXED),
     "chunk_paragraph": (q_chunk_paragraph, SQL_CHUNK_PARAGRAPH),
     # model/hash-based: rows-only driver check, pytest-verified

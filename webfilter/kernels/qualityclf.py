@@ -87,7 +87,18 @@ def _train(iters: int = 300, lr: float = 4.0, l2: float = 1e-4) -> tuple[np.ndar
     return w.astype(np.float32), float(b)
 
 
-_W, _B = _train()
+_MODEL: tuple[np.ndarray, float] | None = None
+
+
+def _weights() -> tuple[np.ndarray, float]:
+    """Train lazily on first scoring call, cached per process
+    (ADVICE r3: import-time training added ~fixed startup latency to
+    every executor Python worker even when the quality gate is off).
+    Still deterministic — same corpora, same zero init, no RNG."""
+    global _MODEL
+    if _MODEL is None:
+        _MODEL = _train()
+    return _MODEL
 
 
 def quality_prob_batch(texts: pd.Series) -> pd.Series:
@@ -100,6 +111,7 @@ def quality_prob_batch(texts: pd.Series) -> pd.Series:
     out = np.full(n, 0.5, dtype=np.float64)
     if n == 0:
         return pd.Series(out)
+    _W, _B = _weights()
     bufs = [t.lower().encode("utf-32-le") for t in texts.fillna("")]
     doc_lens = np.array([len(b) // 4 for b in bufs], dtype=np.int64)
     sep = b"\x00\x00\x00\x00"

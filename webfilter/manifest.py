@@ -153,3 +153,36 @@ class Manifest:
                 r["status"], r["attempt"], r["run_id"],
             )
         self._state_cache = cache
+
+    def guard_schema(self, stage: str, cols: list[str], n_buckets: int) -> None:
+        """Refuse to RESUME a stage across an output-schema change
+        (ADVICE r3: DECISION_COLS grew by quality_prob, so resuming a
+        pre-change run would mix bucket files with inconsistent
+        schemas — readers unioning bucket dirs without mergeSchema
+        break). Records the column list alongside the manifest on the
+        first run; a mismatch with any bucket already DONE raises
+        (operator must restart the stage or read with mergeSchema);
+        with nothing DONE yet the record is simply updated."""
+        marker = os.path.join(self._dir, f"_{stage}_schema.txt")
+        recorded = None
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                recorded = fh.read().split("\n")
+        if recorded is not None and recorded != list(cols):
+            done = [
+                b for b in range(n_buckets)
+                if self.status(stage, b) == DONE
+            ]
+            if done:
+                raise ValueError(
+                    f"stage '{stage}' output schema changed "
+                    f"({len(recorded)} -> {len(cols)} cols: "
+                    f"{sorted(set(cols) ^ set(recorded))}) but buckets "
+                    f"{done[:8]}{'...' if len(done) > 8 else ''} are "
+                    "already DONE with the old schema — restart the "
+                    "stage (delete its manifest marks + output) or read "
+                    "with mergeSchema; refusing a mixed-schema table"
+                )
+        os.makedirs(self._dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("\n".join(cols))

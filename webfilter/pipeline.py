@@ -93,6 +93,7 @@ def run_filter(
     catalog = ParquetCatalog(spark, out_root)
     manifest = Manifest(catalog)
 
+    manifest.guard_schema("filter", DECISION_COLS, n_buckets)
     pending = manifest.pending_buckets(n_buckets)
     if only_buckets is not None:
         pending = [b for b in pending if b in set(only_buckets)]

@@ -19,6 +19,12 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+_DIM_REQUIRED = (
+    "dim is required: array<float> schemas carry no length, and a "
+    "first() probe would run a Spark job during query construction "
+    "(no actions at construction time — VERDICT r3 #5)"
+)
+
 
 def dot_col(a: Column, b: Column) -> Column:
     # cast BEFORE multiplying: float32*float32 rounds to float32 and
@@ -132,12 +138,12 @@ def hyperplane_bucket_col(
 def with_hyperplane_bucket(
     df: DataFrame, vec_col: str = "vec_n", n_planes: int = 8, dim: int | None = None
 ) -> DataFrame:
-    """Pass ``dim`` explicitly: array<float> schemas don't carry a
-    length, so the fallback costs one Spark job (first()) during
-    query CONSTRUCTION — fine interactively, wrong inside a lazy
-    query registry (VERDICT r1)."""
+    """``dim`` is REQUIRED: array<float> schemas carry no length, and
+    probing it with first() would run a Spark job during query
+    CONSTRUCTION — the no-actions-at-construction contract all of
+    dedup/simsearch now shares (VERDICT r3 #5)."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(_DIM_REQUIRED)
     return df.withColumn("bucket", hyperplane_bucket_col(F.col(vec_col), dim, n_planes))
 
 
@@ -331,8 +337,7 @@ def lsh_topk(
     bucket with the query in ANY table (plus 1-bit multiprobe on the
     query side). Exact cosine rerank on the candidate set.
 
-    Pass ``dim`` (vector length) explicitly — the fallback runs a
-    first() job at construction time (see with_hyperplane_bucket).
+    ``dim`` (vector length) is REQUIRED — see with_hyperplane_bucket.
 
     At 10^12 scale: corpus bucket assignment is one narrow scan
     (plane dot products are literal-folded Column math); the probe
@@ -340,7 +345,7 @@ def lsh_topk(
     corpus/2^n_planes * n_tables * (n_planes+1).
     """
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        raise ValueError(_DIM_REQUIRED)
     codes = bucket_codes_udf(dim, n_planes, n_tables)
     c = with_norm(emb, vec_col)
     corpus = c.select(
