@@ -40,6 +40,13 @@ def main(argv: list[str] | None = None) -> int:
         "(minhash pairs -> dup_pairs + kept_pages tables)",
     )
     ap.add_argument(
+        "--dedup-incremental", action="store_true",
+        help="with --dedup: dedup only decision rows of filter runs "
+        "not yet ingested, against the persisted dedup_bands state "
+        "(daily-increment mode; do not mix with full --dedup runs "
+        "on the same output)",
+    )
+    ap.add_argument(
         "--min-quality-prob", type=float, default=None,
         help="activate the model-based quality gate: drop docs whose "
         "classifier P(wiki-like) is below this (lineage column "
@@ -99,7 +106,8 @@ def main(argv: list[str] | None = None) -> int:
     res["docs_per_s"] = round(res["docs"] / max(res["wall_s"], 1e-9), 1)
     if args.dedup:
         res["dedup"] = pipeline.run_near_dedup(
-            spark, args.out, n_buckets=args.buckets, run_id=args.run_id
+            spark, args.out, n_buckets=args.buckets, run_id=args.run_id,
+            incremental=args.dedup_incremental,
         )
     print(json.dumps(res))
     return 0

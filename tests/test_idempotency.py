@@ -213,6 +213,71 @@ def test_dedup_kill_mid_write_resumes_per_bucket(spark, synth_dir, tmp_path):
     assert kept_r == kept_c
 
 
+def _kept_urls(spark, out: str) -> list[str]:
+    return sorted(
+        r["url"]
+        for r in ParquetCatalog(spark, out).read("kept_pages").select("url").collect()
+    )
+
+
+def test_incremental_dedup_equals_full_recompute(spark, synth_dir, tmp_path):
+    """initial batch + increment through persisted band state must
+    yield the SAME survivors as one full recompute (VERDICT r3 #3) —
+    band hashes are deterministic per text, so the candidate relation
+    is identical; batch-local exact collapse changes star-pair shape
+    but not drop decisions (see incremental_minhash_pairs)."""
+    pages = f"{synth_dir}/pages.parquet"
+
+    full = tmp_path / "full"
+    pipeline.run_filter(spark, pages, str(full), n_buckets=8, run_id="f")
+    pipeline.run_near_dedup(spark, str(full), n_buckets=8, run_id="d")
+
+    inc = tmp_path / "inc"
+    pipeline.run_filter(
+        spark, pages, str(inc), n_buckets=8, run_id="a", only_buckets=[0, 1, 2, 3]
+    )
+    r1 = pipeline.run_near_dedup(
+        spark, str(inc), n_buckets=8, run_id="i1", incremental=True
+    )
+    assert r1["new_runs"] == ["a"] and r1["buckets"] > 0
+
+    pipeline.run_filter(spark, pages, str(inc), n_buckets=8, run_id="b")
+    r2 = pipeline.run_near_dedup(
+        spark, str(inc), n_buckets=8, run_id="i2", incremental=True
+    )
+    assert r2["new_runs"] == ["b"]
+
+    assert _kept_urls(spark, str(full)) == _kept_urls(spark, str(inc))
+
+    # nothing new -> no-op (no rewrites, no state growth)
+    r3 = pipeline.run_near_dedup(
+        spark, str(inc), n_buckets=8, run_id="i3", incremental=True
+    )
+    assert r3["buckets"] == 0 and r3["new_runs"] == []
+
+
+def test_incremental_dedup_resumes_crashed_rewrite(spark, synth_dir, tmp_path):
+    """A bucket left RUNNING by a crash mid-survivor-rewrite is
+    rewritten by the next increment even with no new filter runs."""
+    from webfilter.manifest import RUNNING
+
+    pages = f"{synth_dir}/pages.parquet"
+    out = tmp_path / "crash"
+    pipeline.run_filter(spark, pages, str(out), n_buckets=8, run_id="f")
+    pipeline.run_near_dedup(
+        spark, str(out), n_buckets=8, run_id="i1", incremental=True
+    )
+    before = _kept_urls(spark, str(out))
+
+    m = Manifest(ParquetCatalog(spark, str(out)))
+    m.mark("crashed", "dedup", [3], RUNNING)
+    r = pipeline.run_near_dedup(
+        spark, str(out), n_buckets=8, run_id="i2", incremental=True
+    )
+    assert r["buckets"] == 1 and r["new_runs"] == []
+    assert _kept_urls(spark, str(out)) == before
+
+
 def test_dedup_force_rerun_ignores_stale_pairs(spark, synth_dir, tmp_path):
     """ADVICE r2: re-running with a stricter threshold must not drop
     documents based on the previous run's pairs left behind in

@@ -237,18 +237,19 @@ def minhash_signature_df(
     )
 
 
-def lsh_candidate_pairs(
+def band_table(
     sig_df: DataFrame,
     id_col: str = "doc_id",
     n_bands: int = 16,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """Banding: docs sharing any band hash become a candidate pair.
-
-    Equi-join on (band_idx, band_hash); AQE handles residual skew
-    (a giant boilerplate cluster = a hot band bucket).
-    """
-    bands = sig_df.select(
+    """(id, band_idx, band_hash) — the LSH banding projection of a
+    signature frame. This IS the persistable dedup state: band hashes
+    are deterministic functions of the signature (fixed splitmix64
+    seed family), so a band table written today equi-joins correctly
+    against signatures computed tomorrow — the incremental-dedup
+    contract (VERDICT r3 #3)."""
+    return sig_df.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -265,6 +266,23 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banding: docs sharing any band hash become a candidate pair.
+
+    Equi-join on (band_idx, band_hash); AQE handles residual skew
+    (a giant boilerplate cluster = a hot band bucket).
+    """
+    return _pairs_from_bands(band_table(sig_df, id_col, n_bands, rows_per_band), id_col)
+
+
+def _pairs_from_bands(bands: DataFrame, id_col: str) -> DataFrame:
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -347,24 +365,7 @@ def minhash_dedup_pairs(
     the NULL-safety contract: they can't pair). No-op when
     threshold > 1.0 (identical texts would not meet the bar)."""
     if collapse_exact and threshold <= 1.0:
-        sets = df.select(
-            F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
-        ).withColumn("_ch", F.md5(F.col("_txt")))
-        w = Window.partitionBy("_ch").orderBy("_id")
-        marked = _persist(sets.withColumn("_rn", F.row_number().over(w)))
-        reps = marked.filter((F.col("_rn") == 1) | F.col("_ch").isNull()).select(
-            F.col("_id").alias(id_col), F.col("_txt").alias(text_col)
-        )
-        star = (
-            marked.filter((F.col("_rn") > 1) & F.col("_ch").isNotNull())
-            .join(
-                marked.filter(F.col("_rn") == 1).select(
-                    "_ch", F.col("_id").alias("id_a")
-                ),
-                "_ch",
-            )
-            .select("id_a", F.col("_id").alias("id_b"), F.lit(1.0).alias("jaccard"))
-        )
+        reps, star = _collapse_exact(df, id_col, text_col)
         sig = _persist(minhash_signature_df(reps, id_col, text_col, k, n_hashes))
         cand = lsh_candidate_pairs(sig, id_col, n_bands, n_hashes // n_bands)
         near = jaccard_verify(reps, cand, id_col, text_col, k, threshold)
@@ -372,6 +373,92 @@ def minhash_dedup_pairs(
     sig = _persist(minhash_signature_df(df, id_col, text_col, k, n_hashes))
     cand = lsh_candidate_pairs(sig, id_col, n_bands, n_hashes // n_bands)
     return jaccard_verify(df, cand, id_col, text_col, k, threshold)
+
+
+def _collapse_exact(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(reps, star_pairs): one representative (min id) per identical
+    text plus (rep, member, 1.0) star pairs for the collapsed members.
+    NULL-text docs are never collapsed (each stays its own rep)."""
+    sets = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
+    ).withColumn("_ch", F.md5(F.col("_txt")))
+    w = Window.partitionBy("_ch").orderBy("_id")
+    marked = _persist(sets.withColumn("_rn", F.row_number().over(w)))
+    reps = marked.filter((F.col("_rn") == 1) | F.col("_ch").isNull()).select(
+        F.col("_id").alias(id_col), F.col("_txt").alias(text_col)
+    )
+    star = (
+        marked.filter((F.col("_rn") > 1) & F.col("_ch").isNotNull())
+        .join(
+            marked.filter(F.col("_rn") == 1).select(
+                "_ch", F.col("_id").alias("id_a")
+            ),
+            "_ch",
+        )
+        .select("id_a", F.col("_id").alias("id_b"), F.lit(1.0).alias("jaccard"))
+    )
+    return reps, star
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    old_bands: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.7,
+    broadcast_new: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against persisted band state without
+    re-banding the corpus (VERDICT r3 #3: a daily crawl increment must
+    not pay the full-corpus banding join).
+
+    ``new_df``      the increment's (id, text) rows
+    ``old_bands``   the persisted band table (id, band_idx, band_hash)
+                    of everything already ingested (band_table output)
+    ``corpus_df``   (id, text) covering BOTH sides — only rows that
+                    land in candidate pairs are ever shingled/joined
+
+    Returns ``(pairs, new_bands)``; the caller appends ``new_bands``
+    to the band state so the next increment sees this one.
+
+    Equivalence to a full recompute (tested): band hashes are
+    deterministic per text, so (x, y) is a candidate here iff it is a
+    candidate in the one-shot run; exact-dup members are collapsed
+    per batch rather than corpus-wide, which changes star-pair
+    SHAPE ((rep_new, member) vs (rep_global, member)) but not the
+    drop set under greedy (url_b of some pair ⇔ non-minimal member)
+    or components (same connected components) — survivors identical.
+
+    Scale shape: the increment's band rows (|new| × n_bands, ~24 B
+    each) broadcast to the corpus band table, so the 100 TB side is
+    ONE narrow scan with a map-side join — no corpus shuffle, no
+    corpus re-signing. Set ``broadcast_new=False`` when the increment
+    itself is huge; the join degrades to a sort-merge on
+    (band_idx, band_hash), still never all-pairs."""
+    reps, star = _collapse_exact(new_df, id_col, text_col)
+    sig = _persist(minhash_signature_df(reps, id_col, text_col, k, n_hashes))
+    nb = _persist(band_table(sig, id_col, n_bands, n_hashes // n_bands))
+    probe = F.broadcast(nb) if broadcast_new else nb
+    a, b = probe.alias("a"), old_bands.alias("b")
+    cross = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    ).select(
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+    )
+    within = _pairs_from_bands(nb, id_col)
+    cand = cross.unionByName(within).distinct()
+    near = jaccard_verify(corpus_df, cand, id_col, text_col, k, threshold)
+    return near.unionByName(star), nb
 
 
 # -------------------------------------------------------- exact Jaccard
