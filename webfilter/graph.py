@@ -77,20 +77,37 @@ def pagerank(
         .select("node", "dst", (F.lit(1.0) / F.col("deg")).alias("share"))
         .localCheckpoint(eager=False)
     )
-    has_out = out_deg.select("node")
 
+    # Loop shape (re-measured this round on a 10^6-edge power-law
+    # graph, jobs/bench_pagerank.py): ONE expensive frame per round —
+    # the post-shuffle contribs — lazily checkpointed EVERY round.
+    # The old shape referenced ranks twice per round (contribs join +
+    # a dangling anti-join pass), so any checkpoint cadence > 1 made
+    # executor work double per un-truncated round (2^(cadence-1)
+    # recomputes: cadence 4 measured 50.6 s vs 16.9 s at cadence 1
+    # for 8 rounds at 1M edges). The dangling pass itself is
+    # redundant: ranks re-normalize to exactly 1 each round
+    # ((1-d) + d*((1-dang) + dang)), so dangling mass = 1 - Σcontrib —
+    # one agg over the already-checkpointed (<= n_nodes)-row contribs
+    # frame instead of a second full pass over ranks.
+    # eager=False keeps construction action-free (the registry rule):
+    # the plan is truncated to a LogicalRDD leaf at build time and
+    # the chain executes once, in order, at the caller's action.
+    # ``checkpoint_every`` is retained for API compatibility; values
+    # > 1 re-introduce the recompute doubling and only ever made
+    # sense on toy graphs where the analyzer, not the executor, was
+    # the cost — it now gates nothing.
+    _ = checkpoint_every
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for i in range(iters):
-        # mass sitting on dangling nodes this round (single-row agg,
-        # broadcast — no driver action)
-        dangling = (
-            ranks.join(has_out, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
-        )
+    for _i in range(iters):
         contribs = (
             norm_edges.join(ranks, "node")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib"))
+            .localCheckpoint(eager=False)
+        )
+        dangling = contribs.agg(
+            (F.lit(1.0) - F.coalesce(F.sum("contrib"), F.lit(0.0))).alias("dang")
         )
         ranks = (
             nodes.join(contribs, "node", "left")
@@ -104,13 +121,6 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_every == 0:
-            # eager=False: the logical plan is truncated immediately
-            # (the frame wraps a LogicalRDD) but nothing materializes
-            # until the caller's action — construction stays
-            # action-free (the registry rule); the RDD chain executes
-            # once, in order, at that action
-            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
