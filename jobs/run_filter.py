@@ -53,6 +53,16 @@ def main(argv: list[str] | None = None) -> int:
         "quality_prob is recorded either way)",
     )
     ap.add_argument(
+        "--host-prior", action="store_true",
+        help="compute host authority (PageRank over the corpus's own "
+        "link graph) and join it as a host_rank decision column",
+    )
+    ap.add_argument(
+        "--min-host-rank", type=float, default=None,
+        help="with --host-prior semantics: drop docs whose host rank "
+        "is below this (hosts absent from the link graph fail)",
+    )
+    ap.add_argument(
         "--canonical-dedup", action="store_true",
         help="collapse recrawl URL variants (utm/fragment/case/slash) "
         "to the newest capture per canonical URL before extraction",
@@ -83,8 +93,11 @@ def main(argv: list[str] | None = None) -> int:
     from webfilter import pipeline, rules
 
     cfg = rules.DEFAULT_RULES
-    if args.min_quality_prob is not None:
-        cfg = rules.RuleConfig(min_quality_prob=args.min_quality_prob)
+    if args.min_quality_prob is not None or args.min_host_rank is not None:
+        cfg = rules.RuleConfig(
+            min_quality_prob=args.min_quality_prob,
+            min_host_rank=args.min_host_rank,
+        )
 
     if args.warmup:
         import shutil
@@ -93,14 +106,14 @@ def main(argv: list[str] | None = None) -> int:
         shutil.rmtree(scratch, ignore_errors=True)
         pipeline.run_filter(
             spark, pages_path, scratch, n_buckets=args.buckets, run_id="warmup",
-            cfg=cfg, canonical=args.canonical_dedup,
+            cfg=cfg, canonical=args.canonical_dedup, host_prior=args.host_prior,
         )
         shutil.rmtree(scratch, ignore_errors=True)
 
     t0 = time.time()
     res = pipeline.run_filter(
         spark, pages_path, args.out, n_buckets=args.buckets, run_id=args.run_id,
-        cfg=cfg, canonical=args.canonical_dedup,
+        cfg=cfg, canonical=args.canonical_dedup, host_prior=args.host_prior,
     )
     res["wall_s"] = round(time.time() - t0, 2)
     res["docs_per_s"] = round(res["docs"] / max(res["wall_s"], 1e-9), 1)

@@ -36,7 +36,8 @@ from .tables import ParquetCatalog, latest_per_url
 
 DECISION_COLS = [
     "url", "bucket_id", "warc_ts", "text", "title", "extract_err",
-    "langid", "langid_conf", "perplexity", "quality_prob", "n_words", "n_chars",
+    "langid", "langid_conf", "perplexity", "quality_prob", "host_rank",
+    "n_words", "n_chars",
     "keep", "drop_reasons", "scrubbed_text", "pii_found", "run_id",
 ]
 
@@ -45,6 +46,8 @@ def filtered_frame(
     pages: DataFrame,
     cfg: rules.RuleConfig = rules.DEFAULT_RULES,
     canonical: bool = False,
+    host_prior: bool = False,
+    prior_pages: DataFrame | None = None,
 ) -> DataFrame:
     """The pure transformation: pages -> decision rows (no writes).
 
@@ -54,7 +57,26 @@ def filtered_frame(
     before content extraction ever runs — the cheap-first ordering
     (regex algebra before any Python/model work). Same one-shuffle
     window shape as latest_per_url; on an already-canonical corpus it
-    is a behavioral no-op (golden labels unchanged, tested)."""
+    is a behavioral no-op (golden labels unchanged, tested).
+
+    ``host_prior=True`` (auto-enabled when cfg.min_host_rank is set)
+    computes host authority from the corpus's own link graph
+    (graph.host_pagerank_from_pages — one outlink extract map + one
+    edge shuffle + the iterative node-keyed rounds over the SMALL
+    host dimension) and broadcast-joins it as a ``host_rank``
+    decision column; with cfg.min_host_rank set it also gates. The
+    host dim is ~10^7 rows at full web scale — broadcastable; the
+    100 TB pages side never shuffles for this join. Default off:
+    host_rank is NULL and golden labels are unchanged (tested).
+
+    ``prior_pages``: the corpus the link graph is built from.
+    run_filter passes the UNfiltered pages here — a resumed run only
+    reads pending buckets, and ranks computed from a partial corpus
+    would make resumed buckets disagree with a clean run (the
+    resume-equals-clean invariant). Hosts with no in- or out-links
+    are absent from the graph: host_rank stays NULL and a configured
+    min_host_rank gate drops them (NULL rule = failed, the
+    with_decision contract)."""
     if canonical:
         from .urls import canonical_dedup
 
@@ -65,6 +87,25 @@ def filtered_frame(
         )
     df = latest_per_url(pages)
     df = scoring.with_extract_and_scores(df)
+    if host_prior or cfg.min_host_rank is not None:
+        from .graph import host_pagerank_from_pages
+        from .urls import host_col as url_host
+
+        ranks = host_pagerank_from_pages(
+            prior_pages if prior_pages is not None else pages,
+            html_col="html",
+            url_col="url",
+        )
+        hosts = ranks.select(
+            F.col("node").alias("_wf_host"), F.col("rank").alias("host_rank")
+        )
+        df = (
+            df.withColumn("_wf_host", url_host(F.col("url")))
+            .join(F.broadcast(hosts), "_wf_host", "left")
+            .drop("_wf_host")
+        )
+    else:
+        df = df.withColumn("host_rank", F.lit(None).cast("double"))
     df = rules.with_heuristics(df, cfg=cfg)
     df = rules.model_rule_columns(df, cfg)
     df = rules.with_decision(df, rules.rule_names_for(cfg))
@@ -81,10 +122,13 @@ def run_filter(
     run_id: str | None = None,
     only_buckets: list[int] | None = None,
     canonical: bool = False,
+    host_prior: bool = False,
 ) -> dict:
     """Resumable filter run. ``only_buckets`` limits this invocation
     (used by the kill/resume tests to simulate a mid-run crash).
-    ``canonical`` prepends the canonical-URL recrawl dedup stage."""
+    ``canonical`` prepends the canonical-URL recrawl dedup stage;
+    ``host_prior`` joins link-graph host authority as a host_rank
+    decision column (see filtered_frame)."""
     import time as _time
 
     t_all = _time.time()
@@ -100,16 +144,18 @@ def run_filter(
     if not pending:
         return {"run_id": run_id, "buckets": 0, "docs": 0}
 
-    pages = with_bucket(spark.read.parquet(pages_path), n_buckets)
+    pages_all = with_bucket(spark.read.parquet(pages_path), n_buckets)
+    pages = pages_all
     if len(pending) < n_buckets:
         # pushed-down IN-filter == partition pruning on the bucket spec
         pages = pages.filter(F.col("bucket_id").isin(pending))
 
     manifest.mark(run_id, "filter", pending, RUNNING)
 
-    out = filtered_frame(pages, cfg, canonical=canonical).withColumn(
-        "run_id", F.lit(run_id)
-    )
+    out = filtered_frame(
+        pages, cfg, canonical=canonical, host_prior=host_prior,
+        prior_pages=pages_all,
+    ).withColumn("run_id", F.lit(run_id))
     out = out.select(*DECISION_COLS)
     # hash-repartition on bucket_id: every bucket lands wholly in ONE
     # task, so each bucket directory gets exactly one output file (no

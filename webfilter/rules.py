@@ -45,6 +45,13 @@ class RuleConfig:
     # optional model-based quality gate (kernels/qualityclf.py);
     # None (default) keeps the classic rule set and golden labels
     min_quality_prob: float | None = None
+    # optional host-authority gate: drop docs whose host PageRank
+    # (graph.host_pagerank_from_pages, joined by the pipeline's
+    # host_prior flag) is below this. Requires the host_rank column
+    # to be populated — setting it auto-enables the host-prior join
+    # in pipeline.filtered_frame. None (default) records host_rank
+    # as lineage only (or NULL when the join is off).
+    min_host_rank: float | None = None
 
 
 DEFAULT_RULES = RuleConfig()
@@ -200,14 +207,19 @@ def model_rule_columns(df: DataFrame, cfg: RuleConfig = DEFAULT_RULES) -> DataFr
     }
     if cfg.min_quality_prob is not None:
         cols["rule_quality_prob"] = F.col("quality_prob") >= cfg.min_quality_prob
+    if cfg.min_host_rank is not None:
+        cols["rule_host_rank"] = F.col("host_rank") >= cfg.min_host_rank
     return df.withColumns(cols)
 
 
 def rule_names_for(cfg: RuleConfig) -> tuple[str, ...]:
     """The decision rule set a config activates (canonical order)."""
+    names = ALL_RULE_NAMES
     if cfg.min_quality_prob is not None:
-        return ALL_RULE_NAMES + ("quality_prob",)
-    return ALL_RULE_NAMES
+        names = names + ("quality_prob",)
+    if cfg.min_host_rank is not None:
+        names = names + ("host_rank",)
+    return names
 
 
 def with_decision(df: DataFrame, rule_names: tuple[str, ...] = ALL_RULE_NAMES) -> DataFrame:

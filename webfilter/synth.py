@@ -232,6 +232,21 @@ def _wrap_html(doc_id: int, title: str, text: str) -> bytes:
     noise = ""
     if u_style < 0.5:
         noise = "<script>var x = 1 < 2;</script><style>.a{color:red}</style>"
+    # deterministic cross-host outlinks (EMPTY anchor text: tags strip
+    # to whitespace, so extracted text stays byte-identical to the
+    # golden) — gives the corpus a real host graph for the PageRank
+    # host-prior stage; ~60% of docs also link the first hot host, so
+    # host authority is skewed like real web in-degree
+    u_link = _u01(np.array([doc_id], dtype=np.uint64), 52)[0]
+    links = "".join(
+        f'<a href="https://{h}/p/{(doc_id * k + j) % 100000}.html"></a>'
+        for j, (k, h) in enumerate(
+            [(7, _host(doc_id * 7 + 1)), (13, _host(doc_id * 13 + 5))]
+        )
+    )
+    if u_link < 0.6:
+        links += f'<a href="https://{HOT_HOSTS[0]}/"></a>'
+    noise += links
     head = f"<title>{_htmllib.escape(title, quote=False)}</title>"
     charset_meta = '<meta charset="utf-8">'
     enc = "utf-8"
