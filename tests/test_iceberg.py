@@ -84,13 +84,16 @@ _ICEBERG_JAR = _find_iceberg_jar()
 @pytest.mark.skipif(
     _ICEBERG_JAR is None,
     reason=(
-        "no Iceberg runtime available (probed round 3): no "
+        "no Iceberg runtime available (re-probed round 4): no "
         "iceberg-spark-runtime*.jar under pyspark/jars, $SPARK_HOME/jars, "
-        "/opt/spark/jars or $WEBFILTER_ICEBERG_JAR; the fallback "
+        "/opt/spark/jars, a full-filesystem find, or $WEBFILTER_ICEBERG_JAR; "
+        "the fallback "
         "spark.jars.packages=org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0 "
-        "needs Maven Central, but the sandbox has no DNS (urlopen "
-        "https://repo1.maven.org -> 'Name or service not known'). Set "
-        "WEBFILTER_ICEBERG_JAR=<path> to run this roundtrip anywhere a jar exists."
+        "(use the matching -4.1_2.13 artifact if published for this "
+        "pyspark 4.1.x) needs Maven Central, but the sandbox has no DNS "
+        "(round-4 retry: urlopen https://repo1.maven.org -> "
+        "'Name or service not known'). Set WEBFILTER_ICEBERG_JAR=<path> "
+        "to run this roundtrip anywhere a jar exists."
     ),
 )
 def test_iceberg_execution_roundtrip(tmp_path):
