@@ -43,7 +43,7 @@ def test_lsh_scores_are_exact(spark, emb, queries):
     """LSH candidates are reranked with exact cosine — every returned
     (query, vec) pair's cosine must equal the brute-force value."""
     brute = simsearch.brute_force_topk(emb, queries, k=500)
-    approx = simsearch.lsh_topk(emb, queries, k=5)
+    approx = simsearch.lsh_topk(emb, queries, k=5, dim=64)
     j = approx.alias("a").join(
         brute.alias("b"), ["query_id", "vec_id"], "inner"
     )
@@ -75,7 +75,7 @@ def test_lsh_recall_on_clustered_vectors(spark):
     )
     k = 5
     brute = simsearch.brute_force_topk(df, queries, k=k)
-    approx = simsearch.lsh_topk(df, queries, k=k, n_planes=8, n_tables=4)
+    approx = simsearch.lsh_topk(df, queries, k=k, n_planes=8, n_tables=4, dim=64)
     hit = approx.join(brute.select("query_id", "vec_id"), ["query_id", "vec_id"]).count()
     recall = hit / brute.count()
     assert recall >= 0.8, f"LSH@{k} recall {recall:.2f} on clustered data"
