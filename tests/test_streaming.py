@@ -292,3 +292,71 @@ def test_streaming_sessionization_matches_batch(spark, synth_dir, tmp_path):
     # in that hour: ends are >= gap (30 min) apart, so <= 2 per key
     n_keys = batch.select("lang").distinct().count()
     assert len(batch_rows) - len(got_rows) <= 2 * n_keys
+
+
+def test_streaming_near_dedup_equals_batch(spark, tmp_path):
+    """Online near-dup over a file stream (persisted LSH band state,
+    one micro-batch per file) must keep EXACTLY the docs one-shot
+    batch minhash dedup keeps on the same corpus — arrival order and
+    batch boundaries cannot change the outcome."""
+    from webfilter.dedup import minhash_dedup_pairs
+
+    # corpus with exact dups, near dups and uniques spread across
+    # 3 arrival files so duplicate groups straddle micro-batches
+    base = (
+        "the quick brown fox jumps over the lazy dog and then walks "
+        "away into the quiet forest while the rain keeps falling on "
+        "the old wooden cabin near the river bend every single night"
+    )
+    rows = []
+    for i in range(30):
+        if i % 3 == 0:
+            txt = base  # exact-dup group
+        elif i % 3 == 1:
+            txt = base.replace("quiet", f"word{i}")  # near dups of base
+        else:
+            txt = f"document {i} " + " ".join(
+                f"tok{i}_{j} uniq{j * i}" for j in range(40)
+            )
+        rows.append((f"https://h{i % 5}.example.com/p/{i}", txt))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    import pandas as pd
+
+    for chunk in range(3):
+        part = rows[chunk::3]
+        spark.createDataFrame(
+            pd.DataFrame(part, columns=["url", "text"])
+        ).withColumn("warc_ts", F.current_timestamp()).withColumn(
+            "html", F.lit(None).cast("binary")
+        ).withColumn("lang", F.lit("en")).select(
+            "url", "warc_ts", "html", "text", "lang"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"chunk{chunk}"))
+
+    out = tmp_path / "state"
+    streaming.run_near_dedup_stream(
+        spark, f"{src}/chunk*", str(out), str(tmp_path / "cp"), max_files=1
+    )
+    streamed_kept = {
+        r["url"] for r in streaming.stream_kept_docs(spark, str(out)).collect()
+    }
+
+    corpus = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "text"]))
+    pairs = minhash_dedup_pairs(
+        corpus, id_col="url", text_col="text", collapse_exact=True
+    )
+    drops = {r["id_b"] for r in pairs.select("id_b").distinct().collect()}
+    batch_kept = {u for u, _ in rows} - drops
+
+    assert streamed_kept == batch_kept
+    assert len(streamed_kept) < len(rows)  # dups actually dropped
+
+    # drain again with the same checkpoint: replay-safe, kept set fixed
+    streaming.run_near_dedup_stream(
+        spark, f"{src}/chunk*", str(out), str(tmp_path / "cp"), max_files=1
+    )
+    again = {
+        r["url"] for r in streaming.stream_kept_docs(spark, str(out)).collect()
+    }
+    assert again == streamed_kept

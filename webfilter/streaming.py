@@ -326,3 +326,103 @@ def run_sessionized_stream(
     )
     q.awaitTermination()
     return q
+
+
+# --------------------------------------------- streaming near-dup dedup
+
+
+def near_dedup_batch(out_root: str, threshold: float = 0.7):
+    """foreachBatch handler: ONLINE near-dup ingestion — each
+    micro-batch is signed/banded once and joined against the
+    PERSISTED band state (dedup.incremental_minhash_pairs), never
+    against re-signed history. State tables under ``out_root``:
+
+      * ``dedup_bands``   (url, band_idx, band_hash) of every doc seen
+      * ``stream_docs``   the raw (url, text) feed (verify corpus)
+      * ``stream_pairs``  accumulated verified near-dup pairs
+
+    The streaming form of pipeline.run_near_dedup(incremental=True):
+    batch mode ingests a day of completed filter runs, this ingests
+    micro-batches as files land (availableNow for catch-up cadence).
+    Survivors are derived at READ time (stream_kept_docs) with the
+    same greedy url_b rule, so the drained stream provably equals the
+    one-shot batch dedup on the same corpus (tested) — arrival order
+    cannot change the outcome.
+
+    Exactly-once: the checkpoint tracks consumed files; appends are
+    per-epoch atomic at the file level, and replayed epochs re-append
+    band/pair rows that are consumed via DISTINCT — duplicates cannot
+    change the kept set.
+    """
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        from .dedup import incremental_minhash_pairs, release_cached
+        from .tables import ParquetCatalog
+
+        spark = batch_df.sparkSession
+        catalog = ParquetCatalog(spark, out_root)
+        docs = batch_df.select("url", "text").filter(F.col("url").isNotNull())
+        if docs.isEmpty():
+            return
+        if catalog.exists("dedup_bands"):
+            old_bands = catalog.read("dedup_bands")
+            corpus = (
+                catalog.read("stream_docs")
+                .select("url", "text")
+                .unionByName(docs)
+                .distinct()
+            )
+        else:
+            old_bands = spark.createDataFrame(
+                [], "url string, band_idx int, band_hash bigint"
+            )
+            corpus = docs
+        pairs, new_bands = incremental_minhash_pairs(
+            docs, old_bands, corpus,
+            id_col="url", text_col="text", threshold=threshold,
+        )
+        catalog.append(
+            pairs.select(
+                F.col("id_a").alias("url_a"), F.col("id_b").alias("url_b"),
+                "jaccard",
+            ).withColumn("_epoch", F.lit(epoch_id)),
+            "stream_pairs",
+        )
+        catalog.append(new_bands, "dedup_bands")
+        catalog.append(docs.withColumn("_epoch", F.lit(epoch_id)), "stream_docs")
+        release_cached()
+
+    return fn
+
+
+def run_near_dedup_stream(
+    spark: SparkSession, src_path: str, out_root: str, checkpoint: str,
+    threshold: float = 0.7, max_files: int = 1,
+):
+    """Drain a pages file-stream through online near-dup ingestion
+    (trigger(availableNow) — catch-up cadence like run_ingest_stream)."""
+    q = (
+        read_pages_stream(spark, src_path, max_files)
+        .writeStream.foreachBatch(near_dedup_batch(out_root, threshold))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_kept_docs(spark: SparkSession, out_root: str) -> DataFrame:
+    """Survivors of the streamed corpus under the greedy rule (url_b
+    of any verified pair drops) — DISTINCT consumption makes epoch
+    replays harmless."""
+    from .tables import ParquetCatalog
+
+    catalog = ParquetCatalog(spark, out_root)
+    docs = catalog.read("stream_docs").select("url", "text").distinct()
+    if not catalog.exists("stream_pairs"):
+        return docs
+    drops = catalog.read("stream_pairs").select(
+        F.col("url_b").alias("url")
+    ).distinct()
+    return docs.join(drops, "url", "left_anti")
