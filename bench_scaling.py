@@ -75,6 +75,32 @@ def run_level(pages: str, out: str, cores: int, buckets: int) -> dict:
     return json.loads(line)
 
 
+def _scaling_8v32_section() -> str:
+    """Supplementary wide-level measurement (8 vs 32 cores at the
+    SAME per-core document load), recorded by a --sidecar run."""
+    p = REPO / "BENCH" / "scaling_8v32.json"
+    if not p.exists():
+        return ""
+    try:
+        d = json.loads(p.read_text())
+    except (OSError, json.JSONDecodeError):
+        return ""
+    return f"""
+## Supplementary: 8 vs 32 cores, constant per-core load
+
+Same protocol at the wide end of the sandbox ({d['docs']:,} docs so
+each of 32 cores carries the same per-core document load as the
+primary table's big level):
+
+| level | cores | docs/sec (best of {d['repeats']}) | all runs |
+| --- | --- | --- | --- |
+| N | {d['n']} | {d['thr_n']:,.1f} | {", ".join(f"{r:,.0f}" for r in d['runs_n'])} |
+| 4N | {d['n'] * 4} | {d['thr_4n']:,.1f} | {", ".join(f"{r:,.0f}" for r in d['runs_4n'])} |
+
+Efficiency = **{d['efficiency']:.3f}**.
+"""
+
+
 def _pagerank_section() -> str:
     """Surface the jobs/bench_pagerank.py measurement (non-toy graph,
     VERDICT r3 #4) if it has been recorded."""
@@ -126,6 +152,13 @@ def main() -> None:
         "--reuse-gen", action="store_true",
         help="reuse an existing generated corpus under --work/gen",
     )
+    ap.add_argument(
+        "--sidecar",
+        help="record this run as BENCH/<sidecar>.json instead of "
+        "rewriting BASELINE.md (used for the supplementary 8-vs-32 "
+        "constant-per-core-load measurement; the main template "
+        "surfaces it when present)",
+    )
     args = ap.parse_args()
 
     work = Path(args.work)
@@ -167,6 +200,24 @@ def main() -> None:
     thr_s, thr_b = small["docs_per_s"], big["docs_per_s"]
     eff = (thr_b / thr_s) / 4.0
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
+
+    if args.sidecar:
+        (REPO / "BENCH").mkdir(exist_ok=True)
+        (REPO / "BENCH" / f"{args.sidecar}.json").write_text(
+            json.dumps(
+                {
+                    "n": args.n, "docs": args.docs, "repeats": args.repeats,
+                    "thr_n": thr_s, "thr_4n": thr_b,
+                    "efficiency": round(eff, 3),
+                    "runs_n": [r["docs_per_s"] for r in smalls],
+                    "runs_4n": [r["docs_per_s"] for r in bigs],
+                    "stamp": stamp,
+                },
+                indent=1,
+            )
+        )
+        print(json.dumps({"thr_n": thr_s, "thr_4n": thr_b, "efficiency": round(eff, 3), "sidecar": args.sidecar}))
+        return
 
     md = f"""# BENCH — measured baseline numbers
 
@@ -211,7 +262,7 @@ writes. All I/O and shuffles included; session boot excluded.
 * Per-level outputs byte-agree with the golden labels (enforced by
   tests/test_golden_e2e.py; decisions fingerprints are
   parallelism-invariant by construction).
-{_pagerank_section()}"""
+{_scaling_8v32_section()}{_pagerank_section()}"""
     (REPO / "BENCH").mkdir(exist_ok=True)
     (REPO / "BENCH" / "BASELINE.md").write_text(md)
     print(json.dumps({"thr_n": thr_s, "thr_4n": thr_b, "efficiency": round(eff, 3)}))
