@@ -85,6 +85,39 @@ def _scaling_8v32_section() -> str:
         d = json.loads(p.read_text())
     except (OSError, json.JSONDecodeError):
         return ""
+    he = d.get("host_evidence", {})
+    extra = ""
+    if he:
+        bw = he["membw_gbps"]
+        cpu = he["pure_cpu_units_per_s"]
+        quad = he["four_concurrent_8core_jobs_docs_per_s"]
+        extra = f"""
+Why the wide level flattens — the HOST, not the job (measured):
+
+* **Memory bandwidth is the binding cap**: a numpy stream test
+  measures this VM at {bw['1_proc']} GB/s for one process and an
+  aggregate ceiling of {bw['8_procs']} GB/s that is ALREADY saturated
+  by 8 concurrent streams ({bw['32_procs']} GB/s at 32). A text
+  pipeline streams every byte through decode/regex/Arrow several
+  times, so ~8 cores of it saturate the memory subsystem.
+* **It is not a core limit**: a cache-resident pure-CPU benchmark
+  (md5 over a 4 KB buffer) scales {cpu['ratio']}x from 8 to 32
+  pinned procs on the same host.
+* **It is not a single-JVM/Spark limit**: 4 CONCURRENT 8-core jobs
+  on disjoint pinned core ranges and corpus quarters (the "4
+  executors x 8 cores" cluster topology) each drop to
+  ~{sum(quad) / len(quad):,.0f} docs/s — aggregate
+  {sum(quad):,.0f} docs/s, no better than the one 32-core JVM
+  ({he['single_32core_docs_per_s']:,.0f}); a lone 8-core job reaches
+  {he['single_8core_docs_per_s']:,.0f} by itself. The ceiling is
+  topology-independent host bandwidth.
+
+A real cluster adds memory controllers with every executor, so the
+bandwidth-per-core a 1000-node fleet sees is the PRIMARY table's
+2-vs-8 regime (per-executor widths), not this VM's saturated wide
+end — which is why the two-cluster-size criterion is evidenced at
+N=2 vs 4N=8 above.
+"""
     return f"""
 ## Supplementary: 8 vs 32 cores, constant per-core load
 
@@ -98,7 +131,7 @@ primary table's big level):
 | 4N | {d['n'] * 4} | {d['thr_4n']:,.1f} | {", ".join(f"{r:,.0f}" for r in d['runs_4n'])} |
 
 Efficiency = **{d['efficiency']:.3f}**.
-"""
+{extra}"""
 
 
 def _pagerank_section() -> str:
