@@ -16,7 +16,9 @@ pytest golden/parity suites instead.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
+from operator import or_
 
 import pandas as pd  # noqa: F401 — resolves pandas_udf string type hints
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -39,6 +41,12 @@ _WS = r"[ \t\n\v\f\r]"
 _TOKS = (
     "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
     f"ELSE regexp_split_to_array(trim(text), '{_WS}+') END"
+)
+
+# Lowercased variant (retrieval ops tokenize case-folded text)
+_TOKS_LOWER = (
+    "CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[] "
+    f"ELSE regexp_split_to_array(trim(lower(text)), '{_WS}+') END"
 )
 
 
@@ -2473,6 +2481,125 @@ FROM f
 """
 
 
+def q_tfidf_sampled(spark, sf_dir):
+    """TF-IDF term weighting — the classic retrieval/quality signal
+    the reference's RAG indexing step delegates to its vector store
+    (SURVEY §2.1 S18): document frequencies over the FULL corpus,
+    weights materialized for a deterministic doc-id sample so output
+    stays bounded at any SF. Plan: one explode -> (doc,term) count
+    shuffle feeding BOTH tf and df (df is a second partial-agg rollup
+    of the same frame — Spark reuses the exchange), corpus size N as
+    a broadcast single-row aggregate (no driver action, no collect),
+    then an equi-join on term. At 100 TB the token explode dominates
+    and is linear; nothing driver-bound."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col(F.lower(F.col("text")))
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    sampled = tf.filter(F.col("doc_id") % 20 == 0)
+    j = sampled.join(dfreq, "term").crossJoin(F.broadcast(n))
+    weight = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+    return j.select("doc_id", "term", "tf", "df", r6(weight).alias("tfidf"))
+
+
+SQL_TFIDF_SAMPLED = f"""
+WITH t AS (SELECT doc_id, {_TOKS_LOWER} AS tk FROM documents),
+tf AS (
+  SELECT doc_id, u.term, count(*)::BIGINT AS tf
+  FROM t, UNNEST(tk) AS u(term) GROUP BY doc_id, u.term),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+  round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS tfidf
+FROM tf JOIN dfreq USING (term), n
+WHERE tf.doc_id % 20 = 0
+"""
+
+
+# Fixed retrieval query for the BM25 operator — terms known to exist
+# in the synthetic vocabulary at every SF (TESTDATA.md generator).
+_BM25_TERMS = ("vector", "merge", "filter")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_scores(spark, sf_dir):
+    """Okapi BM25 scoring of a fixed 3-term query against every
+    matching document — full-text retrieval without a vector store
+    (the lexical half of the reference's RAG search, SURVEY §2.1 S4/
+    S18, re-expressed engine-side). Scale shape: tokens are pruned to
+    query terms INSIDE the array (HOF filter with literal
+    comparisons — no captured-array lambda) before the explode, so
+    the shuffle carries only matching term occurrences, not the
+    corpus token stream; df is a 3-row broadcast; N and avgdl ride
+    one broadcast single-row aggregate. Returns every matching doc
+    (no top-k) so the oracle compare is tie-free; a TopK on bm25
+    is one extra TakeOrdered at scale."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col(F.lower(F.col("text")))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        F.filter(
+            toks, lambda x: functools.reduce(or_, [x == t for t in _BM25_TERMS])
+        ).alias("qtoks"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("qtoks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    j = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    per_term = idf * F.col("tf") * (_BM25_K1 + 1.0) / denom
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+            F.sum(per_term).alias("s"),
+        )
+        .select("doc_id", "n_terms_matched", r6(F.col("s")).alias("bm25"))
+    )
+
+
+SQL_BM25_SCORES = f"""
+WITH t AS (SELECT doc_id, {_TOKS_LOWER} AS tk FROM documents),
+base AS (
+  SELECT doc_id, length(tk)::DOUBLE AS dl,
+    list_filter(tk, x -> x IN ('vector', 'merge', 'filter')) AS qtoks
+  FROM t),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, dl, u.term, count(*)::DOUBLE AS tf
+  FROM base, UNNEST(qtoks) AS u(term) GROUP BY doc_id, dl, u.term),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * tf.tf * ({_BM25_K1} + 1.0)
+      / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * tf.dl / s.avgdl))
+      AS w
+  FROM tf JOIN dfreq d USING (term), stats s)
+SELECT doc_id, count(*)::BIGINT AS n_terms_matched, round(sum(w), 6) AS bm25
+FROM scored GROUP BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
@@ -2558,6 +2685,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
     "bigram_counts": (q_bigram_counts, SQL_BIGRAM_COUNTS),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
+    "tfidf_sampled": (q_tfidf_sampled, SQL_TFIDF_SAMPLED),
+    "bm25_scores": (q_bm25_scores, SQL_BM25_SCORES),
 }
 
 # The driver oracle-grades exactly the first 50 entries in insertion
