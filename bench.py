@@ -253,6 +253,8 @@ def main() -> None:
         "map_token_counts",
         "bigram_counts",
         "zipf_slope",
+        "tfidf_sampled",
+        "bm25_scores",
     ]
     for name in bench_queries:
         best_q = float("inf")

@@ -75,6 +75,27 @@ def test_single_shuffle_in_filter_transform(spark, synth_dir):
     assert n_exchanges <= 2, f"expected <=2 Exchange nodes, got {n_exchanges}\n{plan[:2000]}"
 
 
+def test_run_filter_shape_is_single_shuffle(spark, synth_dir):
+    """The full run_filter frame — bucket repartition, then the
+    (bucket_id, url) dedup window — must plan exactly ONE exchange:
+    the window's ClusteredDistribution is satisfied by the existing
+    HashPartitioning(bucket_id) because bucket_id is a pure function
+    of url. A second exchange means the write-alignment re-shuffle of
+    finished decision rows is back (the pre-round-4 plan)."""
+    from webfilter import pipeline
+    from webfilter.partitioning import with_bucket
+
+    pages = with_bucket(spark.read.parquet(f"{synth_dir}/pages.parquet"), 16)
+    out = pipeline.filtered_frame(
+        pages.repartition(32, "bucket_id"), bucket_clustered=True
+    )
+    plan = _plan(out)
+    # formatted explain prints each node once in the tree and once in
+    # the details section -> a single physical node appears twice
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 2, f"expected 1 physical Exchange (2 mentions), got:\n{plan[:2000]}"
+
+
 def test_whole_stage_codegen_covers_rules(spark):
     from webfilter import rules
 

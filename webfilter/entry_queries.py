@@ -2577,6 +2577,52 @@ def q_bm25_scores(spark, sf_dir):
     )
 
 
+def q_adaptive_quality_gate(spark, sf_dir):
+    """Adaptive per-language quality gate: instead of a fixed global
+    score cutoff (rules.py), keep each language's top 20% by the
+    composite quality score — the quantile-calibrated form that stops
+    a single low-resource language from being wiped out by a
+    threshold tuned on English. Scale shape: one grouped EXACT
+    percentile over the tiny lang dimension, thresholds broadcast
+    back — the 100 TB side never shuffles (at 10^12 docs swap
+    F.percentile for percentile_approx; the join shape is
+    unchanged). The keep comparison runs on 6-dp-rounded values on
+    BOTH engines so the gate itself is ulp-stable cross-engine."""
+    from .textstats import quality_score_col
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", quality_score_col(F.col("text")).alias("qs")
+    )
+    thr = docs.groupBy("lang").agg(
+        F.percentile("qs", F.lit(0.8)).alias("thr")
+    )
+    j = docs.join(F.broadcast(thr), "lang")
+    return j.filter(r6(F.col("qs")) >= r6(F.col("thr"))).select(
+        "doc_id",
+        "lang",
+        r6(F.col("qs")).alias("quality_score"),
+        r6(F.col("thr")).alias("lang_thr"),
+    )
+
+
+_QS_SQL = """0.4 * least(len(toks) / 200.0, 1.0)
+   + 0.3 * (CASE WHEN len(toks) > 0
+       THEN len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) / len(toks) ELSE 0.0 END)
+   + 0.3 * (1 - (CASE WHEN length(text) > 0
+       THEN (length(text) - length(regexp_replace(text, '[#$%^&*|~{}<>=+_\\\\]', '', 'g'))) / length(text)
+       ELSE 0.0 END))"""
+
+SQL_ADAPTIVE_QUALITY_GATE = f"""
+WITH t AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {_QS_SQL} AS qs FROM t),
+thr AS (SELECT lang, quantile_cont(qs, 0.8) AS thr FROM s GROUP BY lang)
+SELECT s.doc_id, s.lang, round(s.qs, 6) AS quality_score,
+  round(thr.thr, 6) AS lang_thr
+FROM s JOIN thr USING (lang)
+WHERE round(s.qs, 6) >= round(thr.thr, 6)
+"""
+
+
 SQL_BM25_SCORES = f"""
 WITH t AS (SELECT doc_id, {_TOKS_LOWER} AS tk FROM documents),
 base AS (
@@ -2687,6 +2733,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "tfidf_sampled": (q_tfidf_sampled, SQL_TFIDF_SAMPLED),
     "bm25_scores": (q_bm25_scores, SQL_BM25_SCORES),
+    "adaptive_quality_gate": (q_adaptive_quality_gate, SQL_ADAPTIVE_QUALITY_GATE),
 }
 
 # The driver oracle-grades exactly the first 50 entries in insertion

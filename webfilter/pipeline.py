@@ -48,6 +48,7 @@ def filtered_frame(
     canonical: bool = False,
     host_prior: bool = False,
     prior_pages: DataFrame | None = None,
+    bucket_clustered: bool = False,
 ) -> DataFrame:
     """The pure transformation: pages -> decision rows (no writes).
 
@@ -85,7 +86,12 @@ def filtered_frame(
             .filter(F.col("canon_rep"))
             .drop("canon_url", "canon_rep")
         )
-    df = latest_per_url(pages)
+    # bucket_clustered: the caller already hash-partitioned on
+    # bucket_id (a pure function of url), so the dedup window keys on
+    # (bucket_id, url) and reuses that partitioning — no exchange here
+    df = latest_per_url(
+        pages, cluster_col="bucket_id" if bucket_clustered and not canonical else None
+    )
     df = scoring.with_extract_and_scores(df)
     if host_prior or cfg.min_host_rank is not None:
         from .graph import host_pagerank_from_pages
@@ -152,18 +158,31 @@ def run_filter(
 
     manifest.mark(run_id, "filter", pending, RUNNING)
 
+    # hash-repartition on bucket_id UP FRONT — the pipeline's ONLY
+    # shuffle. bucket_id is a pure function of url, so this clustering
+    # simultaneously (a) satisfies the (bucket_id, url) dedup window's
+    # required distribution (no second exchange — plan-asserted), and
+    # (b) lands every bucket wholly in ONE task at the write, so each
+    # bucket directory gets exactly one output file (no (tasks x
+    # buckets) small-file explosion). It moves the RAW pages once;
+    # the old plan re-shuffled the finished decision rows (extracted
+    # + scrubbed text) a second time just for write alignment. 2x
+    # partitions over buckets reduces two-buckets-hash-to-one-task
+    # collisions (empty tasks are free); it does NOT split a bucket.
+    # At 10^12 scale buckets >> cores so every stage stays parallel.
+    # canonical=True dedups on canon_url (a DIFFERENT key) first,
+    # which breaks bucket clustering — that path keeps the explicit
+    # pre-write repartition instead.
+    if not canonical:
+        pages = pages.repartition(2 * len(pending), "bucket_id")
+
     out = filtered_frame(
         pages, cfg, canonical=canonical, host_prior=host_prior,
-        prior_pages=pages_all,
+        prior_pages=pages_all, bucket_clustered=not canonical,
     ).withColumn("run_id", F.lit(run_id))
     out = out.select(*DECISION_COLS)
-    # hash-repartition on bucket_id: every bucket lands wholly in ONE
-    # task, so each bucket directory gets exactly one output file (no
-    # (tasks x buckets) small-file explosion). 2x partitions over
-    # buckets just reduces two-buckets-hash-to-one-task collisions
-    # (empty tasks are free); it does NOT split a bucket. At 10^12
-    # scale buckets >> cores so the write stage stays fully parallel.
-    out = out.repartition(2 * len(pending), "bucket_id")
+    if canonical:
+        out = out.repartition(2 * len(pending), "bucket_id")
 
     # write decisions, derive audit from the written table
     # (re-reading the sink avoids recomputing the UDF stage — the

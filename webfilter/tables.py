@@ -195,7 +195,7 @@ class ParquetCatalog:
         self._log_snapshot(name, "overwrite_partitions", part_col)
 
 
-def latest_per_url(pages: DataFrame) -> DataFrame:
+def latest_per_url(pages: DataFrame, cluster_col: str | None = None) -> DataFrame:
     """Monotonic upsert semantics as a batch operator: keep the newest
     crawl of each url (ties broken deterministically by html hash).
 
@@ -206,9 +206,19 @@ def latest_per_url(pages: DataFrame) -> DataFrame:
     rule runs as MERGE INTO ... WHEN MATCHED AND s.warc_ts > t.warc_ts.
     At scale this is one shuffle on url — the same shuffle MERGE would
     pay — and AQE handles any residual partition imbalance.
+
+    ``cluster_col``: a column that is a PURE FUNCTION of url (e.g.
+    the pipeline's url-hash bucket_id). When given, the window
+    partitions by (cluster_col, url) — semantically identical groups
+    — so an input already hash-partitioned on cluster_col satisfies
+    the window's clustering requirement and NO exchange is inserted
+    (HashPartitioning on a subset of the clustering keys satisfies
+    ClusteredDistribution). run_filter uses this to run the whole
+    filter pipeline with a single shuffle end-to-end.
     """
+    keys = ([cluster_col] if cluster_col else []) + ["url"]
     w = (
-        Window.partitionBy("url")
+        Window.partitionBy(*keys)
         .orderBy(F.col("warc_ts").desc(), F.md5(F.col("html")).desc())
     )
     return (
