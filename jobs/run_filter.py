@@ -68,6 +68,12 @@ def main(argv: list[str] | None = None) -> int:
         "to the newest capture per canonical URL before extraction",
     )
     ap.add_argument(
+        "--layout-sort", default=None, metavar="COL[,COL...]",
+        help="sort rows within each bucket by these columns before "
+        "the write (no extra shuffle) so downstream range predicates "
+        "get parquet row-group min/max skipping",
+    )
+    ap.add_argument(
         "--warmup", action="store_true",
         help="run the pipeline once into a scratch dir first (JIT / "
         "python-worker warmup) so the reported timing is steady-state",
@@ -114,6 +120,7 @@ def main(argv: list[str] | None = None) -> int:
     res = pipeline.run_filter(
         spark, pages_path, args.out, n_buckets=args.buckets, run_id=args.run_id,
         cfg=cfg, canonical=args.canonical_dedup, host_prior=args.host_prior,
+        layout_sort=args.layout_sort.split(",") if args.layout_sort else None,
     )
     res["wall_s"] = round(time.time() - t0, 2)
     res["docs_per_s"] = round(res["docs"] / max(res["wall_s"], 1e-9), 1)

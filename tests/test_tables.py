@@ -95,3 +95,58 @@ def test_snapshot_history_log(spark, tmp_path):
     assert h[0]["snapshot_id"] > h[1]["snapshot_id"]  # newest first
     assert h[0]["committed_at"] >= h[1]["committed_at"]
     assert cat.history("nonexistent") == []
+
+
+def test_layout_sort_gives_rowgroup_skipping(spark, synth_dir, tmp_path):
+    """layout_sort clusters each bucket file on the sort column, so
+    parquet row-group min/max stats become non-overlapping ranges —
+    the property a reader's range predicate skips on. Also proves the
+    sort changes ONLY row order: decision content is identical to the
+    unsorted run."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from webfilter import pipeline
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    # force several small row groups per bucket file
+    hconf.set("parquet.block.size", str(16 * 1024))
+    try:
+        for name, ls in (("plain", None), ("sorted", ["perplexity"])):
+            pipeline.run_filter(
+                spark, f"{synth_dir}/pages.parquet", str(tmp_path / name),
+                n_buckets=4, run_id=name, layout_sort=ls,
+            )
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+
+    def rg_ranges(root):
+        out = []
+        for f in sorted(glob.glob(f"{root}/decisions.parquet/*/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            rgs = []
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx["perplexity"]).statistics
+                rgs.append((st.min, st.max))
+            out.append(rgs)
+        return out
+
+    sorted_files = rg_ranges(tmp_path / "sorted")
+    multi = [rgs for rgs in sorted_files if len(rgs) > 1]
+    assert multi, "test needs >1 row group per file; shrink block size"
+    for rgs in multi:  # clustered: ranges are non-overlapping, ascending
+        for (lo1, hi1), (lo2, hi2) in zip(rgs, rgs[1:]):
+            assert hi1 <= lo2, f"overlapping row groups {((lo1, hi1), (lo2, hi2))}"
+
+    # content identical, only order differs
+    a = spark.read.parquet(str(tmp_path / "plain" / "decisions.parquet"))
+    b = spark.read.parquet(str(tmp_path / "sorted" / "decisions.parquet"))
+    cols = [c for c in a.columns if c != "run_id"]
+    assert a.select(cols).exceptAll(b.select(cols)).isEmpty()
+    assert b.select(cols).exceptAll(a.select(cols)).isEmpty()
