@@ -2646,6 +2646,104 @@ FROM scored GROUP BY doc_id
 """
 
 
+# robots.txt-style URL policy dim: (host or '*', path prefix, allow).
+# Longest matching prefix wins; host-specific beats wildcard on ties.
+_POLICY_RULES = [
+    ("*", "/", True),
+    ("*", "/sec0", False),
+    ("*", "/sec0/p", True),
+    ("src1.example.com", "/sec1", False),
+    ("src3.example.com", "/", False),
+]
+
+
+def q_url_policy_filter(spark, sf_dir):
+    """Crawl-policy (robots.txt-style) filtering by LONGEST-PREFIX
+    match — the standard allow/deny path semantics. Scale shape: the
+    scalable trie-join form, not a LIKE nested-loop — each url
+    explodes into its path-prefix chain (bounded by path depth, here
+    ≤4) and EQUI-joins the broadcast policy dim on prefix; a per-url
+    window keeps the longest / most host-specific match. At 10^12
+    pages this is map-side only (broadcast hash join on prefix) plus
+    one url-keyed window; a BroadcastNestedLoopJoin over
+    starts_with() would be |pages| x |rules| comparisons instead.
+    The prefix chain references the split array inside a transform
+    lambda — bounded depth (≤ path depth) so the re-evaluation cost
+    is O(depth^2) tiny constants, unlike the banned unbounded
+    captured-array pattern (bigram_counts note)."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("/sec"), (d % 7).cast("string"),
+            F.lit("/p/"), (d % 50).cast("string"),
+        ).alias("path"),
+    )
+    parts = F.split(F.col("path"), "/")  # '' first: path starts with /
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.when(i == 1, F.lit("/")).otherwise(
+            F.array_join(F.slice(parts, 1, i), "/")
+        ),
+    )
+    cand = pages.select("doc_id", "host", "path", F.explode(prefixes).alias("prefix"))
+    rules_dim = spark.createDataFrame(
+        _POLICY_RULES, "rule_host string, prefix string, allow boolean"
+    )
+    j = cand.join(F.broadcast(rules_dim), "prefix").filter(
+        (F.col("rule_host") == "*") | (F.col("rule_host") == F.col("host"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.length("prefix").desc(),
+        (F.col("rule_host") != "*").cast("int").desc(),
+        F.col("rule_host"),
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.concat(F.col("host"), F.col("path")).alias("url"),
+            F.col("prefix").alias("matched_prefix"),
+            "allow",
+        )
+    )
+
+
+SQL_URL_POLICY_FILTER = """
+WITH pages AS (
+  SELECT doc_id, source || '.example.com' AS host,
+    '/sec' || (doc_id % 7) || '/p/' || (doc_id % 50) AS path
+  FROM documents),
+pref AS (
+  SELECT doc_id, host, path,
+    CASE WHEN u.i = 1 THEN '/'
+         ELSE array_to_string(parts[1:u.i], '/') END AS prefix
+  FROM (SELECT doc_id, host, path, string_split(path, '/') AS parts
+        FROM pages),
+       UNNEST(range(1, len(parts) + 1)) AS u(i)),
+rules(rule_host, prefix, allow) AS (VALUES
+  ('*', '/', true),
+  ('*', '/sec0', false),
+  ('*', '/sec0/p', true),
+  ('src1.example.com', '/sec1', false),
+  ('src3.example.com', '/', false)),
+j AS (
+  SELECT p.doc_id, p.host, p.path, p.prefix, r.rule_host, r.allow
+  FROM pref p JOIN rules r USING (prefix)
+  WHERE r.rule_host = '*' OR r.rule_host = p.host),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+    ORDER BY length(prefix) DESC, (rule_host <> '*')::INT DESC, rule_host)
+    AS rn
+  FROM j)
+SELECT doc_id, host || path AS url, prefix AS matched_prefix, allow
+FROM best WHERE rn = 1
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
@@ -2734,6 +2832,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tfidf_sampled": (q_tfidf_sampled, SQL_TFIDF_SAMPLED),
     "bm25_scores": (q_bm25_scores, SQL_BM25_SCORES),
     "adaptive_quality_gate": (q_adaptive_quality_gate, SQL_ADAPTIVE_QUALITY_GATE),
+    "url_policy_filter": (q_url_policy_filter, SQL_URL_POLICY_FILTER),
 }
 
 # The driver oracle-grades exactly the first 50 entries in insertion
