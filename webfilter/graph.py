@@ -158,3 +158,57 @@ def host_pagerank_from_pages(
         .localCheckpoint(eager=False)
     )
     return pagerank(edges, damping=damping, iters=iters)
+
+
+def connected_components_bounded(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """(id, component) by FIXED-round min-label propagation —
+    component = min node id reachable within ``iters`` hops, which is
+    the exact connected component whenever ``iters`` >= the graph
+    diameter (the caller's contract, like ``pagerank(iters=...)``).
+
+    The registry-safe sibling of ``dedup.connected_components``: no
+    convergence probe, so construction stays action-free (only the
+    lazy localCheckpoints' bounded prepares) and the plan depth is
+    deterministic. Use the dedup variant when the diameter is
+    unknown — it detects the fixpoint with one cheap agg per round
+    and warns when max_iter truncates a chain.
+
+    Per round: ONE shuffle (edges ⋈ labels on the node key, then the
+    grouped min over the same key), lineage truncated per round with
+    ``localCheckpoint(eager=False)`` — at 10^10 vertices every round
+    is a single keyed exchange, the canonical distributed label-prop
+    shape. ``nodes`` (optional) fixes the vertex universe by
+    construction so isolated vertices appear as their own singleton
+    component and coverage can never shift the result (the pagerank
+    ``nodes`` rule).
+    """
+    und = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .unionByName(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if nodes is None:
+        labels = und.select(F.col("src").alias("id")).distinct()
+    else:
+        labels = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
+    labels = labels.withColumn("label", F.col("id"))
+    for _ in range(iters):
+        msgs = und.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "label")
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("id", F.col("label").alias("component"))
