@@ -380,3 +380,44 @@ def test_remove_duplicate_spans_cuts_cross_doc_boilerplate(spark):
     assert out["c"].n_removed == 0
     # 3-token docs are one partial chunk: kept despite being identical
     assert out["d"].clean_text == "x y z" and out["e"].clean_text == "x y z"
+
+
+def test_remove_duplicate_windows_cuts_unaligned_substring(spark):
+    """ExactSubstr-style stride-1 window dedup: a 10-token run shared
+    by two docs at DIFFERENT offsets (offset 0 vs 3 — invisible to
+    the chunk-aligned remove_duplicate_spans) is cut from the later
+    doc only; the globally-first copy stays byte-intact."""
+    from webfilter.dedup import remove_duplicate_windows
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j unique tail one"),
+            (2, "x y z a b c d e f g h i j other ending here"),
+            (3, "totally different text with no shared windows at all ok"),
+            (4, "short text"),
+            (5, ""),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_windows(df, window=8).collect()}
+    assert out[1].clean_text == "a b c d e f g h i j unique tail one"
+    assert out[1].n_removed == 0
+    assert out[2].clean_text == "x y z other ending here"
+    assert out[2].n_removed == 10
+    assert out[3].n_removed == 0
+    # shorter than the window: untouched; empty: empty out, not dropped
+    assert out[4].clean_text == "short text" and out[4].n_removed == 0
+    assert out[5].clean_text == "" and out[5].n_tokens == 0
+
+
+def test_remove_duplicate_windows_periodic_text_collapses(spark):
+    """Within-doc periodic repetition: every window shares one hash,
+    the pos-0 window is first, all others removed — coverage [1, n)
+    leaves exactly the period (documented edge: slightly more
+    aggressive than suffix-array range arithmetic, deterministic)."""
+    from webfilter.dedup import remove_duplicate_windows
+
+    df = spark.createDataFrame([(1, " ".join(["rep"] * 16))], "doc_id int, text string")
+    row = remove_duplicate_windows(df, window=8).collect()[0]
+    assert row.clean_text == "rep"
+    assert row.n_tokens == 16 and row.n_removed == 15

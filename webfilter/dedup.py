@@ -578,6 +578,99 @@ def remove_duplicate_spans(
     )
 
 
+def remove_duplicate_windows(
+    df: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr-style corpus-wide duplicate-substring removal
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": cut every substring of >= N tokens that occurs
+    more than once in the corpus, keeping one copy). Their
+    single-node tool builds a suffix array; the distributed analog
+    is STRIDE-1 window hashing at granularity ``window``: any
+    duplicated substring of length >= window shares all of its
+    windows with the earlier occurrence, so removing every window
+    occurrence that is not the corpus-wide first cuts the entire
+    later copy while the globally-first copy (min (id, pos)) stays
+    intact. Strictly stronger than `remove_duplicate_spans`: that
+    one only sees chunk-ALIGNED repeats (stride = span), this one
+    catches duplicates at any byte offset.
+
+    Semantics (both engines): tokens = whitespace split; window key =
+    the space-joined window string (Spark keys on xxhash64 of it to
+    cut shuffle width — identical output modulo ~n^2/2^64 collisions,
+    the ngram_jaccard_pairs precedent); an occurrence (id, pos) is
+    removed iff it is not row_number()==1 over (id, pos) within its
+    window key; removed token positions = union of [pos, pos+window);
+    clean_text = the surviving tokens re-joined single-spaced (the
+    C4/remove_duplicate_spans whitespace-normalization contract).
+    Docs shorter than ``window`` tokens pass through untouched.
+    Edge: for PERIODIC text repeating within one doc ("rep" x 16),
+    the removed windows overlap the kept first window and the
+    survivor collapses to the period — slightly more aggressive than
+    Lee et al.'s range arithmetic there, identically on both engines.
+
+    Scale shape: the occurrence table is ONE ROW PER TOKEN — linear,
+    and its single shuffle keyed on the 8-byte window hash is the
+    irreducible cost of corpus-wide substring dedup (uniform key:
+    natural-text window hashes don't skew; the repeated-boilerplate
+    hot keys are exactly the rows the dup filter keeps, a vanishing
+    fraction). The removed-position rebuild is one doc-keyed shuffle
+    whose left side is only the docs that lost a window. No
+    all-pairs path, no driver collect.
+
+    Output: id_col, clean_text, n_tokens, n_removed.
+    """
+    w = int(window)
+    if w < 2:
+        raise ValueError("window must be >= 2 tokens")
+    base = df.withColumn("_toks", F.split(F.trim(F.col(text_col)), r"\s+")).withColumn(
+        "_toks",
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")).otherwise(
+            F.col("_toks")
+        ),
+    )
+    toks = F.col("_toks")
+    m = F.size(toks) - w + 1
+    z = F.arrays_zip(*[F.slice(toks, j + 1, m).alias(f"t{j}") for j in range(w)])
+    whashes = F.when(m < 1, F.array().cast("array<bigint>")).otherwise(
+        F.transform(z, lambda s: F.xxhash64(F.concat_ws(" ", *[s[f"t{j}"] for j in range(w)])))
+    )
+    occ = base.select(F.col(id_col), F.posexplode(whashes).alias("pos", "wh"))
+    byhash = Window.partitionBy("wh").orderBy(id_col, "pos")
+    removed = (
+        occ.withColumn("rn", F.row_number().over(byhash))
+        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("wh")))
+        .filter((F.col("cnt") >= 2) & (F.col("rn") > 1))
+        .select(id_col, "pos")
+    )
+    starts = removed.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("_starts")
+    )
+    joined = base.join(starts, id_col, "left").withColumn(
+        "_starts", F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    )
+    n = F.size(F.col("_toks"))
+    pos_seq = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    st = F.col("_starts")
+    kept = F.filter(
+        pos_seq,
+        lambda p: ~F.exists(st, lambda s: (s <= p) & (p < s + w)),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.transform(kept, lambda p: F.element_at(F.col("_toks"), p + 1))
+        ).alias("clean_text"),
+        n.cast("bigint").alias("n_tokens"),
+        (n - F.size(kept)).cast("bigint").alias("n_removed"),
+    )
+
+
 # ---------------------------------------------------------------- SimHash
 
 

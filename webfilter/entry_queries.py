@@ -2858,6 +2858,78 @@ FROM s
 """
 
 
+_SUBSTR_BOILER = (
+    "subscribe to our newsletter for updates and follow us on social media today"
+)  # 13 tokens -> 6 stride-1 windows of 8, shared by every doc_id % 7 == 0 doc
+
+
+def q_dedup_substring_windows(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. 2022) via stride-1 window
+    hashing (`dedup.remove_duplicate_windows`): every 8-token window
+    occurring more than once corpus-wide is cut except its globally
+    first (doc_id, pos) occurrence; coverage-merged positions rebuild
+    the cleaned text. The fixture prepends a fixed 13-token
+    boilerplate sentence to every doc_id % 7 == 0 document on BOTH
+    engines, so ~1/7 of the corpus shares a duplicated substring by
+    construction and exactly one of them keeps it. Spark keys the
+    dup-window shuffle on xxhash64(window) (8-byte key), the oracle
+    on the window string — identical results modulo ~n^2/2^64
+    collisions (the ngram_jaccard_pairs precedent)."""
+    from .dedup import remove_duplicate_windows
+
+    docs = _docs(spark, sf_dir)
+    staged = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(_SUBSTR_BOILER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return remove_duplicate_windows(staged, window=8).select(
+        "doc_id", "clean_text", "n_tokens", "n_removed"
+    )
+
+
+SQL_DEDUP_SUBSTRING_WINDOWS = f"""
+WITH d0 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN '{_SUBSTR_BOILER} ' || text ELSE text END AS text
+  FROM documents),
+t AS (SELECT doc_id, {_TOKS} AS tk FROM d0),
+w AS (
+  SELECT doc_id, u.i - 1 AS pos,
+    array_to_string(tk[u.i : u.i + 7], ' ') AS wstr
+  FROM t, UNNEST(range(1, greatest(len(tk) - 7, 0) + 1)) AS u(i)),
+r AS (
+  SELECT doc_id, pos,
+    row_number() OVER (PARTITION BY wstr ORDER BY doc_id, pos) AS rn,
+    count(*) OVER (PARTITION BY wstr) AS cnt
+  FROM w),
+rem AS (
+  SELECT DISTINCT doc_id, pos + u.j AS p
+  FROM r, UNNEST(range(0, 8)) AS u(j)
+  WHERE cnt >= 2 AND rn > 1),
+posn AS (
+  SELECT doc_id, u.i - 1 AS p, tk[u.i] AS tok
+  FROM t, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+keptp AS (
+  SELECT n.doc_id, n.p, n.tok
+  FROM posn n LEFT JOIN rem ON rem.doc_id = n.doc_id AND rem.p = n.p
+  WHERE rem.p IS NULL),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         count(*) AS n_kept
+  FROM keptp GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       len(t.tk)::BIGINT AS n_tokens,
+       (len(t.tk) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
@@ -2949,6 +3021,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "url_policy_filter": (q_url_policy_filter, SQL_URL_POLICY_FILTER),
     "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
     "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM_SCORE),
+    "dedup_substring_windows": (q_dedup_substring_windows, SQL_DEDUP_SUBSTRING_WINDOWS),
 }
 
 # The driver oracle-grades exactly the first 50 entries in insertion
