@@ -269,3 +269,48 @@ def test_domain_mixture_weights_join_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dsir_scores_separate_target_from_offtarget(spark):
+    """Docs made of target-only vocabulary must outscore docs made of
+    off-target vocabulary (positive vs negative log importance
+    weight), and the log-ratio dim stays <= n_buckets rows."""
+    from webfilter.trainprep import dsir_log_ratio_table, dsir_scores
+
+    rows = []
+    for i in range(20):
+        rows.append((i, True, "alpha beta gamma delta epsilon zeta"))
+    for i in range(20, 40):
+        rows.append((i, False, "uno dos tres cuatro cinco seis"))
+    df = spark.createDataFrame(rows, "doc_id int, is_t boolean, text string")
+    lr = dsir_log_ratio_table(df, "is_t", n_buckets=64)
+    assert lr.count() <= 64
+    out = {r.doc_id: r for r in dsir_scores(df, "is_t", n_buckets=64).collect()}
+    assert all(out[i].llr_sum > 0 for i in range(20))
+    assert all(out[i].llr_sum < 0 for i in range(20, 40))
+    assert all(out[i].n_toks == 6 for i in range(40))
+    # empty docs are featureless -> unscored on both engines
+    df2 = df.union(spark.createDataFrame([(99, True, "  ")], df.schema))
+    assert 99 not in {
+        r.doc_id for r in dsir_scores(df2, "is_t", n_buckets=64).collect()
+    }
+
+
+def test_gumbel_topk_is_deterministic_and_weighted(spark):
+    """Same tag -> identical draw across runs; different tag -> a
+    different draw; a score that dominates the Gumbel noise range is
+    always selected (the weighting has teeth, not just ordering)."""
+    from pyspark.sql import functions as F
+    from webfilter.trainprep import gumbel_topk_sample
+
+    scored = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 7, F.lit(50.0)).otherwise(F.lit(0.0)).alias("s"),
+    )
+    pick = lambda tag: {
+        r.doc_id for r in gumbel_topk_sample(scored, "s", 20, seed_tag=tag).collect()
+    }
+    a1, a2, b = pick("t1"), pick("t1"), pick("t2")
+    assert a1 == a2 and len(a1) == 20
+    assert a1 != b  # fresh tag, fresh draw
+    assert 7 in a1 and 7 in b  # dominant weight always sampled

@@ -34,6 +34,9 @@ __all__ = [
     "bloom_anti_join",
     "pack_sequences",
     "dataset_split_col",
+    "dsir_log_ratio_table",
+    "dsir_scores",
+    "gumbel_topk_sample",
 ]
 
 # Java \s class, spelled out (matches the oracle's explicit class; see
@@ -382,4 +385,135 @@ def domain_mixture_sample(
         df.join(F.broadcast(weights.select(domain_col, "accept_rate")), domain_col)
         .filter(h < F.col("accept_rate") * 1_000_000)
         .drop("accept_rate")
+    )
+
+
+# ------------------------------------------------------------------ DSIR
+# (Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling": score raw docs by the log importance weight between a
+# hashed n-gram model of the TARGET distribution and one of the RAW
+# distribution, then Gumbel-top-k sample proportional to the weights.)
+
+
+def _md5_bucket(col: Column, n_buckets: int) -> Column:
+    """Cross-engine-stable hashed feature bucket (md5 prefix -> int,
+    the dataset_split_col discipline — xxhash64 would be cheaper but
+    is not reproducible in the DuckDB oracle)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+        % F.lit(int(n_buckets))
+    )
+
+
+def dsir_log_ratio_table(
+    df: DataFrame,
+    target_col: str,
+    text_col: str = "text",
+    n_buckets: int = 512,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(bucket, llr) — per-bucket log importance ratio between the
+    target subset (rows where ``target_col`` is true) and the whole
+    corpus, over hashed lowercased unigram buckets with add-alpha
+    smoothing:
+
+        llr(b) = ln((c_t(b)+a) / (N_t+a*B)) - ln((c_r(b)+a) / (N_r+a*B))
+
+    Both distributions come out of ONE explode + ONE groupBy pass
+    (the target count is a conditional sum, not a second scan); the
+    normalizing totals ride the broadcast single-row cross-join idiom
+    (domain_mixture_weights precedent). Output is <= n_buckets rows —
+    a broadcastable dim no matter the corpus size."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), _WS_SPLIT)
+    ex = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(target_col).cast("boolean").alias("is_t"),
+        F.explode(toks).alias("tok"),
+    )
+    counts = ex.groupBy(_md5_bucket(F.col("tok"), n_buckets).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("c_t"),
+    )
+    totals = counts.agg(
+        F.sum("c_r").cast("double").alias("n_r"),
+        F.sum("c_t").cast("double").alias("n_t"),
+    )
+    a = F.lit(float(alpha))
+    b = F.lit(float(n_buckets))
+    llr = F.log((F.col("c_t") + a) / (F.col("n_t") + a * b)) - F.log(
+        (F.col("c_r") + a) / (F.col("n_r") + a * b)
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket", llr.alias("llr")
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 512,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-doc DSIR log importance weight: sum (and mean) of the
+    bucket log-ratios over the doc's tokens. Docs with no tokens have
+    no features and are not scored (absent on both engines).
+
+    Scale shape: the <= n_buckets log-ratio dim BROADCASTS to the
+    exploded corpus (map-side join, no corpus shuffle for the
+    lookup); the only wide exchange is the per-doc sum keyed on
+    ``id_col`` — uniform by construction. Nothing about the corpus
+    size reaches the driver."""
+    lr = dsir_log_ratio_table(df, target_col, text_col, n_buckets, alpha)
+    toks = F.split(F.trim(F.lower(F.col(text_col))), _WS_SPLIT)
+    ex = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        F.explode(toks).alias("tok"),
+    )
+    return (
+        ex.withColumn("bucket", _md5_bucket(F.col("tok"), n_buckets))
+        .join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.sum("llr").alias("llr_sum"),
+            F.avg("llr").alias("llr_avg"),
+        )
+    )
+
+
+def gumbel_topk_sample(
+    scored: DataFrame,
+    score_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    temperature: float = 1.0,
+    seed_tag: str = "dsir",
+) -> DataFrame:
+    """Deterministic Gumbel-top-k sampling: draw k rows with
+    probability proportional to exp(score/temperature), using the
+    Gumbel-max trick with md5-derived uniforms instead of RNG —
+    u = (md5_32(id || tag) + 0.5) / 2^32, g = -ln(-ln(u)),
+    key = score/T + g; the k largest keys ARE a weighted sample
+    without replacement (Vieira 2014). Reproducible across engines,
+    runs and cluster sizes; change ``seed_tag`` for a fresh draw.
+
+    Scale shape: one narrow projection + a global top-k
+    (TakeOrderedAndProject — per-partition heaps, only k rows ever
+    cross to the driver-side reduce; no full sort materializes)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed_tag))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    key = F.col(score_col) / F.lit(float(temperature)) - F.log(-F.log(u))
+    return (
+        scored.withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.col(id_col))
+        .limit(int(k))
     )
