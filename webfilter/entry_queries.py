@@ -3006,6 +3006,70 @@ FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 50
 """
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """The full Gopher repetition-signal family (Rae et al. 2021
+    §A1.1): top-{2,3,4}-gram and dup-{5,10}-gram character fractions
+    per doc (`textstats.gopher_repetition_signals`) — the canonical
+    quality-filter gate set this tier is named for. Explode + groupBy
+    on (doc, n, gram) (the banned per-row HOF-count pattern would be
+    O(tokens * distinct) per row), two uniform-key shuffles total."""
+    from .textstats import gopher_repetition_signals
+
+    docs = _docs(spark, sf_dir)
+    out = gopher_repetition_signals(docs)
+    return out.select(
+        "doc_id",
+        *[
+            r6(F.col(c)).alias(c)
+            for c in (
+                "top_2gram_char_frac",
+                "top_3gram_char_frac",
+                "top_4gram_char_frac",
+                "dup_5gram_char_frac",
+                "dup_10gram_char_frac",
+            )
+        ],
+    )
+
+
+SQL_GOPHER_REPETITION = f"""
+WITH t AS (SELECT doc_id, length(text)::DOUBLE AS nc, {_TOKS_LOWER} AS tk
+           FROM documents),
+g AS (
+  SELECT doc_id, nn.n AS n,
+         array_to_string(tk[u.i : u.i + nn.n - 1], ' ') AS gram
+  FROM t, (VALUES (2), (3), (4), (5), (10)) AS nn(n),
+       UNNEST(range(1, greatest(len(tk) - nn.n + 1, 0) + 1)) AS u(i)),
+c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY doc_id, n, gram),
+r AS (
+  SELECT doc_id, n, cnt * length(gram) AS topc,
+    row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram DESC) AS rn
+  FROM c),
+tw AS (
+  SELECT doc_id,
+    max(CASE WHEN n = 2 THEN topc END) AS t2,
+    max(CASE WHEN n = 3 THEN topc END) AS t3,
+    max(CASE WHEN n = 4 THEN topc END) AS t4
+  FROM r WHERE rn = 1 GROUP BY doc_id),
+dw AS (
+  SELECT doc_id,
+    max(CASE WHEN n = 5 THEN dupc END) AS d5,
+    max(CASE WHEN n = 10 THEN dupc END) AS d10
+  FROM (
+    SELECT doc_id, n,
+      sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dupc
+    FROM c GROUP BY doc_id, n)
+  GROUP BY doc_id)
+SELECT t.doc_id,
+  round(coalesce(t2, 0) / greatest(nc, 1.0), 6) AS top_2gram_char_frac,
+  round(coalesce(t3, 0) / greatest(nc, 1.0), 6) AS top_3gram_char_frac,
+  round(coalesce(t4, 0) / greatest(nc, 1.0), 6) AS top_4gram_char_frac,
+  round(coalesce(d5, 0) / greatest(nc, 1.0), 6) AS dup_5gram_char_frac,
+  round(coalesce(d10, 0) / greatest(nc, 1.0), 6) AS dup_10gram_char_frac
+FROM t LEFT JOIN tw USING (doc_id) LEFT JOIN dw USING (doc_id)
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
@@ -3100,6 +3164,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_substring_windows": (q_dedup_substring_windows, SQL_DEDUP_SUBSTRING_WINDOWS),
     "dsir_scores": (q_dsir_scores, SQL_DSIR_SCORES),
     "dsir_gumbel_sample": (q_dsir_gumbel_sample, SQL_DSIR_GUMBEL_SAMPLE),
+    "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
 }
 
 # The driver oracle-grades exactly the first 50 entries in insertion

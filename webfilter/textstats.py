@@ -131,3 +131,91 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
             "winnow_fps": winnowing_fingerprints_col(F.col(text_col)),
         }
     )
+
+
+def gopher_repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """The Gopher repetition-filter signal family (Rae et al. 2021,
+    §A1.1), character-fraction forms:
+
+    * ``top_{n}gram_char_frac`` — chars of the single most frequent
+      word n-gram times its frequency, over total doc chars (Gopher
+      gates n=2,3,4 at 0.20/0.18/0.16);
+    * ``dup_{n}gram_char_frac`` — chars of ALL occurrences of every
+      n-gram that occurs more than once, over total doc chars
+      (Gopher gates n=5..10 at 0.15 down to 0.10).
+
+    Char length is the space-joined n-gram string length (the
+    datatrove/NeMo-Curator convention); occurrences are counted
+    without positional-overlap union, so fractions can exceed 1.0 on
+    degenerate periodic text — deterministic on both engines, and the
+    gate direction is unaffected. Ties for the top n-gram break by
+    (count, gram) descending on both engines. Docs with fewer than n
+    tokens score 0 for that n.
+
+    Scale shape: the doc is exploded once per n (token-linear, no
+    distinct-blowup) and the counts run as ONE shuffle keyed on
+    (id, n, gram) followed by one keyed on id — both uniform keys;
+    per-row HOF counting of gram frequencies is exactly the
+    captured-array-in-lambda O(n * distinct) pattern this repo bans
+    (see dup_ngram_fraction_col), hence the explode + groupBy form.
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col), F.length(text_col).cast("double").alias("_nc"), toks.alias("_tk")
+    )
+    parts = []
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        t = F.col("_tk")
+        m = F.size(t) - n + 1
+        z = F.arrays_zip(*[F.slice(t, j + 1, m).alias(f"t{j}") for j in range(n)])
+        def _gram_joiner(_n):  # bind n outside the lambda: PySpark passes
+            return lambda s: F.concat_ws(" ", *[s[f"t{j}"] for j in range(_n)])
+
+        grams = F.when(m < 1, F.array().cast("array<string>")).otherwise(
+            F.transform(z, _gram_joiner(n))
+        )
+        parts.append(
+            base.select(
+                id_col, F.lit(n).alias("_n"), F.explode(grams).alias("_gram")
+            )
+        )
+    g = parts[0]
+    for p in parts[1:]:
+        g = g.unionByName(p)
+    counts = g.groupBy(id_col, "_n", "_gram").agg(F.count(F.lit(1)).alias("_cnt"))
+    per_n = counts.groupBy(id_col, "_n").agg(
+        F.max(F.struct("_cnt", "_gram")).alias("_top"),
+        F.sum(
+            F.when(F.col("_cnt") >= 2, F.col("_cnt") * F.length("_gram")).otherwise(0)
+        ).alias("_dupchars"),
+    )
+    top_chars = F.col("_top._cnt") * F.length(F.col("_top._gram"))
+    aggs = []
+    for n in top_ns:
+        aggs.append(
+            F.max(F.when(F.col("_n") == n, top_chars)).alias(f"_topc_{n}")
+        )
+    for n in dup_ns:
+        aggs.append(
+            F.max(F.when(F.col("_n") == n, F.col("_dupchars"))).alias(f"_dupc_{n}")
+        )
+    wide = per_n.groupBy(id_col).agg(*aggs)
+    out = base.select(id_col, "_nc").join(wide, id_col, "left")
+    cols = [F.col(id_col)]
+    for n in top_ns:
+        frac = F.coalesce(F.col(f"_topc_{n}"), F.lit(0)) / F.greatest(
+            F.col("_nc"), F.lit(1.0)
+        )
+        cols.append(frac.cast("double").alias(f"top_{n}gram_char_frac"))
+    for n in dup_ns:
+        frac = F.coalesce(F.col(f"_dupc_{n}"), F.lit(0)) / F.greatest(
+            F.col("_nc"), F.lit(1.0)
+        )
+        cols.append(frac.cast("double").alias(f"dup_{n}gram_char_frac"))
+    return out.select(*cols)
