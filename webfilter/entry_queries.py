@@ -1272,13 +1272,55 @@ WHERE ('0x' || substr(md5(lang || '|' || doc_id::VARCHAR), 1, 8))::BIGINT % 5 = 
 
 
 def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints with the cross-engine md5-prefix hash
+    (conv(substr(md5(gram),1,8),16,10)) so DuckDB replays the exact
+    selected fingerprints — the selection algebra (k-gram window-min
+    distinct-sort, textstats.py) is hash-agnostic; production keeps
+    the faster xxhash64 default."""
     from .textstats import winnowing_fingerprints_col
 
+    def md5_hash(s):
+        return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+    fps = winnowing_fingerprints_col(F.col("text"), hash_fn=md5_hash)
     return _docs(spark, sf_dir).select(
         "doc_id",
-        F.size(winnowing_fingerprints_col(F.col("text"))).alias("n_fps"),
-        winnowing_fingerprints_col(F.col("text")).getItem(0).alias("min_fp"),
+        F.size(fps).alias("n_fps"),
+        fps.getItem(0).alias("min_fp"),
+        F.element_at(fps, -1).alias("max_fp"),
     )
+
+
+# DuckDB replay of the winnowing selection: same tokenization
+# (trim/lower/split on whitespace), same k=5-gram md5-prefix hash,
+# same window=4 sliding min, same distinct+sort. List slices in
+# DuckDB are 1-based END-INCLUSIVE, so toks[i:i+4] is 5 tokens.
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(lower(text)), '{_WS}+') END AS toks
+  FROM documents
+), kg AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) < 5 THEN
+      [('0x' || substr(md5(array_to_string(toks, ' ')), 1, 8))::BIGINT]
+    ELSE
+      list_transform(range(1, len(toks) - 3),
+        i -> ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 8))::BIGINT)
+    END AS kh
+  FROM t
+), w AS (
+  SELECT doc_id,
+    list_sort(list_distinct(
+      CASE WHEN len(kh) < 4 THEN [list_min(kh)]
+      ELSE list_transform(range(1, len(kh) - 2),
+        i -> least(kh[i], kh[i+1], kh[i+2], kh[i+3]))
+      END)) AS fps
+  FROM kg
+)
+SELECT doc_id, len(fps) AS n_fps, fps[1] AS min_fp, fps[-1] AS max_fp FROM w
+"""
 
 
 # ---------------------------------------------- training-prep operators
@@ -3121,7 +3163,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simsearch_lsh_topk": (q_lsh_topk, None),
     "simsearch_ivf_topk": (q_ivf_topk, None),
     "dedup_embedding_pairs": (q_embedding_near_dup, None),
-    "winnow_fingerprints": (q_winnow_fingerprints, None),
+    "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "media_decode_meta": (q_media_decode_meta, None),
     "media_frame_sample": (q_media_frame_sample, None),
     "media_audio_meta": (q_media_audio_meta, None),

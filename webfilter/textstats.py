@@ -93,13 +93,22 @@ def content_fingerprint_col(text: Column) -> Column:
     return F.md5(norm)
 
 
-def winnowing_fingerprints_col(text: Column, k: int = 5, window: int = 4) -> Column:
+def winnowing_fingerprints_col(
+    text: Column, k: int = 5, window: int = 4, hash_fn=None
+) -> Column:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     hash every k-gram of words, keep the min hash of each sliding
     window of k-gram hashes, return the distinct selected hashes.
 
     Pure Column algebra. Guarantees: any shared run of >= window+k-1
     words between two docs yields a shared fingerprint.
+
+    `hash_fn` maps a string Column (the space-joined k-gram) to an
+    integer Column. Default is xxhash64 — the fast JVM production
+    hash. The registry oracle passes the md5-prefix form instead
+    (conv(substr(md5(s),1,8),16,10)) so DuckDB can replay the exact
+    fingerprints cross-engine; the selection algebra (k-gram, sliding
+    min, distinct-sort) is hash-agnostic and identical on both paths.
 
     Both the k-gram pass and the sliding-min pass are built from
     shifted array SLICES zipped together — never slice(arr, i, k)
@@ -109,14 +118,16 @@ def winnowing_fingerprints_col(text: Column, k: int = 5, window: int = 4) -> Col
     O(n_tokens^2) per row (measured: 48 x 500-token docs took 206 s;
     this form is linear).
     """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     n = F.size(toks)
     m = n - k + 1
     gz = F.arrays_zip(*[F.slice(toks, j + 1, m).alias(f"t{j}") for j in range(k)])
     grams = F.transform(
-        gz, lambda s: F.xxhash64(F.concat_ws(" ", *[s[f"t{j}"] for j in range(k)]))
+        gz, lambda s: hash_fn(F.concat_ws(" ", *[s[f"t{j}"] for j in range(k)]))
     )
-    kh = F.when(n < k, F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(grams)
+    kh = F.when(n < k, F.array(hash_fn(F.concat_ws(" ", toks)))).otherwise(grams)
     mm = F.size(kh) - window + 1
     wz = F.arrays_zip(*[F.slice(kh, j + 1, mm).alias(f"h{j}") for j in range(window)])
     mins = F.transform(wz, lambda s: F.least(*[s[f"h{j}"] for j in range(window)]))
