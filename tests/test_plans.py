@@ -253,3 +253,21 @@ def test_bloom_anti_probe_is_broadcast_routed(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan[:1500]
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_allpairs_join_is_equi_never_cartesian(spark):
+    """The AllPairs/PPJoin exact similarity self-join must plan its
+    candidate stage as a shingle-keyed equi-join (SortMergeJoin /
+    ShuffledHashJoin on w), never a cartesian or nested-loop product
+    — at 10^12 docs the cross form is unrunnable; equality with
+    brute force is separately proven by the DuckDB oracle."""
+    from webfilter.entry_queries import q_allpairs_jaccard
+
+    plan = _plan(q_allpairs_jaccard(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # every join in the plan is hash-keyed (at sf0.01 AQE broadcasts
+    # the small sides; at scale the same keys sort-merge)
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )

@@ -87,18 +87,22 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def shingles_col(text: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles as array<string> (JVM-side: split +
-    sequence + transform + slice; no UDF). Human-readable and
-    SQL-oracle-checkable; the hot paths use shingle_hashes_col."""
+    """Distinct word k-shingles as array<string> (JVM-side, no UDF).
+    Human-readable and SQL-oracle-checkable; the hot paths use
+    shingle_hashes_col.
+
+    Built from k shifted slices zipped together (arrays_zip), NOT
+    slice(toks, i, k) with the captured token array inside a
+    transform lambda — Catalyst does no CSE inside HOF lambdas, so
+    the captured form re-evaluates the split per element and goes
+    O(n_tokens^2) per row (same fix as shingle_hashes_col below)."""
     toks = F.split(F.trim(text), r"\s+")
     n = F.size(toks)
+    m = n - k + 1
+    z = F.arrays_zip(*[F.slice(toks, j + 1, m).alias(f"t{j}") for j in range(k)])
+    grams = F.transform(z, lambda s: F.concat_ws(" ", *[s[f"t{j}"] for j in range(k)]))
     return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - k + 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-            )
-        )
+        F.array_distinct(grams)
     )
 
 
@@ -508,6 +512,95 @@ def ngram_jaccard_pairs(
         joined.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "jaccard")
+    )
+
+
+def allpairs_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering — the
+    AllPairs / PPJoin candidate scheme (Bayardo et al. WWW'07; Xiao
+    et al. WWW'08) over distinct word k-shingle sets. Output is
+    provably identical to the brute-force all-pairs Jaccard >=
+    threshold (the DuckDB oracle IS the brute force), but the plan
+    never forms the cross product:
+
+    1. one shingle-frequency agg (post-agg dim, zipf-small),
+    2. canonical rare-first shingle order per doc (sort by (df, w)),
+    3. each doc exposes only its PREFIX — the first
+       p = |s| - ceil(t*|s|) + 1 rarest shingles. Lossless: a pair
+       with J >= t needs overlap >= ceil(t*|s|); if none of the
+       first p shingles of a doc is shared, at most |s| - p =
+       ceil(t*|s|) - 1 shared shingles remain — too few.
+    4. candidates = prefix equi-join on shingle (skew-bounded by
+       construction: prefixes hold each doc's RAREST shingles, so
+       no boilerplate gram ever becomes a join key),
+    5. length prune t*|a| <= |b| <= |a|/t inside the join condition,
+    6. exact array_intersect verification on candidates only.
+
+    At 10^12 docs this is the standard exact near-dup join: the only
+    wide exchanges are the shingle-frequency agg and the prefix
+    equi-join, both linear in corpus shingle count; verification
+    cost is bounded by the (sparse) candidate set, never n^2.
+    Complements the approximate MinHash path (minhash_dedup_pairs):
+    same contract, exact semantics, higher constant cost.
+    """
+    sets = (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingles_col(F.col(text_col), k).alias("tk"),
+        )
+        .withColumn("sz", F.size("tk"))
+        .filter(F.col("sz") > 0)
+    )
+    sets = _persist(sets)
+    tokd = sets.select("id", F.explode("tk").alias("w"))
+    dfreq = tokd.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        tokd.join(dfreq, "w")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "w"))).alias("ow"))
+        .withColumn("sz", F.size("ow"))
+        .withColumn(
+            "p", F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+        )
+    )
+    pref = ordered.select(
+        "id",
+        "sz",
+        F.explode(F.slice(F.col("ow").getField("w"), F.lit(1), F.col("p"))).alias("w"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    t = F.lit(float(threshold))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.sz") * t <= F.col("b.sz"))
+            & (F.col("b.sz") * t <= F.col("a.sz")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    fa = sets.select(
+        F.col("id").alias("id_a"), F.col("tk").alias("ta"), F.col("sz").alias("sa")
+    )
+    fb = sets.select(
+        F.col("id").alias("id_b"), F.col("tk").alias("tb"), F.col("sz").alias("sb")
+    )
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    jac = inter / (F.col("sa") + F.col("sb") - inter)
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

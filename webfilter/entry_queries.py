@@ -287,6 +287,36 @@ WHERE len(list_intersect(a.sh, b.sh))
 """
 
 
+def q_allpairs_jaccard(spark, sf_dir):
+    """Exact set-similarity self-join via AllPairs/PPJoin prefix
+    filtering (dedup.allpairs_jaccard_pairs) — GLOBAL (no blocking
+    key), yet never forms the cross product. The oracle is the
+    plain brute-force all-pairs Jaccard: hash equality proves the
+    prefix filter + length prune are lossless."""
+    from .dedup import allpairs_jaccard_pairs
+
+    return allpairs_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.5).select(
+        "id_a", "id_b", r6(F.col("jaccard")).alias("jaccard")
+    )
+
+
+SQL_ALLPAIRS_JACCARD = f"""
+WITH tt AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+t AS (SELECT doc_id,
+  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+    i -> array_to_string(toks[i:i+2], ' '))) END AS tk
+  FROM tt),
+s AS (SELECT doc_id, tk, len(tk) AS sz FROM t WHERE len(tk) > 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(len(list_intersect(a.tk, b.tk))::DOUBLE
+        / (a.sz + b.sz - len(list_intersect(a.tk, b.tk))), 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.tk, b.tk))::DOUBLE
+      / (a.sz + b.sz - len(list_intersect(a.tk, b.tk))) >= 0.5
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     from .simsearch import brute_force_topk
 
@@ -3122,6 +3152,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_GROUPS),
     "dedup_exact_keep": (q_dedup_exact_keep, SQL_DEDUP_KEEP),
     "dedup_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "dedup_allpairs_jaccard": (q_allpairs_jaccard, SQL_ALLPAIRS_JACCARD),
     "simsearch_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "agg_lang_source": (q_agg_lang_source, SQL_AGG_LANG_SOURCE),
     "window_rank": (q_window_rank, SQL_WINDOW_RANK),
