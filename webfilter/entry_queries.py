@@ -2930,6 +2930,82 @@ FROM s
 """
 
 
+def q_ccnet_lang_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split (Wenzek et al. 2020 §4.3): per
+    language, docs are bucketed by LM score so each bucket holds ~1/3
+    of the language's CHARACTERS (the paper splits on cumulative
+    size, not doc count). Scorer = the engine-trained bigram LM
+    (q_bigram_lm_score).
+
+    Scale shape — deliberately NOT a per-language window sort over
+    the corpus (partitionBy(lang) puts half the web in the 'en'
+    partition): instead the nll axis is quantized into integer
+    centibins, a (lang, bin) character histogram is aggregated (tiny:
+    langs x ~2k bins), cumulative cutbins are derived on the
+    histogram, and the cutoffs broadcast back — the 10^12-doc side
+    sees one small agg plus a map-side bucket assignment. Cutoff math
+    is pure integer arithmetic (3*cum >= tot), so it is exactly
+    reproducible in the oracle."""
+    scored = q_bigram_lm_score(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    j = scored.join(docs, "doc_id").withColumn(
+        "bin", F.floor(F.col("avg_nll") * 100).cast("bigint")
+    )
+    hist = j.groupBy("lang", "bin").agg(F.sum("n_chars").alias("chars"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("lang")
+    c = hist.select(
+        "lang",
+        "bin",
+        F.sum("chars").over(wcum).alias("cum"),
+        F.sum("chars").over(wtot).alias("tot"),
+    )
+    cuts = c.groupBy("lang").agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("tot"), F.col("bin"))).alias("head_bin"),
+        F.min(F.when(F.col("cum") * 3 >= F.col("tot") * 2, F.col("bin"))).alias(
+            "mid_bin"
+        ),
+    )
+    bucket = (
+        F.when(F.col("bin") <= F.col("head_bin"), F.lit("head"))
+        .when(F.col("bin") <= F.col("mid_bin"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return j.join(F.broadcast(cuts), "lang").select(
+        "doc_id", "lang", "avg_nll", bucket.alias("ccnet_bucket")
+    )
+
+
+SQL_CCNET_LANG_BUCKETS = f"""
+WITH scored AS ({SQL_BIGRAM_LM_SCORE}),
+j AS (
+  SELECT s.doc_id, d.lang, d.n_chars, s.avg_nll,
+         floor(s.avg_nll * 100)::BIGINT AS bin
+  FROM scored s JOIN documents d USING (doc_id)),
+hist AS (SELECT lang, bin, sum(n_chars) AS chars FROM j GROUP BY lang, bin),
+c AS (
+  SELECT lang, bin,
+    sum(chars) OVER (PARTITION BY lang ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(chars) OVER (PARTITION BY lang) AS tot
+  FROM hist),
+cuts AS (
+  SELECT lang,
+    min(CASE WHEN cum * 3 >= tot THEN bin END) AS head_bin,
+    min(CASE WHEN cum * 3 >= tot * 2 THEN bin END) AS mid_bin
+  FROM c GROUP BY lang)
+SELECT j.doc_id, j.lang, j.avg_nll,
+  CASE WHEN j.bin <= cuts.head_bin THEN 'head'
+       WHEN j.bin <= cuts.mid_bin THEN 'middle'
+       ELSE 'tail' END AS ccnet_bucket
+FROM j JOIN cuts USING (lang)
+"""
+
+
 _SUBSTR_BOILER = (
     "subscribe to our newsletter for updates and follow us on social media today"
 )  # 13 tokens -> 6 stride-1 windows of 8, shared by every doc_id % 7 == 0 doc
@@ -3234,6 +3310,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "url_policy_filter": (q_url_policy_filter, SQL_URL_POLICY_FILTER),
     "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
     "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM_SCORE),
+    "ccnet_lang_buckets": (q_ccnet_lang_buckets, SQL_CCNET_LANG_BUCKETS),
     "dedup_substring_windows": (q_dedup_substring_windows, SQL_DEDUP_SUBSTRING_WINDOWS),
     "dsir_scores": (q_dsir_scores, SQL_DSIR_SCORES),
     "dsir_gumbel_sample": (q_dsir_gumbel_sample, SQL_DSIR_GUMBEL_SAMPLE),
