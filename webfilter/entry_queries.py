@@ -3218,6 +3218,116 @@ FROM t LEFT JOIN tw USING (doc_id) LEFT JOIN dw USING (doc_id)
 """
 
 
+def q_host_reputation(spark, sf_dir):
+    """Empirical-Bayes host (source) reputation: per-host heuristic
+    keep-rate shrunk toward the corpus rate with a Beta-binomial
+    prior of strength m=20 — shrunk = (keeps + m*g) / (n + m). Hosts
+    with 3 docs don't get a perfect 1.0 reputation; hosts with 10^6
+    docs keep their empirical rate. Used at scale as a per-host
+    quality prior next to the page-level rules (cf. the PageRank
+    host-authority prior, graph.py).
+
+    Scale shape: one per-host agg shuffle; the global rate is a
+    single-row broadcast cross join; everything else is map-side
+    closed-form arithmetic, exactly reproducible in the oracle."""
+    q = q_quality_rules(spark, sf_dir).select("doc_id", "keep_heuristic")
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    j = q.join(docs, "doc_id")
+    g = j.agg(
+        (
+            F.sum(F.col("keep_heuristic").cast("int")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("g")
+    )
+    s = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep_heuristic").cast("int")).alias("n_keep"),
+    )
+    m = F.lit(20.0)
+    return s.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_docs",
+        "n_keep",
+        r6(F.col("n_keep").cast("double") / F.col("n_docs")).alias("raw_rate"),
+        r6((F.col("n_keep") + m * F.col("g")) / (F.col("n_docs") + m)).alias(
+            "shrunk_rate"
+        ),
+    )
+
+
+SQL_HOST_REPUTATION = """
+WITH q AS ({QUALITY_RULES}),
+j AS (SELECT d.source, q.keep_heuristic
+      FROM documents d JOIN q USING (doc_id)),
+g AS (SELECT sum(keep_heuristic::INT)::DOUBLE / count(*) AS g FROM j),
+s AS (SELECT source, count(*) AS n_docs,
+      sum(keep_heuristic::INT)::BIGINT AS n_keep
+      FROM j GROUP BY source)
+SELECT source, n_docs, n_keep,
+  round(n_keep::DOUBLE / n_docs, 6) AS raw_rate,
+  round((n_keep + 20.0 * g.g) / (n_docs + 20.0), 6) AS shrunk_rate
+FROM s, g
+""".replace("{QUALITY_RULES}", SQL_QUALITY_RULES)
+
+
+def q_rendezvous_shards(spark, sf_dir):
+    """Rendezvous (highest-random-weight) shard assignment — the
+    stable re-sharding primitive: each doc goes to the shard with
+    the max hash(doc, shard). Growing the shard set from 8 to 9
+    moves only the ~1/9 of docs whose new shard wins, vs ~8/9 under
+    mod-hash. Pure map-side Column algebra (an argmax over a literal
+    struct array) — no shuffle, no state; at 10^12 docs this is the
+    shard router for bucketed writes and cache affinity.
+
+    Tie-break = larger shard id (struct max on (h, s)); the oracle
+    replays it with a window ordered by (h DESC, s DESC)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def h(n, s):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit(f"{n}:{s}"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    def shard(n):
+        arr = F.array(
+            *[F.struct(h(n, s).alias("h"), F.lit(s).alias("s")) for s in range(n)]
+        )
+        return F.array_max(arr).getField("s")
+
+    return docs.select(
+        "doc_id",
+        shard(8).alias("shard8"),
+        shard(9).alias("shard9"),
+        (shard(8) != shard(9)).alias("moved"),
+    )
+
+
+SQL_RENDEZVOUS_SHARDS = """
+WITH d AS (SELECT doc_id FROM documents),
+a8 AS (
+  SELECT doc_id, u.s AS shard8,
+    row_number() OVER (PARTITION BY doc_id ORDER BY
+      ('0x' || substr(md5(doc_id::VARCHAR || '|8:' || u.s::VARCHAR), 1, 8))::BIGINT DESC,
+      u.s DESC) AS rn
+  FROM d, UNNEST(range(0, 8)) AS u(s)),
+a9 AS (
+  SELECT doc_id, u.s AS shard9,
+    row_number() OVER (PARTITION BY doc_id ORDER BY
+      ('0x' || substr(md5(doc_id::VARCHAR || '|9:' || u.s::VARCHAR), 1, 8))::BIGINT DESC,
+      u.s DESC) AS rn
+  FROM d, UNNEST(range(0, 9)) AS u(s))
+SELECT a8.doc_id, a8.shard8::INT AS shard8, a9.shard9::INT AS shard9,
+       a8.shard8 <> a9.shard9 AS moved
+FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id AND a8.rn = 1 AND a9.rn = 1
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
@@ -3311,6 +3421,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
     "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM_SCORE),
     "ccnet_lang_buckets": (q_ccnet_lang_buckets, SQL_CCNET_LANG_BUCKETS),
+    "host_reputation": (q_host_reputation, SQL_HOST_REPUTATION),
+    "rendezvous_shards": (q_rendezvous_shards, SQL_RENDEZVOUS_SHARDS),
     "dedup_substring_windows": (q_dedup_substring_windows, SQL_DEDUP_SUBSTRING_WINDOWS),
     "dsir_scores": (q_dsir_scores, SQL_DSIR_SCORES),
     "dsir_gumbel_sample": (q_dsir_gumbel_sample, SQL_DSIR_GUMBEL_SAMPLE),
