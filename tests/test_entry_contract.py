@@ -154,3 +154,18 @@ def test_every_registry_query_is_documented():
     text = cov.read_text()
     missing = [k for k in ALL_KEYS if k not in text]
     assert not missing, f"registry queries absent from COVERAGE.md: {missing}"
+
+
+def test_rendezvous_minimal_movement(spark):
+    """HRW property: growing 8 -> 9 shards moves only the docs whose
+    NEW shard wins — expectation 1/9 of the corpus (~0.111), never
+    the ~8/9 a count-salted (i.e. broken) hash would produce. Also:
+    every moved doc must move TO the new shard (id 8)."""
+    import webfilter.entry_queries as eq
+
+    pdf = eq.q_rendezvous_shards(spark, SF_DIR).toPandas()
+    frac = pdf["moved"].mean()
+    assert 0.03 < frac < 0.25, frac
+    moved = pdf[pdf["moved"]]
+    assert (moved["shard9"] == 8).all()
+    assert (pdf[~pdf["moved"]]["shard8"] == pdf[~pdf["moved"]]["shard9"]).all()

@@ -3280,13 +3280,21 @@ def q_rendezvous_shards(spark, sf_dir):
     shard router for bucketed writes and cache affinity.
 
     Tie-break = larger shard id (struct max on (h, s)); the oracle
-    replays it with a window ordered by (h DESC, s DESC)."""
+    replays it with a window ordered by (h DESC, s DESC).
+
+    The per-shard hash depends ONLY on (doc, shard id) — never on
+    the shard COUNT. That is the whole point of HRW: the 9-shard
+    assignment reuses the same 8 scores plus one new one, so a doc
+    moves iff the new shard's score wins (~1/9 of docs; asserted by
+    test). Salting with the count would re-randomize everything and
+    silently degrade to ~8/9 movement (caught by the first
+    measurement of this query)."""
     docs = _docs(spark, sf_dir).select("doc_id")
 
-    def h(n, s):
+    def h(s):
         return F.conv(
             F.substring(
-                F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit(f"{n}:{s}"))),
+                F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit(str(s)))),
                 1,
                 8,
             ),
@@ -3296,7 +3304,7 @@ def q_rendezvous_shards(spark, sf_dir):
 
     def shard(n):
         arr = F.array(
-            *[F.struct(h(n, s).alias("h"), F.lit(s).alias("s")) for s in range(n)]
+            *[F.struct(h(s).alias("h"), F.lit(s).alias("s")) for s in range(n)]
         )
         return F.array_max(arr).getField("s")
 
@@ -3313,13 +3321,13 @@ WITH d AS (SELECT doc_id FROM documents),
 a8 AS (
   SELECT doc_id, u.s AS shard8,
     row_number() OVER (PARTITION BY doc_id ORDER BY
-      ('0x' || substr(md5(doc_id::VARCHAR || '|8:' || u.s::VARCHAR), 1, 8))::BIGINT DESC,
+      ('0x' || substr(md5(doc_id::VARCHAR || '|' || u.s::VARCHAR), 1, 8))::BIGINT DESC,
       u.s DESC) AS rn
   FROM d, UNNEST(range(0, 8)) AS u(s)),
 a9 AS (
   SELECT doc_id, u.s AS shard9,
     row_number() OVER (PARTITION BY doc_id ORDER BY
-      ('0x' || substr(md5(doc_id::VARCHAR || '|9:' || u.s::VARCHAR), 1, 8))::BIGINT DESC,
+      ('0x' || substr(md5(doc_id::VARCHAR || '|' || u.s::VARCHAR), 1, 8))::BIGINT DESC,
       u.s DESC) AS rn
   FROM d, UNNEST(range(0, 9)) AS u(s))
 SELECT a8.doc_id, a8.shard8::INT AS shard8, a9.shard9::INT AS shard9,
