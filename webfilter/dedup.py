@@ -202,6 +202,7 @@ def minhash_signature_df(
     k: int = 3,
     n_hashes: int = 64,
     use_kernel: bool = True,
+    hash_fn=None,
 ) -> DataFrame:
     """(id, sig array<bigint>) — n_hashes minhash values per doc.
 
@@ -215,7 +216,29 @@ def minhash_signature_df(
     use_kernel=False keeps the all-JVM explode+agg formulation (the
     fallback when Python workers are undesirable; same LSH behavior,
     different — equally valid — hash family).
+
+    hash_fn (implies use_kernel=False): a (shingle_string_col, seed)
+    -> bigint Column family replacing xxhash64, applied to the
+    human-readable shingle STRINGS (shingles_col, not the hashed
+    form). The minhash/banding ALGEBRA is hash-agnostic; passing a
+    cross-engine family (md5-prefix) lets a DuckDB oracle replay the
+    exact signatures — the winnow_fingerprints recipe applied to LSH.
+    Production keeps the kernel's splitmix64 family (faster, and
+    8-byte shingle hashes instead of strings in the explode).
     """
+    if hash_fn is not None:
+        sh = df.select(
+            F.col(id_col),
+            F.explode(shingles_col(F.col(text_col), k)).alias("shingle"),
+        )
+        mins = [
+            F.min(hash_fn(F.col("shingle"), j)).alias(f"h{j}")
+            for j in range(n_hashes)
+        ]
+        agg = sh.groupBy(id_col).agg(*mins)
+        return agg.select(
+            id_col, F.array(*[F.col(f"h{j}") for j in range(n_hashes)]).alias("sig")
+        )
     if use_kernel:
         import pandas as pd
         from pyspark.sql import types as T
@@ -246,19 +269,25 @@ def band_table(
     id_col: str = "doc_id",
     n_bands: int = 16,
     rows_per_band: int = 4,
+    band_hash_fn=None,
 ) -> DataFrame:
     """(id, band_idx, band_hash) — the LSH banding projection of a
     signature frame. This IS the persistable dedup state: band hashes
     are deterministic functions of the signature (fixed splitmix64
     seed family), so a band table written today equi-joins correctly
     against signatures computed tomorrow — the incremental-dedup
-    contract (VERDICT r3 #3)."""
+    contract (VERDICT r3 #3).
+
+    band_hash_fn: string Column -> bigint Column replacing xxhash64
+    over the comma-joined band slice (cross-engine oracle hook; the
+    banding algebra is hash-agnostic)."""
+    bh = band_hash_fn if band_hash_fn is not None else F.xxhash64
     return sig_df.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.xxhash64(
+                lambda b: bh(
                     F.concat_ws(
                         ",",
                         F.transform(
@@ -277,13 +306,16 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     n_bands: int = 16,
     rows_per_band: int = 4,
+    band_hash_fn=None,
 ) -> DataFrame:
     """Banding: docs sharing any band hash become a candidate pair.
 
     Equi-join on (band_idx, band_hash); AQE handles residual skew
     (a giant boilerplate cluster = a hot band bucket).
     """
-    return _pairs_from_bands(band_table(sig_df, id_col, n_bands, rows_per_band), id_col)
+    return _pairs_from_bands(
+        band_table(sig_df, id_col, n_bands, rows_per_band, band_hash_fn), id_col
+    )
 
 
 def _pairs_from_bands(bands: DataFrame, id_col: str) -> DataFrame:

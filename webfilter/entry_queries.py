@@ -317,6 +317,82 @@ WHERE len(list_intersect(a.tk, b.tk))::DOUBLE
 """
 
 
+def _md5_prefix_hash(s, n_hex: int = 15):
+    """Cross-engine bigint hash: first n_hex hex chars of md5 as a
+    base-16 int (15 hex = 60 bits, positive in int64 on both
+    engines). DuckDB replay: ('0x' || substr(md5(s),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(s), 1, n_hex), 16, 10).cast("bigint")
+
+
+def q_minhash_md5(spark, sf_dir):
+    """The FULL MinHash-LSH near-dup pipeline (sign -> band ->
+    candidate equi-join -> exact-Jaccard verify) under the
+    cross-engine md5-prefix hash family, so the DuckDB oracle replays
+    the exact banding collisions — upgrading the flagship dedup
+    operator from rows-only to hash-checked (the winnow_fingerprints
+    recipe applied to LSH; production `dedup_minhash_pairs` keeps the
+    splitmix64 kernel — same algebra, faster family).
+
+    16 hashes in 4 bands x 4 rows; output = candidate pairs whose
+    exact shingle Jaccard >= 0.6. The verify stage's Jaccard value is
+    hash-agnostic (xxhash64 shingle sets preserve cardinality), so
+    only the signature/banding family needed parameterizing."""
+    from .dedup import jaccard_verify, lsh_candidate_pairs, minhash_signature_df
+
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
+
+    def seed_hash(s, j):
+        return _md5_prefix_hash(F.concat_ws("|", s, F.lit(str(j))))
+
+    sig = minhash_signature_df(docs, k=3, n_hashes=16, hash_fn=seed_hash)
+    pairs = lsh_candidate_pairs(
+        sig, n_bands=4, rows_per_band=4, band_hash_fn=_md5_prefix_hash
+    )
+    return jaccard_verify(docs, pairs, k=3, threshold=0.6).select(
+        "id_a", "id_b", r6(F.col("jaccard")).alias("jaccard")
+    )
+
+
+# DuckDB replay of the exact LSH pipeline: same case-sensitive 3-word
+# shingles, same md5-prefix seed family min-reduced per (doc, seed),
+# same 4x4 banding over the comma-joined decimal signature slice,
+# same candidate self-join + exact-Jaccard >= 0.6 verify.
+SQL_MINHASH_MD5 = f"""
+WITH tt AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+  WHERE length(trim(text)) > 0),
+t AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+  FROM tt),
+e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+mh AS (
+  SELECT doc_id, j,
+    min(('0x' || substr(md5(s || '|' || j::VARCHAR), 1, 15))::BIGINT) AS h
+  FROM e CROSS JOIN range(16) r(j) GROUP BY doc_id, j),
+sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b,
+    ('0x' || substr(md5(array_to_string(
+        list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')), 1, 15))::BIGINT AS bh
+  FROM sig CROSS JOIN range(4) r(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+v AS (
+  SELECT id_a, id_b,
+    len(list_intersect(sa.sh, sb.sh))::DOUBLE
+      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+  FROM cand
+  JOIN t sa ON sa.doc_id = cand.id_a
+  JOIN t sb ON sb.doc_id = cand.id_b)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM v WHERE j >= 0.6
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     from .simsearch import brute_force_topk
 
@@ -3347,6 +3423,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact_keep": (q_dedup_exact_keep, SQL_DEDUP_KEEP),
     "dedup_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "dedup_allpairs_jaccard": (q_allpairs_jaccard, SQL_ALLPAIRS_JACCARD),
+    "dedup_minhash_md5": (q_minhash_md5, SQL_MINHASH_MD5),
     "simsearch_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "agg_lang_source": (q_agg_lang_source, SQL_AGG_LANG_SOURCE),
     "window_rank": (q_window_rank, SQL_WINDOW_RANK),
