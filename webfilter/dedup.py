@@ -865,7 +865,7 @@ def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> 
     return df.withColumn(out_col, _simhash_udf(token_hashes_col(F.col(text_col))))
 
 
-def simhash_col(text: Column, bits: int = 64) -> Column:
+def simhash_col(text: Column, bits: int = 64, hash_fn=None) -> Column:
     """64-bit SimHash, pure Column algebra: for each bit position,
     sum +/-1 over token hashes and take the sign.
 
@@ -878,9 +878,15 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
     Token hash = xxhash64(token); bit b of the fingerprint is set iff
     sum_tokens(sign(bit b of hash)) > 0. Built with aggregate() over
     the token array — no Python, no shuffle.
+
+    hash_fn: token Column -> bigint Column replacing xxhash64 (the
+    cross-engine md5-prefix oracle hook; the bit-vote algebra is
+    hash-agnostic). Pair with bits <= 60 so every fingerprint bit
+    reads real hash entropy (a 15-hex md5 prefix is 60 bits).
     """
     toks = F.split(F.trim(F.lower(text)), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hfn = hash_fn if hash_fn is not None else F.xxhash64
+    hashes = F.transform(toks, lambda t: hfn(t))
     # acc: array of `bits` counters; bit positions are unrolled in
     # python (shift amounts must be literals for shiftright/shiftleft)
     init = F.array_repeat(F.lit(0).cast("bigint"), bits)
@@ -922,16 +928,23 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     n_chunks: int = 4,
     use_kernel: bool = True,
+    bits: int = 64,
+    hash_fn=None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Pigeonhole blocking: split the 64-bit fingerprint into n_chunks
-    16-bit chunks; any pair within hamming<=3 shares at least one
-    exact chunk -> equi-join per chunk, verify with bit_count(xor).
-    Short/boilerplate docs can pile onto one chunk value (e.g. 0) —
-    a hot join key; AQE's skew-join split handles it (enabled in
-    webfilter.session.get_spark).
+    Pigeonhole blocking: split the `bits`-bit fingerprint into
+    n_chunks equal chunks; any pair within hamming <= n_chunks-1
+    shares at least one exact chunk -> equi-join per chunk, verify
+    with bit_count(xor). Short/boilerplate docs can pile onto one
+    chunk value (e.g. 0) — a hot join key; AQE's skew-join split
+    handles it (enabled in webfilter.session.get_spark).
+
+    bits/hash_fn: oracle hook (see simhash_col) — forces the pure
+    Column path so a DuckDB replay sees the identical fingerprints.
     """
+    if hash_fn is not None or bits != 64:
+        use_kernel = False
     if use_kernel:
         fp = with_simhash(
             df.select(F.col(id_col).alias("id"), text_col), text_col
@@ -942,8 +955,11 @@ def simhash_near_dup_pairs(
         # via release_cached().
         fp = _persist(fp)
     else:
-        fp = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("fp"))
-    chunk_bits = 64 // n_chunks
+        fp = df.select(
+            F.col(id_col).alias("id"),
+            simhash_col(F.col(text_col), bits=bits, hash_fn=hash_fn).alias("fp"),
+        )
+    chunk_bits = bits // n_chunks
     chunks = fp.select(
         "id",
         "fp",

@@ -393,6 +393,51 @@ SELECT id_a, id_b, round(j, 6) AS jaccard FROM v WHERE j >= 0.6
 """
 
 
+def q_simhash_md5(spark, sf_dir):
+    """SimHash near-dup pairs under the cross-engine md5-prefix token
+    hash (32-bit fingerprints so every bit reads real md5 entropy),
+    so the DuckDB oracle replays the exact bit votes, pigeonhole
+    chunk join and hamming verify — upgrading the simhash operator
+    from rows-only to hash-checked. Production `dedup_simhash_pairs`
+    keeps the 64-bit xxhash64 kernel (same algebra, faster family)."""
+    from .dedup import simhash_near_dup_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
+    return simhash_near_dup_pairs(
+        docs, max_hamming=3, n_chunks=4, bits=32, hash_fn=_md5_prefix_hash
+    )
+
+
+# DuckDB replay: same lowercase whitespace tokens (multiset — every
+# occurrence votes), same md5-prefix hash, same per-bit +/-1 vote ->
+# sign fingerprint, same 4x8-bit pigeonhole candidate join, same
+# bit_count(xor) <= 3 verify.
+SQL_SIMHASH_MD5 = f"""
+WITH e AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '{_WS}+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM e),
+votes AS (
+  SELECT doc_id, b,
+    sum(CASE WHEN (h >> b::INT) & 1 = 1 THEN 1 ELSE -1 END) AS c
+  FROM h CROSS JOIN range(32) r(b) GROUP BY doc_id, b),
+fp AS (
+  SELECT doc_id,
+    sum(CASE WHEN c > 0 THEN 1::BIGINT << b::INT ELSE 0 END)::BIGINT AS fp
+  FROM votes GROUP BY doc_id),
+chunks AS (
+  SELECT doc_id, fp, ci, (fp >> (ci * 8)::INT) & 255 AS cv
+  FROM fp CROSS JOIN range(4) r(ci)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fa, b.fp AS fb
+  FROM chunks a JOIN chunks b
+    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, bit_count(xor(fa, fb))::INT AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     from .simsearch import brute_force_topk
 
@@ -1710,6 +1755,225 @@ def q_approx_distinct_terms(spark, sf_dir):
         .agg(F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("approx_docs"))
         .select("lang", F.col("approx_docs").cast("bigint").alias("approx_docs"))
     )
+
+
+def _shingles3_lower(text_col):
+    """Word 3-grams over lowercase whitespace tokens as array<string>
+    (shifted-slice arrays_zip construction — no captured-array HOF
+    re-evaluation). Shared universe for the sketch queries below: the
+    synthetic corpus has a ~31-word vocabulary, so single tokens are
+    a degenerate cardinality-31 universe while 3-grams give thousands
+    of distinct elements."""
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    n = F.size(toks)
+    m = n - 2
+    z = F.arrays_zip(
+        F.slice(toks, 1, m).alias("t0"),
+        F.slice(toks, 2, m).alias("t1"),
+        F.slice(toks, 3, m).alias("t2"),
+    )
+    grams = F.transform(z, lambda s: F.concat_ws(" ", s["t0"], s["t1"], s["t2"]))
+    return F.when(n < 3, F.array(F.concat_ws(" ", toks))).otherwise(grams)
+
+
+# DuckDB replay of _shingles3_lower given `toks` ({_TOKS_LOWER})
+_SQL_SHINGLES3 = (
+    "CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+    "ELSE list_transform(range(1, len(toks) - 1), "
+    "i -> array_to_string(toks[i:i+2], ' ')) END"
+)
+
+
+def q_hll_distinct_terms(spark, sf_dir):
+    """HyperLogLog distinct-term counting implemented as PURE
+    relational algebra over the cross-engine md5-prefix hash — the
+    register state (m=256, p=8) and the raw HLL estimate are
+    hash-checked against a DuckDB replay, unlike engine sketches
+    (hll_sketch_agg above / DuckDB approx_count_distinct) whose
+    internals differ.
+
+    Per token: register = low 8 hash bits, rho = leading-zero rank of
+    the remaining 52 bits (via length(bin(w)) — integer algebra, no
+    floats until the final estimate). Registers aggregate with max();
+    the harmonic-mean denominator is kept as the EXACT integer
+    sum(2^(53-M_j)) + V*2^53 (fits int64), so the only float ops are
+    one multiply/divide per lang — IEEE-deterministic across engines.
+    Counts distinct word 3-grams per lang (the synthetic corpus has a
+    ~31-word vocabulary per lang but thousands of distinct shingles —
+    the regime where HLL's ~1.04/sqrt(256) = 6.5% error claim holds).
+    The standard linear-counting small-range correction (E <= 2.5m
+    and V > 0 -> m*ln(m/V)) is included; ln is the one libm call with
+    cross-engine last-ulp risk, tolerated by the round(.,2).
+
+    At 100 TB this is the mergeable two-level shape: (lang, register)
+    partial maxes combine associatively map-side, the final state is
+    256 ints per group."""
+    docs = _docs(spark, sf_dir)
+    e = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("lang", F.explode(_shingles3_lower(F.col("text"))).alias("tok"))
+    )
+    h = _md5_prefix_hash(F.col("tok"))
+    t = e.select(
+        "lang",
+        "tok",
+        h.bitwiseAND(F.lit(255)).alias("reg"),
+        F.shiftright(h, 8).alias("w"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(53)).otherwise(
+            53 - F.length(F.bin(F.col("w")))
+        ),
+    )
+    regs = t.groupBy("lang", "reg").agg(F.max("rho").alias("m_j"))
+    state = regs.groupBy("lang").agg(
+        F.count("*").alias("regs_hit"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - m_j)")).alias("s_hit"),
+    )
+    state = state.select(
+        "lang",
+        "regs_hit",
+        (F.lit(256) - F.col("regs_hit")).alias("v_zero"),
+        (
+            F.col("s_hit")
+            + (F.lit(256).cast("bigint") - F.col("regs_hit"))
+            * F.lit(1 << 53).cast("bigint")
+        ).alias("s_denom"),
+    )
+    exact = t.groupBy("lang").agg(F.countDistinct("tok").alias("exact_terms"))
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(256 * 256))
+        * F.lit(float(1 << 53))
+        / F.col("s_denom").cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(640.0)) & (F.col("v_zero") > 0),
+        F.lit(256.0) * F.log(F.lit(256.0) / F.col("v_zero").cast("double")),
+    ).otherwise(raw)
+    return (
+        state.join(exact, "lang")
+        .select(
+            "lang",
+            "regs_hit",
+            "v_zero",
+            "s_denom",
+            F.round(est, 2).alias("hll_estimate"),
+            "exact_terms",
+            F.round(est / F.col("exact_terms") - 1.0, 4).alias("rel_err"),
+        )
+    )
+
+
+SQL_HLL_DISTINCT_TERMS = f"""
+WITH tt AS (
+  SELECT lang, {_TOKS_LOWER} AS toks FROM documents
+  WHERE length(trim(text)) > 0),
+e AS (
+  SELECT lang, unnest({_SQL_SHINGLES3}) AS tok FROM tt),
+t AS (
+  SELECT lang, tok,
+    h & 255 AS reg, h >> 8 AS w
+  FROM (SELECT lang, tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM e)),
+r AS (
+  SELECT lang, tok, reg,
+    CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho
+  FROM t),
+regs AS (SELECT lang, reg, max(rho) AS m_j FROM r GROUP BY lang, reg),
+state AS (
+  SELECT lang, count(*)::BIGINT AS regs_hit,
+    256 - count(*)::BIGINT AS v_zero,
+    (sum(1::BIGINT << (53 - m_j)::INT)
+     + (256 - count(*)) * (1::BIGINT << 53))::BIGINT AS s_denom
+  FROM regs GROUP BY lang),
+exact AS (SELECT lang, count(DISTINCT tok)::BIGINT AS exact_terms FROM r GROUP BY lang),
+est AS (
+  SELECT lang,
+    CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+              / s_denom::DOUBLE <= 640.0 AND v_zero > 0
+      THEN 256.0 * ln(256.0 / v_zero::DOUBLE)
+      ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+           / s_denom::DOUBLE END AS e
+  FROM state)
+SELECT s.lang, s.regs_hit, s.v_zero, s.s_denom,
+  round(est.e, 2) AS hll_estimate,
+  x.exact_terms,
+  round(est.e / x.exact_terms - 1.0, 4) AS rel_err
+FROM state s JOIN exact x USING (lang) JOIN est USING (lang)
+"""
+
+
+def q_cms_term_counts(spark, sf_dir):
+    """Count-Min sketch frequencies as pure relational algebra over
+    the cross-engine md5 hash family — d=4 rows x w=512 columns over
+    the 3-gram shingle universe (thousands of distinct elements, so
+    cells genuinely collide), estimate = min over rows of the hashed
+    cell count, checked against a DuckDB replay (integer-only output:
+    no float risk).
+
+    The sketch is the mergeable 100 TB shape: cell counts are one
+    map-side-combining groupBy over d*w keys (constant state
+    regardless of corpus size); point queries for the top terms join
+    the tiny queried-term dim against the cell table. CMS guarantees
+    estimate >= exact with overestimate <= O(corpus/w) w.h.p. — the
+    `over` column exhibits the bound (and min-over-rows shrinking the
+    overshoot). Complements frequent_terms (pigeonhole exact heavy
+    hitters, trainprep.py) with the sketch-based alternative."""
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
+    e = docs.select(F.explode(_shingles3_lower(F.col("text"))).alias("tok"))
+    rc = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda r: _md5_prefix_hash(
+                F.concat_ws("#", F.col("tok"), r.cast("string"))
+            ) % 512,
+        )
+    ).alias("r", "col")
+    cells = (
+        e.select("tok", rc)
+        .groupBy("r", "col")
+        .agg(F.count("*").alias("cell_n"))
+    )
+    top = (
+        e.groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("tok"))
+        .limit(10)
+    )
+    probes = top.select("tok", "exact_n", rc)
+    est = (
+        probes.join(cells, ["r", "col"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cell_n").alias("cms_n"))
+    )
+    return est.select(
+        "tok", "exact_n", "cms_n", (F.col("cms_n") - F.col("exact_n")).alias("over")
+    )
+
+
+SQL_CMS_TERM_COUNTS = f"""
+WITH tt AS (
+  SELECT {_TOKS_LOWER} AS toks FROM documents
+  WHERE length(trim(text)) > 0),
+e AS (SELECT unnest({_SQL_SHINGLES3}) AS tok FROM tt),
+rc AS (
+  SELECT tok, r,
+    ('0x' || substr(md5(tok || '#' || r::VARCHAR), 1, 15))::BIGINT % 512 AS col
+  FROM e CROSS JOIN range(4) t(r)),
+cells AS (SELECT r, col, count(*)::BIGINT AS cell_n FROM rc GROUP BY r, col),
+top AS (
+  SELECT tok, count(*)::BIGINT AS exact_n FROM e GROUP BY tok
+  ORDER BY exact_n DESC, tok LIMIT 10),
+probes AS (
+  SELECT tok, exact_n, r,
+    ('0x' || substr(md5(tok || '#' || r::VARCHAR), 1, 15))::BIGINT % 512 AS col
+  FROM top CROSS JOIN range(4) t(r))
+SELECT p.tok, p.exact_n, min(c.cell_n)::BIGINT AS cms_n,
+  (min(c.cell_n) - p.exact_n)::BIGINT AS over
+FROM probes p JOIN cells c ON p.r = c.r AND p.col = c.col
+GROUP BY p.tok, p.exact_n
+"""
 
 
 def _derived_lines(doc_id, toks):
@@ -3424,6 +3688,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "dedup_allpairs_jaccard": (q_allpairs_jaccard, SQL_ALLPAIRS_JACCARD),
     "dedup_minhash_md5": (q_minhash_md5, SQL_MINHASH_MD5),
+    "dedup_simhash_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
     "simsearch_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "agg_lang_source": (q_agg_lang_source, SQL_AGG_LANG_SOURCE),
     "window_rank": (q_window_rank, SQL_WINDOW_RANK),
@@ -3477,6 +3742,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_running_totals": (q_events_running_totals, SQL_RUNNING_TOTALS),
     "string_agg_docs": (q_string_agg_docs, SQL_STRING_AGG),
     "approx_distinct_terms": (q_approx_distinct_terms, None),
+    "hll_distinct_terms": (q_hll_distinct_terms, SQL_HLL_DISTINCT_TERMS),
+    "cms_term_counts": (q_cms_term_counts, SQL_CMS_TERM_COUNTS),
     "remove_dup_spans": (q_remove_dup_spans, SQL_REMOVE_DUP_SPANS),
     "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
     "canonical_url_dedup": (q_canonical_url_dedup, SQL_CANONICAL_URL),
