@@ -1976,6 +1976,188 @@ GROUP BY p.tok, p.exact_n
 """
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): the canonical 3-table
+    join-filter-agg-topk — customer (filtered to one mktsegment)
+    BROADCAST onto orders, the orders->lineitem equi-join is the one
+    big orderkey shuffle, grouped revenue, top-10 via orderBy+limit
+    (TakeOrderedAndProject: per-partition heaps, never a global
+    sort). Adapted to the synthetic schema: o_orderpriority stands in
+    for o_shippriority. Ordering ties broken by l_orderkey; revenue
+    rounded at 2dp BEFORE ordering so both engines rank the same
+    (last-ulp sum differences cannot flip neighbors)."""
+    cut = F.lit("1998-06-15").cast("timestamp")
+    cust = _tbl(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    li = _tbl(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    revenue = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+    ).alias("revenue")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue)
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-15'
+  AND l_shipdate > TIMESTAMP '1998-06-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_triangle_counts(spark, sf_dir):
+    """Per-host triangle counts over the events-derived host graph
+    (same deterministic edge relation as pagerank_hosts) via
+    degree-ordered edge orientation (graph.triangle_count) — the
+    O(m^1.5) distributed algorithm, not the deg^2 naive wedge join.
+    Exact integer output; the DuckDB oracle replays the orientation
+    and joins verbatim."""
+    from .graph import triangle_count
+
+    ev = _tbl(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 23).alias("src"), (F.col("event_id") % 30).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    return triangle_count(edges)
+
+
+SQL_TRIANGLE_COUNTS = """
+WITH raw AS (
+  SELECT user_id % 23 AS x, event_id % 30 AS y FROM events
+  WHERE user_id % 23 <> event_id % 30),
+und AS (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw),
+deg AS (
+  SELECT n, count(*)::BIGINT AS deg FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+  GROUP BY n),
+oriented AS (
+  SELECT
+    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+         THEN u.a ELSE u.b END AS u,
+    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+         THEN u.b ELSE u.a END AS v
+  FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b),
+tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM oriented e1
+  JOIN oriented e2 ON e1.u = e2.u AND e1.v <> e2.v
+  JOIN oriented e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT node, count(*)::BIGINT AS n_tri FROM (
+  SELECT a AS node FROM tris
+  UNION ALL SELECT b AS node FROM tris
+  UNION ALL SELECT c AS node FROM tris)
+GROUP BY node
+"""
+
+
+def q_semdedup_drops(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) semantic dedup: cluster
+    embeddings, then inside each cluster drop the
+    farther-from-centroid member of every high-cosine pair. Here the
+    k-means step is one deterministic Lloyd ASSIGNMENT against fixed
+    seed centroids (vec_id < 8) so a DuckDB oracle can replay it —
+    RNG-free, like the Gumbel sampling precedent. The synthetic
+    embeddings carry no planted semantic dups, so the radius (0.40)
+    sits below a real corpus's ~0.95: the algebra, not the constant,
+    is the operator.
+
+    Scale shape: centroid dim is broadcast (k rows), assignment is
+    one argmax window per vector, and the near-dup self-join is
+    CLUSTER-LOCAL (the IVF-cell trick: cluster id = partition key),
+    never the corpus-wide cross join. Tie-breaks pinned: centroid by
+    (cos DESC, cent_id), drop the lower-cent_cos member, tie -> the
+    higher vec_id."""
+    from .simsearch import dot_col, norm_col
+
+    emb = _emb(spark, sf_dir)
+    v = emb.select("vec_id", F.col("embedding").alias("ev"))
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    cos_c = dot_col(F.col("ev"), F.col("cv")) / (
+        norm_col(F.col("ev")) * norm_col(F.col("cv"))
+    )
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cent_id", "ev", cos_c.alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id"))
+    asg = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id", F.col("cent_id").alias("cluster"),
+            F.col("cos").alias("cent_cos"), "ev",
+        )
+    )
+    a = asg.select(
+        F.col("vec_id").alias("id_a"), "cluster",
+        F.col("cent_cos").alias("cc_a"), F.col("ev").alias("ev_a"),
+    )
+    b = asg.select(
+        F.col("vec_id").alias("id_b"), "cluster",
+        F.col("cent_cos").alias("cc_b"), F.col("ev").alias("ev_b"),
+    )
+    pcos = dot_col(F.col("ev_a"), F.col("ev_b")) / (
+        norm_col(F.col("ev_a")) * norm_col(F.col("ev_b"))
+    )
+    near = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cluster", "id_a", "id_b", "cc_a", "cc_b", pcos.alias("cos"))
+        .filter(F.col("cos") >= 0.40)
+    )
+    drop = F.when(F.col("cc_a") < F.col("cc_b"), F.col("id_a")).otherwise(
+        F.col("id_b")
+    )
+    return near.select(drop.alias("vec_id"), "cluster").distinct()
+
+
+SQL_SEMDEDUP_DROPS = """
+WITH c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < 8),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+sc AS (
+  SELECT vec_id, cent_id,
+    list_sum(list_transform(range(1, 1 + len(ev)), i -> ev[i] * cv[i]))
+      / (sqrt(list_sum(list_transform(ev, x -> x*x)))
+         * sqrt(list_sum(list_transform(cv, x -> x*x)))) AS cos
+  FROM v CROSS JOIN c),
+a AS (
+  SELECT vec_id, cent_id, cos,
+    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+  FROM sc),
+asg AS (SELECT vec_id, cent_id AS cluster, cos AS cent_cos FROM a WHERE rn = 1),
+p AS (
+  SELECT x.cluster, x.vec_id AS id_a, y.vec_id AS id_b,
+    x.cent_cos AS cc_a, y.cent_cos AS cc_b,
+    list_sum(list_transform(range(1, 1 + len(vx.ev)), i -> vx.ev[i] * vy.ev[i]))
+      / (sqrt(list_sum(list_transform(vx.ev, x -> x*x)))
+         * sqrt(list_sum(list_transform(vy.ev, x -> x*x)))) AS cos
+  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  JOIN v vx ON vx.vec_id = x.vec_id
+  JOIN v vy ON vy.vec_id = y.vec_id)
+SELECT DISTINCT CASE WHEN cc_a < cc_b THEN id_a ELSE id_b END AS vec_id, cluster
+FROM p WHERE cos >= 0.40
+"""
+
+
 def _derived_lines(doc_id, toks):
     """Deterministic multi-line fixture shared with the DuckDB oracle:
     the flat synthetic documents carry no newlines, so C4's LINE-level
@@ -3690,6 +3872,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_minhash_md5": (q_minhash_md5, SQL_MINHASH_MD5),
     "dedup_simhash_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
     "simsearch_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "semdedup_drops": (q_semdedup_drops, SQL_SEMDEDUP_DROPS),
     "agg_lang_source": (q_agg_lang_source, SQL_AGG_LANG_SOURCE),
     "window_rank": (q_window_rank, SQL_WINDOW_RANK),
     "join_anti_frontier": (q_anti_join, SQL_ANTI_JOIN),
@@ -3717,6 +3900,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "length_percentiles": (q_length_percentiles, SQL_LENGTH_PERCENTILES),
     "except_intersect": (q_except_intersect, SQL_EXCEPT_INTERSECT),
     "lineitem_pricing_summary": (q_lineitem_pricing_summary, SQL_LINEITEM_Q1),
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "unpivot_measures": (q_unpivot_measures, SQL_UNPIVOT),
     "chat_messages": (q_chat_messages, SQL_CHAT_MESSAGES),
     "chunk_fixed": (q_chunk_fixed, SQL_CHUNK_FIXED),
@@ -3749,6 +3933,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "canonical_url_dedup": (q_canonical_url_dedup, SQL_CANONICAL_URL),
     "domain_mixture_sample": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "pagerank_hosts": (q_pagerank_hosts, SQL_PAGERANK),
+    "triangle_counts": (q_triangle_counts, SQL_TRIANGLE_COUNTS),
     "hof_token_stats": (q_hof_token_stats, SQL_HOF_TOKEN_STATS),
     "outlink_hosts": (q_outlink_hosts, SQL_OUTLINK_HOSTS),
     "quality_classifier": (q_quality_classifier, None),

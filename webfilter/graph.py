@@ -212,3 +212,71 @@ def connected_components_bounded(
             .localCheckpoint(eager=False)
         )
     return labels.select("id", F.col("label").alias("component"))
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation
+    (the compact-forward / Latapy algorithm, the shape GraphX's
+    TriangleCount and Cohen's MapReduce formulation use).
+
+    Orient every undirected edge from the (degree, id)-smaller
+    endpoint to the larger: the graph becomes a DAG where each
+    triangle {a,b,c} appears as exactly one wedge a->b, a->c closed
+    by b->c (or c->b — orientation is antisymmetric, so the closing
+    semi-join counts each triangle once). Orientation bounds the
+    wedge fan-out per node by O(sqrt(m)) on any graph — the skewed
+    hub that would generate deg^2 wedges in the naive self-join only
+    ever FANS OUT to higher-degree nodes, of which there are at most
+    sqrt(2m). Three shuffles total (wedge self-join on the low node,
+    closing join on the (b,c) pair, per-node count); all exact
+    integer algebra — no sampling.
+
+    Input may contain duplicates, self-loops, or both directions;
+    they are canonicalized away first.
+    """
+    und = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("deg_b"))
+    lowfirst = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lowfirst, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lowfirst, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    e1 = oriented.select(F.col("u"), F.col("v").alias("w1"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("w2"))
+    wedges = e1.join(e2, "u").filter(F.col("w1") != F.col("w2"))
+    closing = oriented.select(
+        F.col("u").alias("w1"), F.col("v").alias("w2")
+    )
+    tris = wedges.join(closing, ["w1", "w2"]).select(
+        F.col("u").alias("a"), F.col("w1").alias("b"), F.col("w2").alias("c")
+    )
+    per_node = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return per_node
