@@ -102,3 +102,32 @@ def test_component_survivors_score_policy(spark):
         for r in dedup.component_survivors(docs, pairs, score_col="quality").collect()
     }
     assert kept_q == {2, 4, 5}
+
+
+def test_triangle_count_canonicalizes_and_counts(spark):
+    """Self-loops, duplicate edges and both-direction edges must not
+    change counts; per-node counts match hand-enumerated triangles.
+    Graph: K4 on {0,1,2,3} (4 triangles, 3 per node) plus a pendant
+    5-0 edge (no triangle) and noise: dup 0-1, reversed 2-0, loop 3-3.
+    """
+    from webfilter.graph import triangle_count
+
+    edges = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),  # K4
+        (5, 0),          # pendant
+        (1, 0),          # duplicate, reversed
+        (2, 0),          # duplicate, reversed
+        (3, 3),          # self-loop
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["n_tri"] for r in triangle_count(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # total = 3 * n_triangles
+    assert sum(got.values()) == 3 * 4
+
+
+def test_triangle_count_empty_and_triangle_free(spark):
+    from webfilter.graph import triangle_count
+
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    assert triangle_count(path).count() == 0

@@ -221,3 +221,59 @@ def test_png_features_use_decoded_pixels(spark):
     v = hist.astype(np.float32)
     v /= np.linalg.norm(v)
     assert np.allclose(np.array(feat, dtype=np.float32), v, atol=1e-6)
+
+
+def test_gif_pixel_decode_matches_generator():
+    """decode_gif_pixels reconstructs the EXACT palette indices
+    make_gif wrote — through REAL LZW (dictionary references and
+    variable code width, not just literal codes: the 128x128 case
+    compresses below 1.5 bytes/px and crosses the 10/11/12-bit width
+    boundaries plus a 4096-entry table reset)."""
+    import numpy as np
+
+    from webfilter.kernels.media import decode_gif_pixels, make_gif
+
+    for w, h, seed in [(7, 5, 1), (33, 7, 5), (1, 1, 3), (128, 128, 3)]:
+        g = make_gif(w, h, seed=seed)
+        px = decode_gif_pixels(g)
+        assert px is not None and px.shape == (h, w, 3)
+        # grayscale palette: channel 0 equals the LCG index stream
+        assert np.array_equal(px[:, :, 0], _expected_png_pixels(w, h, seed))
+        assert np.array_equal(px[:, :, 0], px[:, :, 2])
+    if True:
+        big = make_gif(128, 128, seed=3)
+        assert len(big) / (128 * 128) < 1.6  # dictionary hits, not literals
+
+
+def test_gif_decode_rejects_malformed():
+    from webfilter.kernels.media import decode_gif_pixels, make_gif
+
+    assert decode_gif_pixels(None) is None
+    assert decode_gif_pixels(b"") is None
+    assert decode_gif_pixels(b"GIF89a\x01\x00") is None  # truncated
+    g = bytearray(make_gif(9, 4, seed=2))
+    g[30] ^= 0xFF  # corrupt a palette/structure byte: must not raise
+    decode_gif_pixels(bytes(g))
+
+
+def test_extract_features_uses_real_gif_pixels(spark):
+    """A GIF and a PNG with the SAME LCG pixel stream must produce
+    the SAME feature histogram (both decode to real pixels), and
+    differ from the byte-histogram fallback on the GIF bytes."""
+    import numpy as np
+
+    from webfilter.kernels.media import make_gif, make_png
+    from webfilter.multimodal import EMBED_DIM, extract_features
+
+    gif, png = make_gif(31, 17, seed=6), make_png(31, 17, seed=6)
+    df = spark.createDataFrame(
+        [(1, gif), (2, png)], ["media_id", "bytes"]
+    )
+    out = {r["media_id"]: r["feature"] for r in extract_features(df).collect()}
+    assert np.allclose(out[1], out[2], atol=1e-6)
+    byte_hist, _ = np.histogram(
+        np.frombuffer(gif[:4096], dtype=np.uint8), bins=EMBED_DIM, range=(0, 256)
+    )
+    v = byte_hist.astype(np.float32)
+    v /= np.linalg.norm(v) or 1.0
+    assert not np.allclose(out[1], v.tolist(), atol=1e-3)

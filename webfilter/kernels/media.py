@@ -271,3 +271,189 @@ def make_png(width: int, height: int, seed: int = 0) -> bytes:
         + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
+
+
+def decode_gif_pixels(raw: bytes | None):
+    """REAL pixel decode for non-interlaced GIFs, pure stdlib+numpy:
+    LZW is fully specified in GIF89a Appendix F — variable-width
+    codes packed LSB-first, clear/EOI codes, table growth at
+    2^width capped at 12 bits. Decodes the FIRST image block against
+    the global or local palette; returns (height, width, 3) uint8
+    RGB, or None for interlaced/malformed input (callers fall back
+    to the documented stand-in, same contract as decode_png_pixels).
+    """
+    import numpy as np
+
+    if not raw or raw[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", raw[6:13])
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = np.frombuffer(raw[pos : pos + 3 * n], dtype=np.uint8).reshape(
+                n, 3
+            )
+            pos += 3 * n
+        while pos < len(raw):
+            b = raw[pos]
+            if b == 0x21:  # extension: label + length-prefixed sub-blocks
+                pos += 2
+                while raw[pos] != 0:
+                    pos += 1 + raw[pos]
+                pos += 1
+            elif b == 0x2C:  # image descriptor
+                _l, _t, w, h, ipacked = struct.unpack("<HHHHB", raw[pos + 1 : pos + 10])
+                pos += 10
+                pal = gct
+                if ipacked & 0x80:
+                    n = 2 << (ipacked & 0x07)
+                    pal = np.frombuffer(
+                        raw[pos : pos + 3 * n], dtype=np.uint8
+                    ).reshape(n, 3)
+                    pos += 3 * n
+                if ipacked & 0x40 or pal is None:  # interlaced / no palette
+                    return None
+                mcs = raw[pos]
+                pos += 1
+                data = bytearray()
+                while raw[pos] != 0:
+                    ln = raw[pos]
+                    data += raw[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                idx = _lzw_decode(bytes(data), mcs, w * h)
+                if idx is None or len(idx) < w * h:
+                    return None
+                arr = np.asarray(idx[: w * h], dtype=np.int32)
+                if arr.max(initial=0) >= pal.shape[0]:
+                    return None
+                return pal[arr].reshape(h, w, 3)
+            elif b == 0x3B:
+                return None
+            else:
+                return None
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+def _lzw_decode(data: bytes, min_code_size: int, limit: int):
+    """GIF-variant LZW: codes packed LSB-first, width starts at
+    min_code_size+1, clear resets the table, width grows when the
+    table fills 2^width (max 12). Returns a list of palette indices
+    (truncated at `limit`) or None on a malformed stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table = [(i,) for i in range(clear)] + [None, None]
+    out: list[int] = []
+    acc = nbits = 0
+    prev = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [(i,) for i in range(clear)] + [None, None]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table) or table[code] is None:
+                    return None
+                entry = table[code]
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+                table.append(prev + (entry[0],))
+            elif code == len(table):
+                entry = prev + (prev[0],)
+                table.append(entry)
+            else:
+                return None
+            out.extend(entry)
+            if len(out) >= limit:
+                return out
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def make_gif(width: int, height: int, seed: int = 0) -> bytes:
+    """Valid GIF89a with a 256-entry grayscale palette and
+    deterministic LCG pixel indices (so decoded gray == the LCG
+    stream — the generator ground truth for decode_gif_pixels).
+
+    The LZW stream is REAL LZW (greedy longest-prefix dictionary,
+    variable code width, 12-bit cap with CLEAR reset) — so the
+    round-trip test exercises the decoder's table-reference and
+    width-growth paths, not just literals."""
+    mcs = 8
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    x = seed & 0xFFFFFFFF
+    idx = []
+    for _ in range(width * height):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+        idx.append((x >> 16) & 0xFF)
+    acc = nbits = 0
+    stream = bytearray()
+    width_bits = mcs + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width_bits
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = clear + 2
+    emit(clear)
+    run: tuple = ()
+    for px in idx:
+        cand = run + (px,)
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        # decoder adds its entry BEFORE reading the next code, so the
+        # encoder grows its width when next_code REACHES 2^width
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width_bits) + 1 and width_bits < 12:
+            width_bits += 1
+        elif next_code == (1 << 12) + 1:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = clear + 2
+            width_bits = mcs + 1
+        run = (px,)
+    if run:
+        emit(table[run])
+    emit(eoi)
+    if nbits:
+        stream.append(acc & 0xFF)
+    blocks = bytearray()
+    for i in range(0, len(stream), 255):
+        sub = stream[i : i + 255]
+        blocks += bytes([len(sub)]) + sub
+    blocks += b"\x00"
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0x80 | 0x07, 0, 0)
+        + pal
+        + b"\x2C"
+        + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([mcs])
+        + bytes(blocks)
+        + b"\x3B"
+    )

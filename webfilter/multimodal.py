@@ -126,20 +126,23 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def extract_features(df: DataFrame) -> DataFrame:
-    """Feature-extraction stage. For 8-bit non-interlaced PNGs the
-    embedding is computed from REAL decoded pixels
-    (kernels.media.decode_png_pixels — stdlib zlib inflate +
-    unfiltering, VERDICT r3 #8): an L2-normalized EMBED_DIM-bin pixel
-    histogram. Other formats keep the documented byte-histogram
-    stand-in (real impl: a vision model over decoded pixels — jpeg
-    entropy decode is a deploy-time library swap). Batched numpy."""
-    from .kernels.media import decode_png_pixels
+    """Feature-extraction stage. For 8-bit non-interlaced PNGs AND
+    non-interlaced GIFs the embedding is computed from REAL decoded
+    pixels (kernels.media.decode_png_pixels — stdlib zlib inflate +
+    unfiltering, VERDICT r3 #8; decode_gif_pixels — from-scratch
+    GIF-LZW): an L2-normalized EMBED_DIM-bin pixel histogram. Other
+    formats keep the documented byte-histogram stand-in (real impl:
+    a vision model over decoded pixels — jpeg entropy decode is a
+    deploy-time library swap). Batched numpy."""
+    from .kernels.media import decode_gif_pixels, decode_png_pixels
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for b in pdf["bytes"]:
                 px = decode_png_pixels(b)
+                if px is None:
+                    px = decode_gif_pixels(b)
                 if px is not None:
                     arr = px.reshape(-1)
                 else:
