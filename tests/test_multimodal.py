@@ -277,3 +277,34 @@ def test_extract_features_uses_real_gif_pixels(spark):
     v = byte_hist.astype(np.float32)
     v /= np.linalg.norm(v) or 1.0
     assert not np.allclose(out[1], v.tolist(), atol=1e-3)
+
+
+def test_mp4_probe_roundtrip():
+    """parse_mp4 reads back the exact duration/timescale make_mp4
+    wrote, through both mvhd version layouts, and rejects junk."""
+    from webfilter.kernels.media import make_mp4, parse_mp4, sniff_format
+
+    for ms, ts, v in [(12000, 600, 0), (3500, 1000, 0), (90061000, 90000, 1)]:
+        m = make_mp4(ms, ts, version=v)
+        p = parse_mp4(m)
+        assert (p["duration_ms"], p["timescale"], p["err"]) == (ms, ts, None)
+        assert sniff_format(m) == "mp4"
+    assert parse_mp4(b"") ["err"] == "short"
+    assert parse_mp4(b"\x00" * 32)["err"] == "not_mp4"
+    assert parse_mp4(make_mp4(5000, 600)[:24])["err"] == "no_mvhd"
+
+
+def test_sample_frames_uses_real_mp4_probe(spark):
+    """Durations for real MP4 payloads come from the mvhd box (not
+    meta, not the hash fallback): frame count == ceil(duration/step)
+    for the generator's known durations."""
+    from webfilter.multimodal import sample_frames, synth_media
+
+    vids = synth_media(spark, 12, kind="video")
+    frames = sample_frames(vids, every_ms=1000).groupBy("media_id").count()
+    got = {r["media_id"]: r["count"] for r in frames.collect()}
+    import math
+
+    for i in range(12):
+        dur = 1000 + (i * 977) % 30_000
+        assert got[i] == math.ceil(dur / 1000), (i, dur, got[i])

@@ -3,14 +3,15 @@ columns + typed metadata, processed by Arrow-batched ``mapInPandas``
 stages.
 
 Metadata decode is REAL for header-parseable formats — BMP, PNG, GIF,
-JPEG dimensions and WAV audio parameters are parsed from actual bytes
-by the pure-stdlib kernels in ``kernels/media.py``, and the synthetic
-media table contains genuine BMP/PNG/WAV payloads. What remains a
-deploy-time library swap is full PIXEL/SAMPLE decode of compressed
-payloads (jpeg entropy data, video containers): ``extract_features``
-documents its byte-histogram embedding as the model stub, and video
-frame sampling takes its duration from carried metadata (the
-container-parse stub). Unknown formats surface err='unknown_format' —
+JPEG dimensions, WAV audio parameters, and MP4 container duration
+(ISO-BMFF box walk to mvhd) are parsed from actual bytes by the
+pure-stdlib kernels in ``kernels/media.py``, and the synthetic media
+table contains genuine BMP/PNG/WAV/MP4 payloads. PIXEL decode is
+real for PNG (zlib inflate + unfilter) and GIF (from-scratch LZW).
+What remains a deploy-time library swap is pixel/sample decode of
+codec-compressed payloads (jpeg entropy data, video codec frames):
+``extract_features`` documents its byte-histogram embedding as the
+model stub for those. Unknown formats surface err='unknown_format' —
 never fake values.
 """
 
@@ -169,10 +170,14 @@ FRAME_SCHEMA = T.StructType(
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling stage: 1->N rows per video (the explode
     shape of the reference's chunker, 04_Chunk_Articles_Content.py:100,
-    done inside the batch iterator). Duration comes from the carried
-    meta map when present (video container parsing is the one decode
-    still requiring a library — the stub boundary); otherwise a
-    stable-hash fallback keeps tests deterministic."""
+    done inside the batch iterator). Duration resolution order:
+    (1) REAL container probe — kernels.media.parse_mp4 walks the
+    ISO-BMFF box chain to mvhd (no longer a stand-in); (2) the
+    carried meta map (how a pipeline ships probe results for formats
+    the in-process probe can't read — codec entropy decode stays a
+    deploy-time library swap); (3) a stable-hash fallback so tests
+    stay deterministic on opaque bytes."""
+    from .kernels.media import parse_mp4
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -180,11 +185,13 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             for mid, b, meta in zip(pdf["media_id"], pdf["bytes"], pdf["meta"]):
                 raw = b or b""
                 meta = meta or {}
-                duration_ms = (
-                    int(meta["duration_ms"])
-                    if "duration_ms" in meta
-                    else 1000 + _stable_u32(raw, b"dur") % 30_000
-                )
+                probed = parse_mp4(raw)
+                if probed["duration_ms"] is not None:
+                    duration_ms = int(probed["duration_ms"])
+                elif "duration_ms" in meta:
+                    duration_ms = int(meta["duration_ms"])
+                else:
+                    duration_ms = 1000 + _stable_u32(raw, b"dur") % 30_000
                 for i, ts in enumerate(range(0, duration_ms, every_ms)):
                     out_id.append(mid)
                     out_idx.append(i)
@@ -212,11 +219,12 @@ def synth_dims(i: int) -> tuple[int, int]:
 
 def synth_media(spark, n: int, kind: str = "image") -> DataFrame:
     """Deterministic media table with GENUINE payloads: images are
-    valid BMP (every 3rd a valid PNG), audio is valid PCM16 WAV —
-    real header decode round-trips them. Video bytes stay opaque
-    (no container format is writable stdlib-only); their duration is
-    carried in meta, which is exactly how a production pipeline ships
-    probe results alongside the blob."""
+    valid BMP (every 3rd a valid PNG), audio is valid PCM16 WAV,
+    video is a valid ISO-BMFF (MP4) container (every 4th an opaque
+    fake whose duration rides in meta — exercising both the REAL
+    parse_mp4 probe path and the ships-with-the-blob metadata
+    fallback a production pipeline uses for formats its probe can't
+    read)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -234,11 +242,16 @@ def synth_media(spark, n: int, kind: str = "image") -> DataFrame:
                 elif kind == "audio":
                     raw = mediakernel.make_wav(1000 + (i % 64) * 250, 8000, seed=i)
                     meta["codec"] = "wav"
-                else:  # video: opaque payload + probed duration in meta
-                    digest = hashlib.md5(f"media{i}".encode()).digest()
-                    raw = digest * (8 + i % 64)
-                    meta["codec"] = "fake"
-                    meta["duration_ms"] = str(1000 + (i * 977) % 30_000)
+                else:  # video
+                    dur = 1000 + (i * 977) % 30_000
+                    if i % 4 == 3:  # opaque payload: duration in meta
+                        digest = hashlib.md5(f"media{i}".encode()).digest()
+                        raw = digest * (8 + i % 64)
+                        meta["codec"] = "fake"
+                        meta["duration_ms"] = str(dur)
+                    else:  # real container: duration probed from mvhd
+                        raw = mediakernel.make_mp4(dur, timescale=1000, seed=i)
+                        meta["codec"] = "mp4"
                 rows.append(
                     {"media_id": i, "kind": kind, "bytes": raw, "meta": meta}
                 )
