@@ -3452,6 +3452,92 @@ FROM s
 """
 
 
+def q_kneser_ney_lm_score(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the
+    smoothing KenLM actually ships, vs the add-k variant above),
+    trained in the same plan: p(w2|w1) = max(c12-D,0)/c1 +
+    D*N1+(w1,.)/c1 * Pcont(w2), with the continuation probability
+    Pcont(w2) = N1+(.,w2)/N1+(.,.) — every term a grouped count over
+    the bigram-type table, pure relational algebra, closed form.
+
+    Scale shape: identical to bigram_lm_score — one bigram-key count
+    shuffle builds the type table; the three marginals (per-w1
+    totals+fanout, per-w2 continuation, total type count) are
+    post-agg dims, the last a broadcast single row; scoring is one
+    (w1,w2) shuffle join. Scoring the training corpus itself means
+    every scored bigram is in the LM (no OOV path; c12 >= 1 > D keeps
+    the discounted term nonnegative without clamping)."""
+    docs = _docs(spark, sf_dir)
+    D = 0.75
+    toks = tokens_col(F.lower(F.col("text")))
+    m = F.size(toks) - 1
+    pairs = F.when(m < 1, F.array().cast("array<struct<w1:string,w2:string>>")).otherwise(
+        F.arrays_zip(
+            F.slice(toks, 1, m).alias("w1"), F.slice(toks, 2, m).alias("w2")
+        ).cast("array<struct<w1:string,w2:string>>")
+    )
+    bg = docs.select("doc_id", F.explode(pairs).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = counts.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).cast("double").alias("n_fwd")
+    )
+    cont = counts.groupBy("w2").agg(F.count(F.lit(1)).cast("double").alias("n_back"))
+    total = counts.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    lm = (
+        counts.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    p = (
+        F.greatest(F.col("c12") - D, F.lit(0.0)) / F.col("c1")
+        + F.lit(D) * F.col("n_fwd") / F.col("c1") * (F.col("n_back") / F.col("t"))
+    )
+    nll = -F.log(p)
+    return (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.avg(nll).alias("avg_nll"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            r6(F.col("avg_nll")).alias("avg_nll"),
+            r6(F.exp(F.col("avg_nll"))).alias("ppl"),
+        )
+    )
+
+
+SQL_KNESER_NEY_LM = f"""
+WITH t AS (SELECT doc_id, {_TOKS.replace("trim(text)", "trim(lower(text))")} AS tk
+           FROM documents),
+bg AS (
+  SELECT doc_id, tk[u.i] AS w1, tk[u.i + 1] AS w2
+  FROM t, UNNEST(range(1, greatest(len(tk), 1)::BIGINT)) AS u(i)
+  WHERE len(tk) >= 2),
+counts AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c12) AS c1, count(*)::DOUBLE AS n_fwd
+        FROM counts GROUP BY w1),
+cont AS (SELECT w2, count(*)::DOUBLE AS n_back FROM counts GROUP BY w2),
+total AS (SELECT count(*)::DOUBLE AS t FROM counts),
+lm AS (
+  SELECT c.w1, c.w2,
+    -ln(greatest(c.c12 - 0.75, 0.0) / x.c1
+        + 0.75 * x.n_fwd / x.c1 * (k.n_back / total.t)) AS nll
+  FROM counts c JOIN ctx x USING (w1) JOIN cont k USING (w2), total),
+s AS (
+  SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams, avg(lm.nll) AS avg_nll
+  FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+  GROUP BY bg.doc_id)
+SELECT doc_id, n_bigrams, round(avg_nll, 6) AS avg_nll,
+       round(exp(avg_nll), 6) AS ppl
+FROM s
+"""
+
+
 def q_ccnet_lang_buckets(spark, sf_dir):
     """CCNet head/middle/tail split (Wenzek et al. 2020 §4.3): per
     language, docs are bucketed by LM score so each bucket holds ~1/3
@@ -3957,6 +4043,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "url_policy_filter": (q_url_policy_filter, SQL_URL_POLICY_FILTER),
     "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
     "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM_SCORE),
+    "kneser_ney_lm_score": (q_kneser_ney_lm_score, SQL_KNESER_NEY_LM),
     "ccnet_lang_buckets": (q_ccnet_lang_buckets, SQL_CCNET_LANG_BUCKETS),
     "host_reputation": (q_host_reputation, SQL_HOST_REPUTATION),
     "rendezvous_shards": (q_rendezvous_shards, SQL_RENDEZVOUS_SHARDS),
