@@ -2158,6 +2158,66 @@ FROM p WHERE cos >= 0.40
 """
 
 
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Record-linkage fuzzy self-join: customer-name pairs within
+    edit distance 1 via DELETION-NEIGHBORHOOD blocking (the SymSpell
+    trick): every name explodes into itself + its |name| one-char
+    deletions; any two strings with lev <= 1 share at least one
+    variant, so an equi-join on the variant string finds ALL such
+    pairs without the |n|^2 cross join or a LIKE nested loop.
+    Candidates are then verified with exact levenshtein (both engines
+    implement the same DP). ~(|name|+1)x row expansion, one
+    variant-keyed shuffle — linear in corpus size, the 100 TB shape
+    for typo-tolerant entity resolution."""
+    cust = _tbl(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    n = F.col("c_name")
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(n)),
+        lambda i: F.concat(
+            F.substr(n, F.lit(1), i - 1), F.substr(n, i + 1, F.length(n))
+        ),
+    )
+    v = cust.select(
+        "c_custkey", "c_name",
+        F.explode(F.array_union(F.array(n), dels)).alias("variant"),
+    )
+    a = v.select(
+        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"), "variant"
+    )
+    b = v.select(
+        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"), "variant"
+    )
+    cand = (
+        a.join(b, "variant")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("lev", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("lev") <= 1)
+        .select("id_a", "id_b", "lev")
+    )
+
+
+SQL_FUZZY_NAME_PAIRS = """
+WITH v AS (
+  SELECT c_custkey, c_name, variant FROM (
+    SELECT c_custkey, c_name,
+      unnest(list_distinct([c_name] || list_transform(
+        range(1, length(c_name) + 1),
+        i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1, length(c_name))
+      ))) AS variant
+    FROM customer)),
+cand AS (
+  SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b,
+    a.c_name AS name_a, b.c_name AS name_b
+  FROM v a JOIN v b ON a.variant = b.variant AND a.c_custkey < b.c_custkey)
+SELECT id_a, id_b, levenshtein(name_a, name_b)::INT AS lev
+FROM cand WHERE levenshtein(name_a, name_b) <= 1
+"""
+
+
 def _derived_lines(doc_id, toks):
     """Deterministic multi-line fixture shared with the DuckDB oracle:
     the flat synthetic documents carry no newlines, so C4's LINE-level
@@ -3987,6 +4047,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "except_intersect": (q_except_intersect, SQL_EXCEPT_INTERSECT),
     "lineitem_pricing_summary": (q_lineitem_pricing_summary, SQL_LINEITEM_Q1),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
     "unpivot_measures": (q_unpivot_measures, SQL_UNPIVOT),
     "chat_messages": (q_chat_messages, SQL_CHAT_MESSAGES),
     "chunk_fixed": (q_chunk_fixed, SQL_CHUNK_FIXED),
