@@ -2218,6 +2218,131 @@ FROM cand WHERE levenshtein(name_a, name_b) <= 1
 """
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease per doc (206.835 - 1.015*words/sentences -
+    84.6*syllables/words), the classic readability quality gate —
+    pure regex/Column algebra: sentences = runs of [.!?], syllables =
+    vowel-group runs clamped to >= 1 per word (the standard
+    heuristic). Map-only — no shuffle at any scale; the three
+    divisions are IEEE-deterministic, hash-checked vs DuckDB."""
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
+    t = F.lower(F.col("text"))
+    words = F.size(tokens_col(F.col("text")))
+    sentences = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    vruns = F.regexp_count(t, F.lit("[aeiouy]+"))
+    syllables = F.greatest(vruns, words)
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("bigint").alias("n_words"),
+        sentences.cast("bigint").alias("n_sentences"),
+        syllables.cast("bigint").alias("n_syllables"),
+        F.round(flesch, 4).alias("flesch"),
+    )
+
+
+SQL_READABILITY = f"""
+WITH t AS (
+  SELECT doc_id, lower(text) AS lt, {_TOKS} AS toks FROM documents
+  WHERE length(trim(text)) > 0),
+s AS (
+  SELECT doc_id,
+    len(toks)::BIGINT AS n_words,
+    greatest(len(regexp_extract_all(lt, '[.!?]+')), 1)::BIGINT AS n_sentences,
+    greatest(len(regexp_extract_all(lt, '[aeiouy]+')), len(toks))::BIGINT
+      AS n_syllables
+  FROM t)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+        - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 4) AS flesch
+FROM s
+"""
+
+
+def q_etld1_extract(spark, sf_dir):
+    """Registrable-domain (eTLD+1) extraction with a public-suffix-
+    style LONGEST-SUFFIX match: each host explodes into its bounded
+    label-suffix chain (k = 1..3 trailing labels), equi-joins the
+    broadcast suffix dim, and a per-host window keeps the longest
+    match — the trie-join form of PSL lookup (the url_policy_filter
+    recipe applied to suffixes instead of path prefixes), never a
+    per-row loop over the 9k-entry real PSL. The list deliberately
+    contains both 'uk' and 'co.uk' (and 'io'/'github.io') so the
+    longest-wins rule is exercised: blog.acme.co.uk must yield
+    acme.co.uk, not co.uk. Hosts are synthesized deterministically
+    from doc_id (the canonical_url_dedup pattern)."""
+    suffixes = spark.createDataFrame(
+        [(s,) for s in _PSL_SUFFIXES], ["suffix"]
+    ).withColumn("n_labels", F.size(F.split(F.col("suffix"), r"\.")))
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    host = F.concat(
+        F.when(d % 3 == 0, F.lit("www.")).when(d % 3 == 1, F.lit("blog.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in [".com", ".co.uk", ".org", ".com.au", ".github.io", ".net"]]),
+            (d % 6 + 1).cast("int"),
+        ),
+    )
+    h = docs.select(host.alias("host")).distinct()
+    labels = F.split(F.col("host"), r"\.")
+    n = F.size(labels)
+    chain = F.transform(
+        F.sequence(F.lit(1), F.least(n - 1, F.lit(3))),
+        lambda k: F.array_join(F.slice(labels, n - k + 1, k), "."),
+    )
+    cand = h.select("host", F.explode(chain).alias("cand_suffix"))
+    m = cand.join(
+        F.broadcast(suffixes), cand.cand_suffix == suffixes.suffix
+    ).select("host", "suffix", "n_labels")
+    w = Window.partitionBy("host").orderBy(F.col("n_labels").desc())
+    best = m.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    lbl = F.split(F.col("host"), r"\.")
+    etld1 = F.concat(
+        F.element_at(lbl, F.size(lbl) - F.col("n_labels")), F.lit("."), F.col("suffix")
+    )
+    return best.select("host", "suffix", etld1.alias("etld1"))
+
+
+_PSL_SUFFIXES = [
+    "com", "net", "org", "uk", "co.uk", "au", "com.au", "io", "github.io",
+]
+
+
+SQL_ETLD1_EXTRACT = """
+WITH sfx AS (
+  SELECT suffix, len(string_split(suffix, '.')) AS n_labels
+  FROM (VALUES ('com'), ('net'), ('org'), ('uk'), ('co.uk'), ('au'),
+               ('com.au'), ('io'), ('github.io')) s(suffix)),
+h AS (
+  SELECT DISTINCT
+    (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+          WHEN doc_id % 3 = 1 THEN 'blog.' ELSE '' END)
+    || source
+    || (['.com', '.co.uk', '.org', '.com.au', '.github.io', '.net'])[(doc_id % 6 + 1)::INT]
+    AS host
+  FROM documents),
+cand AS (
+  SELECT host,
+    array_to_string(lb[len(lb) - k + 1 : len(lb)], '.') AS cand_suffix
+  FROM (SELECT host, string_split(host, '.') AS lb FROM h)
+  CROSS JOIN UNNEST(range(1, 4)) u(k)
+  WHERE k <= len(lb) - 1),
+m AS (
+  SELECT host, suffix, n_labels,
+    row_number() OVER (PARTITION BY host ORDER BY n_labels DESC) AS rn
+  FROM cand JOIN sfx ON cand_suffix = suffix)
+SELECT host, suffix,
+  string_split(host, '.')[len(string_split(host, '.')) - n_labels] || '.' || suffix
+    AS etld1
+FROM m WHERE rn = 1
+"""
+
+
 def _derived_lines(doc_id, toks):
     """Deterministic multi-line fixture shared with the DuckDB oracle:
     the flat synthetic documents carry no newlines, so C4's LINE-level
@@ -4048,6 +4173,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lineitem_pricing_summary": (q_lineitem_pricing_summary, SQL_LINEITEM_Q1),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "fuzzy_name_pairs": (q_fuzzy_name_pairs, SQL_FUZZY_NAME_PAIRS),
+    "readability": (q_readability, SQL_READABILITY),
+    "etld1_extract": (q_etld1_extract, SQL_ETLD1_EXTRACT),
     "unpivot_measures": (q_unpivot_measures, SQL_UNPIVOT),
     "chat_messages": (q_chat_messages, SQL_CHAT_MESSAGES),
     "chunk_fixed": (q_chunk_fixed, SQL_CHUNK_FIXED),
