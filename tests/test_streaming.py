@@ -360,3 +360,58 @@ def test_streaming_near_dedup_equals_batch(spark, tmp_path):
         r["url"] for r in streaming.stream_kept_docs(spark, str(out)).collect()
     }
     assert again == streamed_kept
+
+
+def test_streaming_hll_equals_batch(spark, tmp_path):
+    """Per-epoch HLL register partials appended by the stream must
+    max-merge to EXACTLY the batch register state over the same
+    corpus (mergeable-sketch property), and re-draining with the same
+    checkpoint must change nothing (replay safety without DISTINCT:
+    max is idempotent)."""
+    import pandas as pd
+
+    from webfilter.sketches import hll_estimate, hll_registers
+
+    rows = [
+        (
+            f"https://h{i % 4}.example.com/p/{i}",
+            "en" if i % 2 else "de",
+            f"alpha beta{i} gamma delta{i * 7} epsilon zeta eta theta "
+            + " ".join(f"w{i}_{j}" for j in range(30)),
+        )
+        for i in range(24)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for chunk in range(3):
+        part = rows[chunk::3]
+        spark.createDataFrame(
+            pd.DataFrame(part, columns=["url", "lang", "text"])
+        ).withColumn("warc_ts", F.current_timestamp()).withColumn(
+            "html", F.lit(None).cast("binary")
+        ).select("url", "warc_ts", "html", "text", "lang").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"chunk{chunk}"))
+
+    out, cp = tmp_path / "state", tmp_path / "cp"
+    streaming.run_hll_stream(spark, f"{src}/chunk*", str(out), str(cp), max_files=1)
+    streamed = {
+        r["lang"]: (r["regs_hit"], r["v_zero"], r["s_denom"], r["hll_estimate"])
+        for r in streaming.stream_hll_estimate(spark, str(out)).collect()
+    }
+
+    corpus = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "lang", "text"]))
+    batch = {
+        r["lang"]: (r["regs_hit"], r["v_zero"], r["s_denom"], r["hll_estimate"])
+        for r in hll_estimate(hll_registers(corpus)).collect()
+    }
+    assert streamed == batch and set(streamed) == {"en", "de"}
+
+    # replay: drain again with the SAME checkpoint — no new epochs, and
+    # even if files re-appended, max-merge would absorb them
+    streaming.run_hll_stream(spark, f"{src}/chunk*", str(out), str(cp), max_files=1)
+    streamed2 = {
+        r["lang"]: (r["regs_hit"], r["v_zero"], r["s_denom"], r["hll_estimate"])
+        for r in streaming.stream_hll_estimate(spark, str(out)).collect()
+    }
+    assert streamed2 == batch

@@ -318,10 +318,11 @@ WHERE len(list_intersect(a.tk, b.tk))::DOUBLE
 
 
 def _md5_prefix_hash(s, n_hex: int = 15):
-    """Cross-engine bigint hash: first n_hex hex chars of md5 as a
-    base-16 int (15 hex = 60 bits, positive in int64 on both
-    engines). DuckDB replay: ('0x' || substr(md5(s),1,15))::BIGINT."""
-    return F.conv(F.substring(F.md5(s), 1, n_hex), 16, 10).cast("bigint")
+    """Cross-engine bigint hash (sketches.md5_prefix_hash). DuckDB
+    replay: ('0x' || substr(md5(s),1,15))::BIGINT."""
+    from .sketches import md5_prefix_hash
+
+    return md5_prefix_hash(s, n_hex)
 
 
 def q_minhash_md5(spark, sf_dir):
@@ -1758,22 +1759,13 @@ def q_approx_distinct_terms(spark, sf_dir):
 
 
 def _shingles3_lower(text_col):
-    """Word 3-grams over lowercase whitespace tokens as array<string>
-    (shifted-slice arrays_zip construction — no captured-array HOF
-    re-evaluation). Shared universe for the sketch queries below: the
-    synthetic corpus has a ~31-word vocabulary, so single tokens are
-    a degenerate cardinality-31 universe while 3-grams give thousands
-    of distinct elements."""
-    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
-    n = F.size(toks)
-    m = n - 2
-    z = F.arrays_zip(
-        F.slice(toks, 1, m).alias("t0"),
-        F.slice(toks, 2, m).alias("t1"),
-        F.slice(toks, 3, m).alias("t2"),
-    )
-    grams = F.transform(z, lambda s: F.concat_ws(" ", s["t0"], s["t1"], s["t2"]))
-    return F.when(n < 3, F.array(F.concat_ws(" ", toks))).otherwise(grams)
+    """Word 3-grams (sketches.shingles3_lower). Shared universe for
+    the sketch queries below: the synthetic corpus has a ~31-word
+    vocabulary, so single tokens are a degenerate cardinality-31
+    universe while 3-grams give thousands of distinct elements."""
+    from .sketches import shingles3_lower
+
+    return shingles3_lower(text_col)
 
 
 # DuckDB replay of _shingles3_lower given `toks` ({_TOKS_LOWER})
@@ -1807,25 +1799,17 @@ def q_hll_distinct_terms(spark, sf_dir):
 
     At 100 TB this is the mergeable two-level shape: (lang, register)
     partial maxes combine associatively map-side, the final state is
-    256 ints per group."""
+    256 ints per group — the same sketches.hll_registers state the
+    STREAMING ingestion appends per epoch (streaming.run_hll_stream,
+    tested equal to this batch form)."""
+    from .sketches import hll_registers
+
     docs = _docs(spark, sf_dir)
     e = (
         docs.filter(F.length(F.trim(F.col("text"))) > 0)
         .select("lang", F.explode(_shingles3_lower(F.col("text"))).alias("tok"))
     )
-    h = _md5_prefix_hash(F.col("tok"))
-    t = e.select(
-        "lang",
-        "tok",
-        h.bitwiseAND(F.lit(255)).alias("reg"),
-        F.shiftright(h, 8).alias("w"),
-    ).withColumn(
-        "rho",
-        F.when(F.col("w") == 0, F.lit(53)).otherwise(
-            53 - F.length(F.bin(F.col("w")))
-        ),
-    )
-    regs = t.groupBy("lang", "reg").agg(F.max("rho").alias("m_j"))
+    regs = hll_registers(docs, text_col="text", group_col="lang")
     state = regs.groupBy("lang").agg(
         F.count("*").alias("regs_hit"),
         F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - m_j)")).alias("s_hit"),
@@ -1840,7 +1824,7 @@ def q_hll_distinct_terms(spark, sf_dir):
             * F.lit(1 << 53).cast("bigint")
         ).alias("s_denom"),
     )
-    exact = t.groupBy("lang").agg(F.countDistinct("tok").alias("exact_terms"))
+    exact = e.groupBy("lang").agg(F.countDistinct("tok").alias("exact_terms"))
     alpha = 0.7213 / (1.0 + 1.079 / 256.0)
     raw = (
         F.lit(alpha)

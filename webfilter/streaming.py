@@ -426,3 +426,57 @@ def stream_kept_docs(spark: SparkSession, out_root: str) -> DataFrame:
         F.col("url_b").alias("url")
     ).distinct()
     return docs.join(drops, "url", "left_anti")
+
+
+def hll_ingest_batch(out_root: str, group_col: str = "lang"):
+    """foreachBatch handler: ONLINE distinct-count sketching — each
+    micro-batch contributes its (group, register, max-rank) HLL
+    partial state (sketches.hll_registers) as an APPEND; the merged
+    state is derived at read time with a groupBy-max
+    (stream_hll_estimate). Because max is idempotent/commutative/
+    associative, epoch replays and arrival order cannot change the
+    merged state — the mergeable-sketch property doing the
+    exactly-once work that the pair/band stream above needs DISTINCT
+    consumption for. State grows by <= n_groups * 256 rows per epoch
+    and compacts to n_groups * 256 on merge."""
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        from .sketches import hll_registers
+        from .tables import ParquetCatalog
+
+        spark = batch_df.sparkSession
+        catalog = ParquetCatalog(spark, out_root)
+        regs = hll_registers(batch_df, text_col="text", group_col=group_col)
+        if regs.isEmpty():
+            return
+        catalog.append(regs.withColumn("_epoch", F.lit(epoch_id)), "hll_registers")
+
+    return fn
+
+
+def run_hll_stream(
+    spark: SparkSession, src_path: str, out_root: str, checkpoint: str,
+    group_col: str = "lang", max_files: int = 1,
+):
+    """Drain a pages file-stream through online HLL sketching
+    (trigger(availableNow) catch-up cadence)."""
+    q = (
+        read_pages_stream(spark, src_path, max_files)
+        .writeStream.foreachBatch(hll_ingest_batch(out_root, group_col))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_hll_estimate(spark: SparkSession, out_root: str, group_col: str = "lang"):
+    """(group, regs_hit, v_zero, s_denom, hll_estimate) from the
+    appended per-epoch register partials — merge then estimate."""
+    from .sketches import hll_estimate, merge_registers
+    from .tables import ParquetCatalog
+
+    catalog = ParquetCatalog(spark, out_root)
+    regs = catalog.read("hll_registers").select(group_col, "reg", "m_j")
+    return hll_estimate(merge_registers(regs, group_col), group_col)
