@@ -271,3 +271,63 @@ def test_allpairs_join_is_equi_never_cartesian(spark):
     assert any(
         j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
+
+
+def test_shipping_priority_plan_shape(spark):
+    """TPC-H Q3: filters pushed to all three scans, the customer dim
+    broadcast, exactly ONE exchange (the grouped-revenue shuffle),
+    and top-10 via TakeOrderedAndProject — never a global Sort."""
+    from webfilter.entry_queries import q_shipping_priority
+
+    plan = _plan(q_shipping_priority(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # pushed date/segment predicates reach the parquet scans
+    assert plan.count("PushedFilters: [") >= 3
+    body = plan.split("== Physical Plan ==")[1]
+    # formatted plans print each node twice (tree + detail section)
+    n_exchanges = (body.count("Exchange") - body.count("BroadcastExchange")) // 2
+    assert n_exchanges <= 1, plan
+
+
+def test_triangle_count_has_no_cartesian(spark):
+    from webfilter.entry_queries import q_triangle_counts
+
+    plan = _plan(q_triangle_counts(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_name_pairs_joins_on_variant(spark):
+    """The SymSpell self-join must be an equi-join on the variant
+    string — a cartesian/nested-loop here means the deletion
+    neighborhood stopped doing its job."""
+    from webfilter.entry_queries import q_fuzzy_name_pairs
+
+    plan = _plan(q_fuzzy_name_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_centroid_dim_is_broadcast(spark):
+    """The ONLY nested-loop join allowed is the deliberate broadcast
+    of the k-row centroid dim; the within-cluster pair join must be
+    an equi-join on the cluster key."""
+    from webfilter.entry_queries import q_semdedup_drops
+
+    plan = _plan(q_semdedup_drops(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the assignment subtree (with its one centroid crossJoin) feeds
+    # BOTH sides of the pair self-join, so the plan duplicates it:
+    # 2 BNLJ nodes, each printed twice (tree + detail) = 4 mentions.
+    # Anything beyond that means a non-broadcast nested loop crept in.
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+
+
+def test_minhash_md5_bands_equijoin(spark):
+    from webfilter.entry_queries import q_minhash_md5
+
+    plan = _plan(q_minhash_md5(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
