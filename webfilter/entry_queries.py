@@ -2327,6 +2327,142 @@ FROM m WHERE rn = 1
 """
 
 
+def q_lsh_md5_topk(spark, sf_dir):
+    """Multi-table hyperplane-LSH top-k under a CROSS-ENGINE hash
+    family, so the DuckDB oracle replays the exact buckets, multiprobe
+    flips, candidate set and rerank — upgrading the LSH similarity
+    operator from rows-only to hash-checked (production
+    simsearch_lsh_topk keeps the Box-Muller planes + numpy kernel).
+
+    Two determinism devices: (1) Rademacher +/-1 planes whose signs
+    come from one md5 hex digit per (table, plane, dim) — Spark folds
+    them as literals, DuckDB recomputes the same md5; (2) vectors are
+    QUANTIZED to round(x*1000) int64 before the plane dot product, so
+    bucket sign bits are integer arithmetic — a float sum's last-ulp
+    difference can never flip a near-zero dot across engines. Sign
+    patterns are invariant to normalization, so quantized-raw buckets
+    equal normalized buckets up to quantization. Exact cosine rerank
+    on candidates (the hash-agnostic stage) as in the brute-force
+    oracle. 2 tables x 6 planes + 1-bit multiprobe, k=3."""
+    import hashlib
+
+    n_planes, n_tables, k, dim = 6, 2, 3, 64
+    emb = _emb(spark, sf_dir)
+
+    def sign(t, p, j):
+        h = hashlib.md5(f"pl|{t}|{p}|{j}".encode()).hexdigest()
+        return 1 if int(h[0], 16) >= 8 else -1
+
+    qv = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1000).cast("bigint")
+    )
+
+    def bucket(t):
+        b = F.lit(0)
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(sign(t, p, j)) for j in range(dim)])
+            d = F.aggregate(
+                F.zip_with(F.col("qv"), plane, lambda x, y: x * y.cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            b = b + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return b
+
+    base = emb.select("vec_id", "embedding", qv.alias("qv"))
+    buckets = base.select(
+        "vec_id",
+        F.posexplode(F.array(*[bucket(t) for t in range(n_tables)])).alias(
+            "table_id", "bucket"
+        ),
+    )
+    probes = (
+        buckets.filter(F.col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "query_id")
+        .select(
+            "query_id",
+            "table_id",
+            F.explode(
+                F.array_union(
+                    F.array(F.col("bucket")),
+                    F.array(
+                        *[
+                            F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                            for i in range(n_planes)
+                        ]
+                    ),
+                )
+            ).alias("bucket"),
+        )
+    )
+    cand = (
+        buckets.join(F.broadcast(probes), ["table_id", "bucket"])
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    from .simsearch import dot_col, norm_col
+
+    vecs = emb.select("vec_id", F.col("embedding").alias("v"))
+    j = (
+        cand.join(vecs.withColumnRenamed("vec_id", "query_id").withColumnRenamed("v", "q_v"), "query_id")
+        .join(vecs.withColumnRenamed("v", "c_v"), "vec_id")
+    )
+    cos = dot_col(F.col("c_v"), F.col("q_v")) / (
+        norm_col(F.col("c_v")) * norm_col(F.col("q_v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        j.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", r6(F.col("cosine")).alias("cosine"), "rank")
+    )
+
+
+SQL_LSH_MD5_TOPK = """
+WITH planes AS (
+  SELECT t, p, j,
+    CASE WHEN ('0x' || substr(md5('pl|' || t::VARCHAR || '|' || p::VARCHAR
+                                 || '|' || j::VARCHAR), 1, 1))::INT >= 8
+         THEN 1 ELSE -1 END AS s
+  FROM range(2) tt(t) CROSS JOIN range(6) pp(p) CROSS JOIN range(64) jj(j)),
+qv AS (
+  SELECT vec_id,
+    list_transform(embedding::DOUBLE[], x -> round(x * 1000)::BIGINT) AS q
+  FROM embeddings),
+dots AS (
+  SELECT vec_id, t, p, sum(q[j + 1] * s) AS d
+  FROM qv CROSS JOIN planes GROUP BY vec_id, t, p),
+buckets AS (
+  SELECT vec_id, t AS table_id,
+    sum(CASE WHEN d >= 0 THEN (1::BIGINT << p::INT) ELSE 0 END)::INT AS bucket
+  FROM dots GROUP BY vec_id, t),
+probes AS (
+  SELECT vec_id AS query_id, table_id,
+    unnest(list_distinct([bucket] || list_transform(range(0, 6),
+      i -> xor(bucket::BIGINT, 1::BIGINT << i::INT)::INT))) AS bucket
+  FROM buckets WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT p.query_id, b.vec_id
+  FROM buckets b JOIN probes p
+    ON b.table_id = p.table_id AND b.bucket = p.bucket),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+    list_sum(list_transform(range(1, 1 + len(cv.ev)), i -> cv.ev[i] * qv2.ev[i]))
+      / (sqrt(list_sum(list_transform(cv.ev, x -> x*x)))
+         * sqrt(list_sum(list_transform(qv2.ev, x -> x*x)))) AS cos
+  FROM cand c JOIN v cv ON cv.vec_id = c.vec_id
+  JOIN v qv2 ON qv2.vec_id = c.query_id),
+r AS (
+  SELECT query_id, vec_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(cos, 6) AS cosine, rank::INT AS rank
+FROM r WHERE rank <= 3
+"""
+
+
 def _derived_lines(doc_id, toks):
     """Deterministic multi-line fixture shared with the DuckDB oracle:
     the flat synthetic documents carry no newlines, so C4's LINE-level
@@ -4128,6 +4264,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_simhash_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
     "simsearch_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "semdedup_drops": (q_semdedup_drops, SQL_SEMDEDUP_DROPS),
+    "simsearch_lsh_md5": (q_lsh_md5_topk, SQL_LSH_MD5_TOPK),
     "agg_lang_source": (q_agg_lang_source, SQL_AGG_LANG_SOURCE),
     "window_rank": (q_window_rank, SQL_WINDOW_RANK),
     "join_anti_frontier": (q_anti_join, SQL_ANTI_JOIN),
