@@ -96,3 +96,61 @@ def test_hll_estimate_within_documented_bound(con):
     df = con.execute(SQL_HLL_DISTINCT_TERMS).df()
     assert len(df) == 5
     assert (df["rel_err"].abs() < 3 * 1.04 / 16).all()
+
+
+def test_bpe_merge_semantics_nonoverlap(tmp_path):
+    """'aaa' + pair (a,a) must merge to (aa, a) — left-to-right
+    non-overlapping, the classic BPE edge the doubled-separator
+    encoding exists for — and once a word is a single symbol the
+    remaining rounds emit nothing on BOTH engines (empty argmax)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webfilter.entry_queries import SQL_BPE_MERGES
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [0], "text": ["aaa aaa"], "lang": ["en"],
+                  "source": ["s"], "n_chars": [7]}),
+        d / "documents.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    rows = con.execute(SQL_BPE_MERGES + " ORDER BY round").fetchall()
+    # vocab {aaa: 2}; round 0: (a,a) weight 2 positions x freq 2 = 4;
+    # round 1: (aa, a) x freq 2; rounds 2-3: nothing left to merge
+    assert rows == [(0, "a", "a", 4), (1, "aa", "a", 2)]
+
+
+def test_bpe_spark_equals_oracle_on_crafted_corpus(spark, tmp_path):
+    """Same crafted corpus through the SPARK implementation — the
+    engines must agree including the merge-exhaustion behavior."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webfilter.entry_queries import q_bpe_merges
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [0, 1], "text": ["aaa aaa", "abab ab"],
+                  "lang": ["en", "en"], "source": ["s", "s"],
+                  "n_chars": [7, 7]}),
+        d / "documents.parquet",
+    )
+    got = [tuple(r) for r in q_bpe_merges(spark, str(d)).orderBy("round").collect()]
+    # vocab {aaa:2, abab:1, ab:1}; r0 pairs: (a,a)=4, (a,b)=3, (b,a)=1
+    # -> merge (a,a); r1: (aa,a)=2,(a,b)=3,(b,a)=1 -> (a,b);
+    # r2: (aa,a)=2,(ab,ab)=1,(ab,)... 'abab'->(ab,ab); 'ab'->single
+    # -> (aa,a)=2 wins; r3: 'aaa' single, (ab,ab)=1 wins
+    assert got == [
+        (0, "a", "a", 4),
+        (1, "a", "b", 3),
+        (2, "aa", "a", 2),
+        (3, "ab", "ab", 1),
+    ]

@@ -2463,6 +2463,120 @@ FROM r WHERE rank <= 3
 """
 
 
+_BPE_ROUNDS = 4
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Greedy BPE merge training (Sennrich et al. 2016) as pure
+    relational algebra, 4 unrolled rounds: each round counts adjacent
+    symbol pairs over the (word, freq) vocabulary, picks the argmax
+    pair (ties -> lexicographic), and applies the merge everywhere —
+    then the DuckDB oracle replays every round byte-for-byte.
+
+    The merge step is the interesting part: BPE's left-to-right
+    NON-OVERLAPPING replacement ('aaa' + (a,a) -> (aa, a)) is
+    encoded as one string replace() by wrapping every symbol in its
+    OWN separators ('·a··b··a··b·'): consecutive pair occurrences
+    then share no characters, so the engines' standard resume-after-
+    replacement scan implements exactly the BPE semantics
+    (single-separator encodings get this wrong: the shared middle
+    separator is consumed by the first match and hides the second).
+
+    Scale shape per round: pair counting is one (s1,s2) count shuffle
+    over the VOCABULARY (not the corpus — freq weights carry the
+    corpus), the argmax is a 1-row broadcast, the merge is map-only.
+    Real trainers run thousands of rounds with the same per-round
+    plan; 4 rounds keep the unrolled oracle readable."""
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    state = vocab.select(
+        "word",
+        "freq",
+        F.regexp_replace(F.col("word"), "(.)", "·$1·").alias("repr"),
+    )
+    merges = []
+    for rnd in range(_BPE_ROUNDS):
+        sym = F.filter(
+            F.split(F.expr("trim(BOTH '·' FROM repr)"), "··"), lambda x: x != ""
+        )
+        n = F.size(sym)
+        z = F.arrays_zip(
+            F.slice(sym, 1, n - 1).alias("s1"), F.slice(sym, 2, n - 1).alias("s2")
+        )
+        pairs = state.select(
+            "freq", F.explode(z).alias("p")
+        ).select("freq", F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+        best = (
+            pairs.groupBy("s1", "s2")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "s1", "s2")
+            .limit(1)
+        )
+        merges.append(best.select(F.lit(rnd).alias("round"), "s1", "s2", "pair_count"))
+        state = state.crossJoin(F.broadcast(best.select(
+            F.col("s1").alias("_m1"), F.col("s2").alias("_m2")
+        ))).select(
+            "word",
+            "freq",
+            F.replace(
+                F.col("repr"),
+                F.concat(F.lit("·"), F.col("_m1"), F.lit("··"), F.col("_m2"), F.lit("·")),
+                F.concat(F.lit("·"), F.col("_m1"), F.col("_m2"), F.lit("·")),
+            ).alias("repr"),
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_sql() -> str:
+    """Generate the unrolled DuckDB replay of q_bpe_merges."""
+    parts = [
+        f"""WITH vocab AS (
+  SELECT word, count(*)::BIGINT AS freq FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '{_WS}+')) AS word
+    FROM documents WHERE length(trim(text)) > 0)
+  GROUP BY word),
+r0 AS (
+  SELECT word, freq,
+    regexp_replace(word, '(.)', '·\\1·', 'g') AS repr
+  FROM vocab)"""
+    ]
+    for i in range(_BPE_ROUNDS):
+        parts.append(f""",
+sym{i} AS (
+  SELECT freq,
+    list_filter(string_split(trim(repr, '·'), '··'), x -> x <> '') AS sym
+  FROM r{i}),
+p{i} AS (
+  SELECT sym[u.i] AS s1, sym[u.i + 1] AS s2, sum(freq)::BIGINT AS pair_count
+  FROM sym{i}, UNNEST(range(1, greatest(len(sym), 1)::BIGINT)) u(i)
+  WHERE len(sym) >= 2 GROUP BY 1, 2),
+b{i} AS (
+  SELECT s1, s2, pair_count FROM p{i}
+  ORDER BY pair_count DESC, s1, s2 LIMIT 1),
+r{i + 1} AS (
+  SELECT word, freq,
+    replace(repr, '·' || b.s1 || '··' || b.s2 || '·',
+            '·' || b.s1 || b.s2 || '·') AS repr
+  FROM r{i}, b{i} b)""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT {i} AS round, s1, s2, pair_count FROM b{i}"
+        for i in range(_BPE_ROUNDS)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+SQL_BPE_MERGES = _bpe_sql()
+
+
 def _derived_lines(doc_id, toks):
     """Deterministic multi-line fixture shared with the DuckDB oracle:
     the flat synthetic documents carry no newlines, so C4's LINE-level
@@ -4353,6 +4467,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
     "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM_SCORE),
     "kneser_ney_lm_score": (q_kneser_ney_lm_score, SQL_KNESER_NEY_LM),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "ccnet_lang_buckets": (q_ccnet_lang_buckets, SQL_CCNET_LANG_BUCKETS),
     "host_reputation": (q_host_reputation, SQL_HOST_REPUTATION),
     "rendezvous_shards": (q_rendezvous_shards, SQL_RENDEZVOUS_SHARDS),
