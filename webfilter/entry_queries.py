@@ -2463,6 +2463,104 @@ FROM r WHERE rank <= 3
 """
 
 
+def q_embdedup_md5(spark, sf_dir):
+    """Embedding near-dup PAIRS under the cross-engine md5-Rademacher
+    LSH family (same quantized-bucket machinery as simsearch_lsh_md5,
+    self-join instead of probe join): vectors sharing any (table,
+    bucket) become candidates, verified by exact cosine >= 0.40 (the
+    SemDeDup radius note applies — synthetic embeddings carry no
+    planted near-dups, so the radius demonstrates the algebra).
+    DuckDB replays buckets, candidate self-join and verify; the
+    production dedup_embedding_pairs keeps the Box-Muller planes."""
+    import hashlib
+
+    n_planes, n_tables, dim = 6, 2, 64
+    emb = _emb(spark, sf_dir)
+
+    def sign(t, p, j):
+        h = hashlib.md5(f"pl|{t}|{p}|{j}".encode()).hexdigest()
+        return 1 if int(h[0], 16) >= 8 else -1
+
+    qv = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1000).cast("bigint")
+    )
+
+    def bucket(t):
+        b = F.lit(0)
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(sign(t, p, j)) for j in range(dim)])
+            d = F.aggregate(
+                F.zip_with(F.col("qv"), plane, lambda x, y: x * y.cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            b = b + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return b
+
+    buckets = emb.select("vec_id", "embedding", qv.alias("qv")).select(
+        "vec_id",
+        F.posexplode(F.array(*[bucket(t) for t in range(n_tables)])).alias(
+            "table_id", "bucket"
+        ),
+    )
+    a = buckets.select(F.col("vec_id").alias("id_a"), "table_id", "bucket")
+    b = buckets.select(F.col("vec_id").alias("id_b"), "table_id", "bucket")
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    from .simsearch import dot_col, norm_col
+
+    vecs = emb.select("vec_id", F.col("embedding").alias("v"))
+    j = (
+        cand.join(vecs.withColumnRenamed("vec_id", "id_a").withColumnRenamed("v", "v_a"), "id_a")
+        .join(vecs.withColumnRenamed("vec_id", "id_b").withColumnRenamed("v", "v_b"), "id_b")
+    )
+    cos = dot_col(F.col("v_a"), F.col("v_b")) / (
+        norm_col(F.col("v_a")) * norm_col(F.col("v_b"))
+    )
+    return (
+        j.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.40)
+        .select("id_a", "id_b", r6(F.col("cosine")).alias("cosine"))
+    )
+
+
+SQL_EMBDEDUP_MD5 = """
+WITH planes AS (
+  SELECT t, p, j,
+    CASE WHEN ('0x' || substr(md5('pl|' || t::VARCHAR || '|' || p::VARCHAR
+                                 || '|' || j::VARCHAR), 1, 1))::INT >= 8
+         THEN 1 ELSE -1 END AS s
+  FROM range(2) tt(t) CROSS JOIN range(6) pp(p) CROSS JOIN range(64) jj(j)),
+qv AS (
+  SELECT vec_id,
+    list_transform(embedding::DOUBLE[], x -> round(x * 1000)::BIGINT) AS q
+  FROM embeddings),
+dots AS (
+  SELECT vec_id, t, p, sum(q[j + 1] * s) AS d
+  FROM qv CROSS JOIN planes GROUP BY vec_id, t, p),
+buckets AS (
+  SELECT vec_id, t AS table_id,
+    sum(CASE WHEN d >= 0 THEN (1::BIGINT << p::INT) ELSE 0 END)::INT AS bucket
+  FROM dots GROUP BY vec_id, t),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+scored AS (
+  SELECT c.id_a, c.id_b,
+    list_sum(list_transform(range(1, 1 + len(va.ev)), i -> va.ev[i] * vb.ev[i]))
+      / (sqrt(list_sum(list_transform(va.ev, x -> x*x)))
+         * sqrt(list_sum(list_transform(vb.ev, x -> x*x)))) AS cos
+  FROM cand c JOIN v va ON va.vec_id = c.id_a JOIN v vb ON vb.vec_id = c.id_b)
+SELECT id_a, id_b, round(cos, 6) AS cosine FROM scored WHERE cos >= 0.40
+"""
+
+
 _BPE_ROUNDS = 4
 
 
@@ -4379,6 +4477,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simsearch_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "semdedup_drops": (q_semdedup_drops, SQL_SEMDEDUP_DROPS),
     "simsearch_lsh_md5": (q_lsh_md5_topk, SQL_LSH_MD5_TOPK),
+    "dedup_embedding_md5": (q_embdedup_md5, SQL_EMBDEDUP_MD5),
     "agg_lang_source": (q_agg_lang_source, SQL_AGG_LANG_SOURCE),
     "window_rank": (q_window_rank, SQL_WINDOW_RANK),
     "join_anti_frontier": (q_anti_join, SQL_ANTI_JOIN),
