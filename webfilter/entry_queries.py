@@ -2675,6 +2675,83 @@ r{i + 1} AS (
 SQL_BPE_MERGES = _bpe_sql()
 
 
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered 3-stage funnel (view -> click -> purchase): a user
+    converts stage k only with a stage-k event STRICTLY AFTER their
+    stage-(k-1) entry time and within a 12-hour conversion window
+    (unwindowed, the dense synthetic stream saturates every stage at
+    1.0). The min-ts-after-join form: per-stage grouped min(ts)
+    chained through two (user, ts in (prev, prev+12h]) joins —
+    each stage is one user-keyed shuffle over only that stage's
+    events (filter pushed to the scan), never a per-user sort of the
+    full event stream. Ties on ts are resolved by strict >, the
+    conservative reading. Output: per-stage entrant counts + exact
+    conversion rates (integer ratios rounded at 6)."""
+    ev = _tbl(spark, sf_dir, "events")
+
+    def stage(ev_type):
+        return ev.filter(F.col("event_type") == ev_type).select("user_id", "ts")
+
+    s1 = stage("view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    win = F.expr("INTERVAL 12 HOURS")
+    s2 = (
+        stage("click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        stage("purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).alias("users")).select(
+        F.lit("1_view").alias("stage"), "users"
+    )
+    c2 = s2.agg(F.count(F.lit(1)).alias("users")).select(
+        F.lit("2_view_click").alias("stage"), "users"
+    )
+    c3 = s3.agg(F.count(F.lit(1)).alias("users")).select(
+        F.lit("3_view_click_purchase").alias("stage"), "users"
+    )
+    out = c1.unionByName(c2).unionByName(c3)
+    base = s1.agg(F.count(F.lit(1)).alias("base"))
+    return (
+        out.crossJoin(F.broadcast(base))
+        .select(
+            "stage",
+            "users",
+            r6(F.col("users").cast("double") / F.col("base")).alias("conversion"),
+        )
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+          AND e.ts <= s1.t1 + INTERVAL 12 HOUR
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+          AND e.ts <= s2.t2 + INTERVAL 12 HOUR
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+counts AS (
+  SELECT '1_view' AS stage, count(*)::BIGINT AS users FROM s1
+  UNION ALL SELECT '2_view_click', count(*)::BIGINT FROM s2
+  UNION ALL SELECT '3_view_click_purchase', count(*)::BIGINT FROM s3),
+base AS (SELECT count(*)::DOUBLE AS b FROM s1)
+SELECT stage, users, round(users / b, 6) AS conversion FROM counts, base
+"""
+
+
 def _derived_lines(doc_id, toks):
     """Deterministic multi-line fixture shared with the DuckDB oracle:
     the flat synthetic documents carry no newlines, so C4's LINE-level
@@ -4567,6 +4644,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM_SCORE),
     "kneser_ney_lm_score": (q_kneser_ney_lm_score, SQL_KNESER_NEY_LM),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "ccnet_lang_buckets": (q_ccnet_lang_buckets, SQL_CCNET_LANG_BUCKETS),
     "host_reputation": (q_host_reputation, SQL_HOST_REPUTATION),
     "rendezvous_shards": (q_rendezvous_shards, SQL_RENDEZVOUS_SHARDS),
