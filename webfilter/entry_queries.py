@@ -2752,6 +2752,61 @@ SELECT stage, users, round(users / b, 6) AS conversion FROM counts, base
 """
 
 
+def q_inverted_index(spark, sf_dir):
+    """Positional inverted-index construction: (term -> sorted
+    posting list of (doc_id, pos)) for the 5 rarest terms (bounded
+    output; the build is identical for the full vocabulary). One
+    term-keyed shuffle builds postings; sort_array pins a canonical
+    order inside each list so the nested array<struct> hash-matches
+    the DuckDB replay (the chat_messages array<struct> precedent).
+    At scale the posting list per term is the classic IR shard unit —
+    term is the partition key, lists build map-side per split and
+    merge by concatenation."""
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    e = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "term")
+    )
+    df_counts = (
+        e.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"), F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("df").asc(), F.col("term"))
+        .limit(5)
+    )
+    postings = (
+        e.join(F.broadcast(df_counts.select("term")), "term")
+        .groupBy("term")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("doc_id"), F.col("pos")))
+            ).alias("postings")
+        )
+    )
+    return (
+        df_counts.join(postings, "term")
+        .select("term", "df", "tf", "postings")
+    )
+
+
+SQL_INVERTED_INDEX = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents
+  WHERE length(trim(text)) > 0),
+e AS (
+  SELECT doc_id, (u.i - 1)::INT AS pos, toks[u.i] AS term
+  FROM t, UNNEST(range(1, len(toks) + 1)) u(i)),
+dfc AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS tf
+  FROM e GROUP BY term ORDER BY df ASC, term LIMIT 5),
+p AS (
+  SELECT e.term,
+    list_sort(list(struct_pack(doc_id := e.doc_id, pos := e.pos))) AS postings
+  FROM e JOIN dfc ON e.term = dfc.term GROUP BY e.term)
+SELECT dfc.term, dfc.df, dfc.tf, p.postings
+FROM dfc JOIN p ON dfc.term = p.term
+"""
+
+
 def _derived_lines(doc_id, toks):
     """Deterministic multi-line fixture shared with the DuckDB oracle:
     the flat synthetic documents carry no newlines, so C4's LINE-level
@@ -4645,6 +4700,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "kneser_ney_lm_score": (q_kneser_ney_lm_score, SQL_KNESER_NEY_LM),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "ccnet_lang_buckets": (q_ccnet_lang_buckets, SQL_CCNET_LANG_BUCKETS),
     "host_reputation": (q_host_reputation, SQL_HOST_REPUTATION),
     "rendezvous_shards": (q_rendezvous_shards, SQL_RENDEZVOUS_SHARDS),
