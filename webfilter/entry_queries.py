@@ -2586,6 +2586,51 @@ def q_bpe_merges(spark, sf_dir):
     Real trainers run thousands of rounds with the same per-round
     plan; 4 rounds keep the unrolled oracle readable."""
     docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
+    _, merges = _bpe_train_chain(docs)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def q_bpe_tokenize(spark, sf_dir):
+    """BPE train-and-APPLY in one plan: the 4 learned merges are
+    applied to the vocabulary (the same chained broadcast-merge
+    steps), then every doc joins its words against the (word ->
+    n_symbols) dim — per-doc BPE token counts and chars-per-token
+    compression, all without materializing the merge table outside
+    the plan. Scale: the apply join is corpus ⋈ broadcast-able vocab
+    dim; docs never re-run the merge scan."""
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
+    state, _ = _bpe_train_chain(docs)
+    sym = F.filter(
+        F.split(F.expr("trim(BOTH '·' FROM repr)"), "··"), lambda x: x != ""
+    )
+    wsyms = state.select("word", F.size(sym).cast("bigint").alias("n_syms"))
+    e = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    )
+    return (
+        e.join(F.broadcast(wsyms), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).alias("n_chars"),
+        )
+        .select(
+            "doc_id", "n_words", "n_bpe_tokens", "n_chars",
+            r6(
+                F.col("n_chars").cast("double") / F.col("n_bpe_tokens")
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+def _bpe_train_chain(docs):
+    """(final state df, [per-round best frames]) — the shared 4-round
+    greedy merge chain used by q_bpe_merges and q_bpe_tokenize."""
     vocab = (
         docs.select(
             F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
@@ -2607,9 +2652,9 @@ def q_bpe_merges(spark, sf_dir):
         z = F.arrays_zip(
             F.slice(sym, 1, n - 1).alias("s1"), F.slice(sym, 2, n - 1).alias("s2")
         )
-        pairs = state.select(
-            "freq", F.explode(z).alias("p")
-        ).select("freq", F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+        pairs = state.select("freq", F.explode(z).alias("p")).select(
+            "freq", F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2")
+        )
         best = (
             pairs.groupBy("s1", "s2")
             .agg(F.sum("freq").alias("pair_count"))
@@ -2617,25 +2662,27 @@ def q_bpe_merges(spark, sf_dir):
             .limit(1)
         )
         merges.append(best.select(F.lit(rnd).alias("round"), "s1", "s2", "pair_count"))
-        state = state.crossJoin(F.broadcast(best.select(
-            F.col("s1").alias("_m1"), F.col("s2").alias("_m2")
-        ))).select(
+        state = state.crossJoin(
+            F.broadcast(
+                best.select(F.col("s1").alias("_m1"), F.col("s2").alias("_m2"))
+            )
+        ).select(
             "word",
             "freq",
             F.replace(
                 F.col("repr"),
-                F.concat(F.lit("·"), F.col("_m1"), F.lit("··"), F.col("_m2"), F.lit("·")),
+                F.concat(
+                    F.lit("·"), F.col("_m1"), F.lit("··"), F.col("_m2"), F.lit("·")
+                ),
                 F.concat(F.lit("·"), F.col("_m1"), F.col("_m2"), F.lit("·")),
             ).alias("repr"),
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    return state, merges
 
 
-def _bpe_sql() -> str:
-    """Generate the unrolled DuckDB replay of q_bpe_merges."""
+def _bpe_sql(tail: str | None = None) -> str:
+    """Generate the unrolled DuckDB replay of the BPE chain; `tail`
+    overrides the final SELECT (default: the merge table)."""
     parts = [
         f"""WITH vocab AS (
   SELECT word, count(*)::BIGINT AS freq FROM (
@@ -2665,7 +2712,7 @@ r{i + 1} AS (
     replace(repr, '·' || b.s1 || '··' || b.s2 || '·',
             '·' || b.s1 || b.s2 || '·') AS repr
   FROM r{i}, b{i} b)""")
-    sel = "\nUNION ALL ".join(
+    sel = tail or "\nUNION ALL ".join(
         f"SELECT {i} AS round, s1, s2, pair_count FROM b{i}"
         for i in range(_BPE_ROUNDS)
     )
@@ -2673,6 +2720,24 @@ r{i + 1} AS (
 
 
 SQL_BPE_MERGES = _bpe_sql()
+
+SQL_BPE_TOKENIZE = _bpe_sql(
+    tail=f""",
+wsyms AS (
+  SELECT word,
+    len(list_filter(string_split(trim(repr, '·'), '··'),
+        x -> x <> ''))::BIGINT AS n_syms
+  FROM r{_BPE_ROUNDS}),
+docw AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '{_WS}+')) AS word
+  FROM documents WHERE length(trim(text)) > 0)
+SELECT doc_id, count(*)::BIGINT AS n_words,
+  sum(n_syms)::BIGINT AS n_bpe_tokens,
+  sum(length(word))::BIGINT AS n_chars,
+  round(sum(length(word))::DOUBLE / sum(n_syms), 6) AS chars_per_token
+FROM docw JOIN wsyms USING (word) GROUP BY doc_id"""
+)
 
 
 def q_funnel_conversion(spark, sf_dir):
@@ -4701,6 +4766,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "bpe_tokenize": (q_bpe_tokenize, SQL_BPE_TOKENIZE),
     "ccnet_lang_buckets": (q_ccnet_lang_buckets, SQL_CCNET_LANG_BUCKETS),
     "host_reputation": (q_host_reputation, SQL_HOST_REPUTATION),
     "rendezvous_shards": (q_rendezvous_shards, SQL_RENDEZVOUS_SHARDS),
