@@ -2872,6 +2872,102 @@ FROM dfc JOIN p ON dfc.term = p.term
 """
 
 
+_KCORE_K, _KCORE_ROUNDS = 48, 8
+
+
+def q_kcore_peel(spark, sf_dir):
+    """k-core peeling cascade (k=48, 8 unrolled rounds) over a
+    deterministic events-derived graph: each round drops every node
+    with degree < k and reports (round, n_nodes, n_edges) — the
+    classic distributed k-core: one degree aggregation + two
+    semi-joins per round, no driver-side convergence loop (fixed
+    unrolled rounds, the connected_components_bounded contract; at
+    the registered sfs the cascade hits fixpoint-or-empty within 8).
+    The k sits just above the graph's median degree so the cascade is
+    non-trivial: at sf0.01 the 186-node graph collapses over ~6
+    rounds — the avalanche k-core is known for."""
+    ev = _tbl(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            (F.col("user_id") % 97).alias("x"),
+            ((F.col("event_id") * 31 + 7) % 89 + 100).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+    )
+    counts = []
+
+    def stats(e, rnd):
+        nodes = e.select(F.col("a").alias("n")).unionAll(
+            e.select(F.col("b").alias("n"))
+        ).distinct()
+        n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+        n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+        return (
+            n_nodes.crossJoin(n_edges)
+            .select(F.lit(rnd).alias("round"), "n_nodes", "n_edges")
+        )
+
+    counts.append(stats(edges, 0))
+    e = edges
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        strong = deg.filter(F.col("deg") >= _KCORE_K).select("n")
+        e = (
+            e.join(strong.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(strong.withColumnRenamed("n", "b"), "b", "left_semi")
+            .select("a", "b")
+            # each round references e 4x (degree union + two semi-joins
+            # + stats); without a lineage cut the logical plan grows
+            # ~4^rounds and OOMs the DRIVER at construction — the
+            # pagerank/connected_components lazy-checkpoint rule
+            .localCheckpoint(eager=False)
+        )
+        counts.append(stats(e, rnd))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _kcore_sql() -> str:
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each round references its predecessor ~4x — the inlined tree is
+    # 4^rounds parquet scans (measured: fd exhaustion at 8 rounds).
+    # The Spark twin cuts the same growth with localCheckpoint.
+    parts = [f"""WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM (
+    SELECT user_id % 97 AS x, (event_id * 31 + 7) % 89 + 100 AS y
+    FROM events) WHERE x <> y)"""]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT n, count(*) AS deg FROM (
+    SELECT a AS n FROM e{i - 1} UNION ALL SELECT b FROM e{i - 1})
+  GROUP BY n),
+s{i} AS (SELECT n FROM d{i} WHERE deg >= {_KCORE_K}),
+e{i} AS MATERIALIZED (
+  SELECT a, b FROM e{i - 1}
+  WHERE a IN (SELECT n FROM s{i}) AND b IN (SELECT n FROM s{i}))""")
+    sel = "\nUNION ALL ".join(
+        f"""SELECT {i} AS round,
+  (SELECT count(DISTINCT n)::BIGINT FROM (
+     SELECT a AS n FROM e{i} UNION ALL SELECT b FROM e{i})) AS n_nodes,
+  (SELECT count(*)::BIGINT FROM e{i}) AS n_edges"""
+        for i in range(_KCORE_ROUNDS + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+SQL_KCORE_PEEL = _kcore_sql()
+
+
 def _derived_lines(doc_id, toks):
     """Deterministic multi-line fixture shared with the DuckDB oracle:
     the flat synthetic documents carry no newlines, so C4's LINE-level
@@ -4739,6 +4835,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "domain_mixture_sample": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "pagerank_hosts": (q_pagerank_hosts, SQL_PAGERANK),
     "triangle_counts": (q_triangle_counts, SQL_TRIANGLE_COUNTS),
+    "kcore_peel": (q_kcore_peel, SQL_KCORE_PEEL),
     "hof_token_stats": (q_hof_token_stats, SQL_HOF_TOKEN_STATS),
     "outlink_hosts": (q_outlink_hosts, SQL_OUTLINK_HOSTS),
     "quality_classifier": (q_quality_classifier, None),
