@@ -255,6 +255,16 @@ def main() -> None:
         "zipf_slope",
         "tfidf_sampled",
         "bm25_scores",
+        # round-4 additions — cross-round comparisons should use the
+        # per-query map (r3's keys are a strict subset), not `value`
+        "shipping_priority",
+        "funnel_conversion",
+        "readability",
+        "inverted_index",
+        "etld1_extract",
+        "hll_distinct_terms",
+        "kneser_ney_lm_score",
+        "bpe_merges",
     ]
     for name in bench_queries:
         best_q = float("inf")
