@@ -415,3 +415,56 @@ def test_streaming_hll_equals_batch(spark, tmp_path):
         for r in streaming.stream_hll_estimate(spark, str(out)).collect()
     }
     assert streamed2 == batch
+
+
+def test_streaming_cms_equals_batch(spark, tmp_path):
+    """Per-epoch CMS partials summed after epoch-dedup must equal the
+    batch cells over the same corpus; a FORCED replay (re-appending an
+    epoch's rows) must change nothing — the sum-mergeable sketch's
+    exactly-once bookkeeping, in contrast to HLL's idempotent max."""
+    import pandas as pd
+
+    from webfilter.sketches import cms_cells
+    from webfilter.tables import ParquetCatalog
+
+    rows = [
+        (
+            f"https://h{i % 4}.example.com/p/{i}",
+            "en",
+            "alpha beta gamma " + " ".join(f"w{i}_{j}" for j in range(25)),
+        )
+        for i in range(18)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for chunk in range(3):
+        part = rows[chunk::3]
+        spark.createDataFrame(
+            pd.DataFrame(part, columns=["url", "lang", "text"])
+        ).withColumn("warc_ts", F.current_timestamp()).withColumn(
+            "html", F.lit(None).cast("binary")
+        ).select("url", "warc_ts", "html", "text", "lang").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"chunk{chunk}"))
+
+    out, cp = tmp_path / "state", tmp_path / "cp"
+    streaming.run_cms_stream(spark, f"{src}/chunk*", str(out), str(cp), max_files=1)
+
+    def merged():
+        return {
+            (r["r"], r["col"]): r["cell_n"]
+            for r in streaming.stream_cms_cells(spark, str(out)).collect()
+        }
+
+    corpus = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "lang", "text"]))
+    batch = {
+        (r["r"], r["col"]): r["cell_n"] for r in cms_cells(corpus).collect()
+    }
+    got = merged()
+    assert got == batch
+
+    # forced replay: re-append epoch 0's rows verbatim -> merge unchanged
+    catalog = ParquetCatalog(spark, str(out))
+    ep0 = catalog.read("cms_cells").filter(F.col("_epoch") == 0)
+    catalog.append(ep0, "cms_cells")
+    assert merged() == batch

@@ -1904,6 +1904,8 @@ def q_cms_term_counts(spark, sf_dir):
     `over` column exhibits the bound (and min-over-rows shrinking the
     overshoot). Complements frequent_terms (pigeonhole exact heavy
     hitters, trainprep.py) with the sketch-based alternative."""
+    from .sketches import cms_cells
+
     docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
     e = docs.select(F.explode(_shingles3_lower(F.col("text"))).alias("tok"))
     rc = F.posexplode(
@@ -1914,11 +1916,7 @@ def q_cms_term_counts(spark, sf_dir):
             ) % 512,
         )
     ).alias("r", "col")
-    cells = (
-        e.select("tok", rc)
-        .groupBy("r", "col")
-        .agg(F.count("*").alias("cell_n"))
-    )
+    cells = cms_cells(docs, d=4, w=512)
     top = (
         e.groupBy("tok")
         .agg(F.count("*").alias("exact_n"))

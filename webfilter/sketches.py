@@ -116,3 +116,31 @@ def hll_estimate(regs: DataFrame, group_col: str = "lang") -> DataFrame:
         group_col, "regs_hit", "v_zero", "s_denom",
         F.round(est, 2).alias("hll_estimate"),
     )
+
+
+def cms_cells(
+    df: DataFrame, text_col: str = "text", d: int = 4, w: int = 512
+) -> DataFrame:
+    """(r, col, cell_n) Count-Min cells over the 3-gram shingle
+    universe — d rows x w columns of md5-derived counters, one
+    map-side-combining groupBy (constant d*w state regardless of
+    corpus size). Unlike HLL registers, CMS cells merge by SUM —
+    NOT idempotent, so incremental/streaming use must dedupe epochs
+    before merging (see streaming.stream_cms_cells)."""
+    e = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.explode(shingles3_lower(F.col(text_col))).alias("tok"))
+    )
+    rc = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda r: md5_prefix_hash(
+                F.concat_ws("#", F.col("tok"), r.cast("string"))
+            ) % w,
+        )
+    ).alias("r", "col")
+    return (
+        e.select("tok", rc)
+        .groupBy("r", "col")
+        .agg(F.count("*").alias("cell_n"))
+    )

@@ -480,3 +480,57 @@ def stream_hll_estimate(spark: SparkSession, out_root: str, group_col: str = "la
     catalog = ParquetCatalog(spark, out_root)
     regs = catalog.read("hll_registers").select(group_col, "reg", "m_j")
     return hll_estimate(merge_registers(regs, group_col), group_col)
+
+
+def cms_ingest_batch(out_root: str):
+    """foreachBatch handler: ONLINE Count-Min sketching. CMS cells
+    merge by SUM — unlike the HLL registers above, NOT idempotent —
+    so every epoch's partial cells are appended WITH their epoch id
+    and the read-time merge dedupes epochs first (a replayed epoch
+    re-appends identical (r, col, _epoch) rows; groupBy-max over the
+    epoch key absorbs them before the sum). The pair demonstrates the
+    two mergeable-sketch classes: max-mergeable states are replay-free
+    by algebra, sum-mergeable ones need exactly-once bookkeeping."""
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        from .sketches import cms_cells
+        from .tables import ParquetCatalog
+
+        spark = batch_df.sparkSession
+        catalog = ParquetCatalog(spark, out_root)
+        cells = cms_cells(batch_df, text_col="text")
+        if cells.isEmpty():
+            return
+        catalog.append(cells.withColumn("_epoch", F.lit(epoch_id)), "cms_cells")
+
+    return fn
+
+
+def run_cms_stream(
+    spark: SparkSession, src_path: str, out_root: str, checkpoint: str,
+    max_files: int = 1,
+):
+    q = (
+        read_pages_stream(spark, src_path, max_files)
+        .writeStream.foreachBatch(cms_ingest_batch(out_root))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_cms_cells(spark: SparkSession, out_root: str) -> DataFrame:
+    """Merged (r, col, cell_n) from the appended per-epoch partials:
+    dedupe epoch replays (max over identical per-epoch rows), THEN
+    sum across epochs."""
+    from .tables import ParquetCatalog
+
+    catalog = ParquetCatalog(spark, out_root)
+    per_epoch = (
+        catalog.read("cms_cells")
+        .groupBy("r", "col", "_epoch")
+        .agg(F.max("cell_n").alias("cell_n"))
+    )
+    return per_epoch.groupBy("r", "col").agg(F.sum("cell_n").alias("cell_n"))
