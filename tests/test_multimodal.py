@@ -240,9 +240,8 @@ def test_gif_pixel_decode_matches_generator():
         # grayscale palette: channel 0 equals the LCG index stream
         assert np.array_equal(px[:, :, 0], _expected_png_pixels(w, h, seed))
         assert np.array_equal(px[:, :, 0], px[:, :, 2])
-    if True:
-        big = make_gif(128, 128, seed=3)
-        assert len(big) / (128 * 128) < 1.6  # dictionary hits, not literals
+    big = make_gif(128, 128, seed=3)
+    assert len(big) / (128 * 128) < 1.6  # dictionary hits, not literals
 
 
 def test_gif_decode_rejects_malformed():

@@ -125,6 +125,12 @@ def test_bpe_merge_semantics_nonoverlap(tmp_path):
     # vocab {aaa: 2}; round 0: (a,a) weight 2 positions x freq 2 = 4;
     # round 1: (aa, a) x freq 2; rounds 2-3: nothing left to merge
     assert rows == [(0, "a", "a", 4), (1, "aa", "a", 2)]
+    # exhaustion must NOT empty the state (review finding): tokenize
+    # still sees the whole corpus after the dry rounds
+    from webfilter.entry_queries import SQL_BPE_TOKENIZE
+
+    tok = con.execute(SQL_BPE_TOKENIZE).fetchall()
+    assert tok == [(0, 2, 2, 6, 3.0)]
 
 
 def test_bpe_spark_equals_oracle_on_crafted_corpus(spark, tmp_path):
@@ -154,3 +160,20 @@ def test_bpe_spark_equals_oracle_on_crafted_corpus(spark, tmp_path):
         (2, "aa", "a", 2),
         (3, "ab", "ab", 1),
     ]
+
+
+def test_bpe_tokenize_survives_merge_exhaustion_spark(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webfilter.entry_queries import q_bpe_tokenize
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [0], "text": ["aaa aaa"], "lang": ["en"],
+                  "source": ["s"], "n_chars": [7]}),
+        d / "documents.parquet",
+    )
+    got = [tuple(r) for r in q_bpe_tokenize(spark, str(d)).collect()]
+    assert got == [(0, 2, 2, 6, 3.0)]

@@ -338,7 +338,9 @@ def decode_gif_pixels(raw: bytes | None):
                 return None
             else:
                 return None
-    except (struct.error, IndexError):
+    # ValueError: np.frombuffer/reshape on a palette truncated
+    # mid-table (reshape(size 3 -> (n,3)) raises, reviewer-reproduced)
+    except (struct.error, IndexError, ValueError):
         return None
     return None
 
@@ -512,6 +514,8 @@ def parse_mp4(raw: bytes | None) -> dict:
                         if ts:
                             out["timescale"] = int(ts)
                             out["duration_ms"] = int(dur * 1000 // ts)
+                        else:
+                            out["err"] = "bad_timescale"
                         return out
         out["err"] = "no_mvhd"
     except (struct.error, IndexError):
@@ -520,7 +524,8 @@ def parse_mp4(raw: bytes | None) -> dict:
 
 
 def make_mp4(
-    duration_ms: int, timescale: int = 600, seed: int = 0, version: int = 0
+    duration_ms: int, timescale: int = 600, seed: int = 0,
+    version: int | None = None,
 ) -> bytes:
     """Minimal valid ISO-BMFF file: ftyp(isom) + moov(mvhd) + a
     seeded mdat — the deterministic ground truth for parse_mp4
@@ -531,6 +536,10 @@ def make_mp4(
         return struct.pack(">I", 8 + len(payload)) + tag + payload
 
     dur_units = duration_ms * timescale // 1000
+    if version is None:  # v0 caps duration at u32; auto-upgrade to v1
+        version = 0 if dur_units < (1 << 32) else 1
+    elif version == 0 and dur_units >= (1 << 32):
+        raise ValueError("mvhd v0 duration field is u32; use version=1")
     if version == 0:
         mvhd = box(
             b"mvhd",

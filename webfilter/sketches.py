@@ -79,12 +79,18 @@ def merge_registers(regs: DataFrame, group_col: str = "lang") -> DataFrame:
     return regs.groupBy(group_col, "reg").agg(F.max("m_j").alias("m_j"))
 
 
-def hll_estimate(regs: DataFrame, group_col: str = "lang") -> DataFrame:
+def hll_estimate(
+    regs: DataFrame, group_col: str = "lang", with_raw: bool = False
+) -> DataFrame:
     """(group, regs_hit, v_zero, s_denom, hll_estimate) from a
     register state. The harmonic denominator is the EXACT integer
     sum(2^(53-m_j)) + V*2^53 (fits int64); the only float ops are one
     IEEE-deterministic multiply/divide plus the standard
-    linear-counting small-range correction."""
+    linear-counting small-range correction.
+
+    with_raw=True appends `_raw_est` (the corrected estimate BEFORE
+    rounding) for callers deriving further ratios — e.g. the registry
+    query's rel_err, whose oracle uses the unrounded value."""
     state = regs.groupBy(group_col).agg(
         F.count("*").alias("regs_hit"),
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_W_BITS + 1} - m_j)")).alias(
@@ -112,10 +118,13 @@ def hll_estimate(regs: DataFrame, group_col: str = "lang") -> DataFrame:
         (raw <= F.lit(2.5 * HLL_M)) & (F.col("v_zero") > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_zero").cast("double")),
     ).otherwise(raw)
-    return state.select(
+    cols = [
         group_col, "regs_hit", "v_zero", "s_denom",
         F.round(est, 2).alias("hll_estimate"),
-    )
+    ]
+    if with_raw:
+        cols.append(est.alias("_raw_est"))
+    return state.select(*cols)
 
 
 def cms_cells(
@@ -144,3 +153,77 @@ def cms_cells(
         .groupBy("r", "col")
         .agg(F.count("*").alias("cell_n"))
     )
+
+
+def rademacher_sign(t: int, p: int, j: int) -> int:
+    """+/-1 from one md5 hex digit of 'pl|t|p|j' — the cross-engine
+    hyperplane family. DuckDB replay:
+    CASE WHEN ('0x'||substr(md5('pl|'||t||'|'||p||'|'||j),1,1))::INT >= 8
+    THEN 1 ELSE -1 END."""
+    import hashlib
+
+    h = hashlib.md5(f"pl|{t}|{p}|{j}".encode()).hexdigest()
+    return 1 if int(h[0], 16) >= 8 else -1
+
+
+def md5_lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, table_id, bucket): multi-table hyperplane-LSH sign
+    buckets under the cross-engine family. Vectors are QUANTIZED to
+    round(x*1000) int64 before the plane dot product so the sign bits
+    are integer arithmetic — a float sum's last-ulp difference can
+    never flip a near-zero dot across engines. Plane signs come from
+    rademacher_sign and fold in as literals (Spark) / recompute as
+    md5 (DuckDB, see _SQL_MD5_LSH_BUCKETS)."""
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * 1000).cast("bigint")
+    )
+
+    def bucket(t: int) -> Column:
+        b = F.lit(0)
+        for p in range(n_planes):
+            plane = F.array(
+                *[F.lit(rademacher_sign(t, p, j)) for j in range(dim)]
+            )
+            d = F.aggregate(
+                F.zip_with(F.col("qv"), plane, lambda x, y: x * y.cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            b = b + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return b
+
+    return df.select(id_col, qv.alias("qv")).select(
+        id_col,
+        F.posexplode(F.array(*[bucket(t) for t in range(n_tables)])).alias(
+            "table_id", "bucket"
+        ),
+    )
+
+
+#: DuckDB replay of md5_lsh_buckets (defaults 2 tables x 6 planes x
+#: dim 64) — CTEs `planes`, `qv`, `dots`, `buckets(vec_id, table_id,
+#: bucket)`; prepend inside a WITH chain.
+SQL_MD5_LSH_BUCKETS = """planes AS (
+  SELECT t, p, j,
+    CASE WHEN ('0x' || substr(md5('pl|' || t::VARCHAR || '|' || p::VARCHAR
+                                 || '|' || j::VARCHAR), 1, 1))::INT >= 8
+         THEN 1 ELSE -1 END AS s
+  FROM range(2) tt(t) CROSS JOIN range(6) pp(p) CROSS JOIN range(64) jj(j)),
+qv AS (
+  SELECT vec_id,
+    list_transform(embedding::DOUBLE[], x -> round(x * 1000)::BIGINT) AS q
+  FROM embeddings),
+dots AS (
+  SELECT vec_id, t, p, sum(q[j + 1] * s) AS d
+  FROM qv CROSS JOIN planes GROUP BY vec_id, t, p),
+buckets AS (
+  SELECT vec_id, t AS table_id,
+    sum(CASE WHEN d >= 0 THEN (1::BIGINT << p::INT) ELSE 0 END)::INT AS bucket
+  FROM dots GROUP BY vec_id, t)"""

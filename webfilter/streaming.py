@@ -446,9 +446,11 @@ def hll_ingest_batch(out_root: str, group_col: str = "lang"):
 
         spark = batch_df.sparkSession
         catalog = ParquetCatalog(spark, out_root)
-        regs = hll_registers(batch_df, text_col="text", group_col=group_col)
-        if regs.isEmpty():
+        # guard on the RAW input, not the aggregate — an isEmpty() on
+        # regs would run the shingle explode + shuffle twice per epoch
+        if batch_df.isEmpty():
             return
+        regs = hll_registers(batch_df, text_col="text", group_col=group_col)
         catalog.append(regs.withColumn("_epoch", F.lit(epoch_id)), "hll_registers")
 
     return fn
@@ -498,9 +500,9 @@ def cms_ingest_batch(out_root: str):
 
         spark = batch_df.sparkSession
         catalog = ParquetCatalog(spark, out_root)
-        cells = cms_cells(batch_df, text_col="text")
-        if cells.isEmpty():
+        if batch_df.isEmpty():  # raw-input guard (see hll_ingest_batch)
             return
+        cells = cms_cells(batch_df, text_col="text")
         catalog.append(cells.withColumn("_epoch", F.lit(epoch_id)), "cms_cells")
 
     return fn
