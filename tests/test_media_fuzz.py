@@ -1,0 +1,76 @@
+"""Hypothesis fuzz for the pure-stdlib media codecs: every parser's
+contract is 'None / err field on ANY malformed input, never an
+exception' — the review pass found a ValueError escaping
+decode_gif_pixels on a palette truncated mid-table, so the contract
+is now locked by generative tests (arbitrary bytes, magic-prefixed
+bytes, and single-byte corruptions of valid files)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from webfilter.kernels.media import (
+    decode_gif_pixels,
+    decode_png_pixels,
+    make_gif,
+    make_mp4,
+    make_png,
+    parse_image,
+    parse_mp4,
+    parse_wav,
+)
+
+MAGICS = [
+    b"", b"GIF89a", b"GIF87a", b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
+    b"RIFF", b"BM", b"\x00\x00\x00\x18ftyp",
+]
+
+
+def _all_parsers(raw: bytes) -> None:
+    decode_gif_pixels(raw)
+    decode_png_pixels(raw)
+    parse_mp4(raw)
+    parse_image(raw)
+    parse_wav(raw)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.sampled_from(MAGICS), st.binary(max_size=256))
+def test_parsers_never_raise_on_magic_prefixed_junk(magic, tail):
+    _all_parsers(magic + tail)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=512))
+def test_parsers_never_raise_on_arbitrary_bytes(raw):
+    _all_parsers(raw)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(0, 10_000), st.integers(0, 255))
+def test_parsers_never_raise_on_corrupted_valid_files(pos, val):
+    for raw in (make_gif(9, 5, seed=3), make_png(9, 5, seed=3),
+                make_mp4(4200, 600, seed=3)):
+        b = bytearray(raw)
+        b[pos % len(b)] = val
+        _all_parsers(bytes(b))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 20), st.integers(0, 2**31))
+def test_gif_lzw_roundtrip_property(w, h, seed):
+    """decode(make_gif(w, h, seed)) reconstructs the LCG stream for
+    ANY dimensions/seed, not just the pinned examples."""
+    import numpy as np
+
+    px = decode_gif_pixels(make_gif(w, h, seed=seed))
+    assert px is not None and px.shape == (h, w, 3)
+    x = seed & 0xFFFFFFFF
+    truth = []
+    for _ in range(w * h):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+        truth.append((x >> 16) & 0xFF)
+    assert np.array_equal(
+        px[:, :, 0], np.array(truth, dtype=np.uint8).reshape(h, w)
+    )
