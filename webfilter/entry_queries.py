@@ -4845,6 +4845,141 @@ e{i} AS MATERIALIZED (
 SQL_KCORE_PEEL = _kcore_sql()
 
 
+def q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over the undirected edge list — one closed-form
+    pass: per-edge (deg_a, deg_b) both orientations (the standard
+    symmetrization), then five grouped sums. Negative values =
+    disassortative (hubs link to leaves — the web's signature).
+    All float ops are sums of integer-valued doubles + one final
+    ratio, hash-checked at 6dp."""
+    ev = _tbl(spark, sf_dir, "events")
+    und = (
+        ev.select(
+            (F.col("user_id") % 97).alias("x"),
+            ((F.col("event_id") * 31 + 7) % 89 + 100).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("db"))
+    e = und.join(da, "a").join(db, "b")
+    sym = e.select(F.col("da").alias("u"), F.col("db").alias("v")).unionAll(
+        e.select(F.col("db").alias("u"), F.col("da").alias("v"))
+    )
+    s = sym.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum(F.col("u").cast("double")).alias("su"),
+        F.sum(F.col("v").cast("double")).alias("sv"),
+        F.sum((F.col("u") * F.col("v")).cast("double")).alias("suv"),
+        F.sum((F.col("u") * F.col("u")).cast("double")).alias("suu"),
+        F.sum((F.col("v") * F.col("v")).cast("double")).alias("svv"),
+    )
+    num = F.col("suv") / F.col("m") - (F.col("su") / F.col("m")) * (
+        F.col("sv") / F.col("m")
+    )
+    den = F.sqrt(
+        (F.col("suu") / F.col("m") - (F.col("su") / F.col("m")) ** 2)
+        * (F.col("svv") / F.col("m") - (F.col("sv") / F.col("m")) ** 2)
+    )
+    return s.select(
+        F.col("m").cast("bigint").alias("n_edge_ends"),
+        r6(num / den).alias("assortativity"),
+    )
+
+
+SQL_DEGREE_ASSORTATIVITY = """
+WITH und AS (
+  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM (
+    SELECT user_id % 97 AS x, (event_id * 31 + 7) % 89 + 100 AS y
+    FROM events) WHERE x <> y),
+deg AS (
+  SELECT n, count(*) AS deg FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY n),
+e AS (
+  SELECT da.deg AS u, db.deg AS v
+  FROM und JOIN deg da ON da.n = und.a JOIN deg db ON db.n = und.b
+  UNION ALL
+  SELECT db.deg, da.deg
+  FROM und JOIN deg da ON da.n = und.a JOIN deg db ON db.n = und.b),
+s AS (
+  SELECT count(*)::DOUBLE AS m,
+    sum(u::DOUBLE) AS su, sum(v::DOUBLE) AS sv,
+    sum((u * v)::DOUBLE) AS suv,
+    sum((u * u)::DOUBLE) AS suu, sum((v * v)::DOUBLE) AS svv
+  FROM e)
+SELECT m::BIGINT AS n_edge_ends,
+  round((suv / m - (su / m) * (sv / m))
+        / sqrt((suu / m - (su / m) * (su / m))
+               * (svv / m - (sv / m) * (sv / m))), 6) AS assortativity
+FROM s
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix — the classic product-analytics
+    operator: users cohorted by first-activity week, each later week
+    counts the cohort's still-active users plus the retention rate.
+    Two grouped aggregations and one broadcast-size join (cohort dim
+    = n_users rows -> at 100 TB the user-keyed first-activity agg is
+    the only big shuffle). Week index is integer epoch-week on both
+    engines (no timezone algebra: epoch seconds / 604800)."""
+    ev = _tbl(spark, sf_dir, "events")
+    day = (F.unix_timestamp("ts") / F.lit(86400)).cast("bigint")
+    acts = ev.select("user_id", day.alias("day")).distinct()
+    cohort = acts.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = acts.join(F.broadcast(cohort), "user_id")
+    sizes = cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        joined.groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "active_users",
+            "cohort_size",
+            r6(
+                F.col("active_users").cast("double") / F.col("cohort_size")
+            ).alias("retention"),
+        )
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH acts AS (
+  SELECT DISTINCT user_id, (epoch(ts)::BIGINT // 86400) AS day FROM events),
+cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM acts GROUP BY user_id),
+sizes AS (
+  SELECT cohort_day, count(*)::BIGINT AS cohort_size FROM cohort
+  GROUP BY cohort_day),
+cells AS (
+  SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+    count(DISTINCT a.user_id)::BIGINT AS active_users
+  FROM acts a JOIN cohort c USING (user_id)
+  GROUP BY 1, 2)
+SELECT cells.cohort_day, cells.day_offset, cells.active_users,
+  sizes.cohort_size,
+  round(cells.active_users::DOUBLE / sizes.cohort_size, 6) AS retention
+FROM cells JOIN sizes USING (cohort_day)
+"""
+
+
 def _derived_lines(doc_id, toks):
     """Deterministic multi-line fixture shared with the DuckDB oracle:
     the flat synthetic documents carry no newlines, so C4's LINE-level
@@ -6713,6 +6848,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pagerank_hosts": (q_pagerank_hosts, SQL_PAGERANK),
     "triangle_counts": (q_triangle_counts, SQL_TRIANGLE_COUNTS),
     "kcore_peel": (q_kcore_peel, SQL_KCORE_PEEL),
+    "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "hof_token_stats": (q_hof_token_stats, SQL_HOF_TOKEN_STATS),
     "outlink_hosts": (q_outlink_hosts, SQL_OUTLINK_HOSTS),
     "quality_classifier": (q_quality_classifier, None),
