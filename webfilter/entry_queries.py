@@ -4980,6 +4980,71 @@ FROM cells JOIN sizes USING (cohort_day)
 """
 
 
+def q_lexical_diversity(spark, sf_dir):
+    """Per-doc lexical-diversity signals — the classic gibberish /
+    keyword-stuffing detectors: Shannon entropy of the token
+    distribution (-sum p ln p), type-token ratio, hapax ratio
+    (share of once-occurring types). One (doc, token) count shuffle +
+    one per-doc agg; entropy's ln rides the round(.,6) tolerance like
+    every LM score. A stuffed page (one token repeated) scores
+    entropy ~0 / TTR ~0; natural text sits near ln(vocab)."""
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
+    e = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    tf = e.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+            F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+                "_sclogc"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_types").cast("bigint").alias("n_types"),
+            F.col("n_hapax").cast("bigint").alias("n_hapax"),
+            # H = ln N - (1/N) sum c ln c  (exact regrouping of -sum p ln p)
+            r6(
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("_sclogc") / F.col("n_tokens")
+            ).alias("token_entropy"),
+            r6(
+                F.col("n_types").cast("double") / F.col("n_tokens")
+            ).alias("type_token_ratio"),
+            r6(
+                F.col("n_hapax").cast("double") / F.col("n_types")
+            ).alias("hapax_ratio"),
+        )
+    )
+
+
+SQL_LEXICAL_DIVERSITY = f"""
+WITH e AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(lower(text)), '{_WS}+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0),
+tf AS (SELECT doc_id, tok, count(*) AS c FROM e GROUP BY doc_id, tok),
+s AS (
+  SELECT doc_id,
+    sum(c)::BIGINT AS n_tokens,
+    count(*)::BIGINT AS n_types,
+    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+    sum(c::DOUBLE * ln(c::DOUBLE)) AS sclogc
+  FROM tf GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_types, n_hapax,
+  round(ln(n_tokens::DOUBLE) - sclogc / n_tokens, 6) AS token_entropy,
+  round(n_types::DOUBLE / n_tokens, 6) AS type_token_ratio,
+  round(n_hapax::DOUBLE / n_types, 6) AS hapax_ratio
+FROM s
+"""
+
+
 def _derived_lines(doc_id, toks):
     """Deterministic multi-line fixture shared with the DuckDB oracle:
     the flat synthetic documents carry no newlines, so C4's LINE-level
@@ -6850,6 +6915,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "kcore_peel": (q_kcore_peel, SQL_KCORE_PEEL),
     "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "lexical_diversity": (q_lexical_diversity, SQL_LEXICAL_DIVERSITY),
     "hof_token_stats": (q_hof_token_stats, SQL_HOF_TOKEN_STATS),
     "outlink_hosts": (q_outlink_hosts, SQL_OUTLINK_HOSTS),
     "quality_classifier": (q_quality_classifier, None),
