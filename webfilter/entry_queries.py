@@ -5045,6 +5045,91 @@ FROM s
 """
 
 
+def q_ivf_md5_topk(spark, sf_dir):
+    """IVF top-k with a DETERMINISTIC codebook (fixed seed centroids
+    vec_id < 8 — the RNG-free Lloyd-assignment device shared with
+    semdedup_drops), so the DuckDB oracle replays cell assignment,
+    single-probe restriction and exact rerank — the oracle twin of
+    the trained-codebook simsearch_ivf_topk (which stays rows-only:
+    its k-means iterations are numpy). Candidates = corpus vectors in
+    the query's nearest cell only; k=3 rerank by exact cosine. The
+    recall-vs-cost knob (n_probe) is the restriction itself —
+    single-probe demonstrates the cell pruning."""
+    from .simsearch import dot_col, norm_col
+
+    emb = _emb(spark, sf_dir)
+    v = emb.select("vec_id", F.col("embedding").alias("ev"))
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    cos_c = dot_col(F.col("ev"), F.col("cv")) / (
+        norm_col(F.col("ev")) * norm_col(F.col("cv"))
+    )
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cent_id", "ev", cos_c.alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id"))
+    asg = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"), "ev")
+    )
+    queries = asg.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("cell"), F.col("ev").alias("q_v")
+    )
+    cand = asg.join(F.broadcast(queries), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    pcos = dot_col(F.col("ev"), F.col("q_v")) / (
+        norm_col(F.col("ev")) * norm_col(F.col("q_v"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        cand.select("query_id", "vec_id", pcos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "vec_id", r6(F.col("cosine")).alias("cosine"), "rank")
+    )
+
+
+SQL_IVF_MD5_TOPK = """
+WITH c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < 8),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+sc AS (
+  SELECT vec_id, cent_id,
+    list_sum(list_transform(range(1, 1 + len(ev)), i -> ev[i] * cv[i]))
+      / (sqrt(list_sum(list_transform(ev, x -> x*x)))
+         * sqrt(list_sum(list_transform(cv, x -> x*x)))) AS cos
+  FROM v CROSS JOIN c),
+a AS (
+  SELECT vec_id, cent_id, cos,
+    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+  FROM sc),
+asg AS (SELECT vec_id, cent_id AS cell FROM a WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, cell FROM asg WHERE vec_id < 5),
+cand AS (
+  SELECT q.query_id, asg.vec_id
+  FROM asg JOIN q USING (cell) WHERE asg.vec_id <> q.query_id),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+    list_sum(list_transform(range(1, 1 + len(cv2.ev)), i -> cv2.ev[i] * qv.ev[i]))
+      / (sqrt(list_sum(list_transform(cv2.ev, x -> x*x)))
+         * sqrt(list_sum(list_transform(qv.ev, x -> x*x)))) AS cos
+  FROM cand
+  JOIN v cv2 ON cv2.vec_id = cand.vec_id
+  JOIN v qv ON qv.vec_id = cand.query_id),
+r AS (
+  SELECT query_id, vec_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(cos, 6) AS cosine, rank::INT AS rank
+FROM r WHERE rank <= 3
+"""
+
+
 def _derived_lines(doc_id, toks):
     """Deterministic multi-line fixture shared with the DuckDB oracle:
     the flat synthetic documents carry no newlines, so C4's LINE-level
@@ -6916,6 +7001,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "lexical_diversity": (q_lexical_diversity, SQL_LEXICAL_DIVERSITY),
+    "simsearch_ivf_md5": (q_ivf_md5_topk, SQL_IVF_MD5_TOPK),
     "hof_token_stats": (q_hof_token_stats, SQL_HOF_TOKEN_STATS),
     "outlink_hosts": (q_outlink_hosts, SQL_OUTLINK_HOSTS),
     "quality_classifier": (q_quality_classifier, None),
