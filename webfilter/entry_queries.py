@@ -5130,6 +5130,86 @@ FROM r WHERE rank <= 3
 """
 
 
+_MARKOV_ROUNDS = 8
+
+
+def q_markov_stationary(spark, sf_dir):
+    """Event-type Markov chain: per-user consecutive event pairs
+    (lag window ordered by ts, event_id) build the row-normalized
+    transition matrix; the stationary distribution comes from 8
+    unrolled power-iteration rounds starting uniform. The transition
+    matrix is a |types|^2 dim — BROADCAST everywhere, so each round
+    is a tiny join + grouped sum while the only corpus-scale work is
+    the one pair-extraction window. Row-normalization, iteration
+    count and the uniform start are pinned so DuckDB replays the
+    exact fixpoint path (unrolled CTEs, the pagerank-oracle idiom).
+    Output: type, stationary mass, plus the raw transition row sums
+    as integers for anchoring."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", F.col("event_type").alias("src"))
+        .withColumn("dst", F.lead("src").over(w))
+        .filter(F.col("dst").isNotNull())
+    )
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    row_tot = counts.groupBy("src").agg(F.sum("c").alias("tot"))
+    trans = counts.join(row_tot, "src").select(
+        "src", "dst", (F.col("c").cast("double") / F.col("tot")).alias("p")
+    )
+    states = counts.select(F.col("src").alias("state")).distinct()
+    n = states.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    pi = states.crossJoin(F.broadcast(n)).select(
+        "state", (F.lit(1.0) / F.col("n")).alias("pi")
+    )
+    for _ in range(_MARKOV_ROUNDS):
+        pi = (
+            pi.join(
+                F.broadcast(trans), pi.state == trans.src
+            )
+            .groupBy(F.col("dst").alias("state"))
+            .agg(F.sum(F.col("pi") * F.col("p")).alias("pi"))
+        )
+    return (
+        pi.join(row_tot.withColumnRenamed("src", "state"), "state")
+        .select(
+            "state",
+            r6(F.col("pi")).alias("stationary"),
+            F.col("tot").cast("bigint").alias("n_transitions"),
+        )
+    )
+
+
+def _markov_sql() -> str:
+    parts = [
+        """WITH pairs AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT event_type AS src,
+      lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM events) WHERE dst IS NOT NULL),
+counts AS (SELECT src, dst, count(*) AS c FROM pairs GROUP BY src, dst),
+row_tot AS (SELECT src, sum(c) AS tot FROM counts GROUP BY src),
+trans AS MATERIALIZED (
+  SELECT counts.src, counts.dst, counts.c::DOUBLE / row_tot.tot AS p
+  FROM counts JOIN row_tot USING (src)),
+n AS (SELECT count(DISTINCT src)::DOUBLE AS n FROM counts),
+pi0 AS (SELECT DISTINCT src AS state, 1.0 / n.n AS pi FROM counts, n)"""
+    ]
+    for i in range(_MARKOV_ROUNDS):
+        parts.append(f""",
+pi{i + 1} AS MATERIALIZED (
+  SELECT t.dst AS state, sum(p.pi * t.p) AS pi
+  FROM pi{i} p JOIN trans t ON p.state = t.src
+  GROUP BY t.dst)""")
+    parts.append(f"""
+SELECT p.state, round(p.pi, 6) AS stationary, r.tot::BIGINT AS n_transitions
+FROM pi{_MARKOV_ROUNDS} p JOIN row_tot r ON r.src = p.state""")
+    return "".join(parts)
+
+
+SQL_MARKOV_STATIONARY = _markov_sql()
+
+
 def _derived_lines(doc_id, toks):
     """Deterministic multi-line fixture shared with the DuckDB oracle:
     the flat synthetic documents carry no newlines, so C4's LINE-level
@@ -7002,6 +7082,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "lexical_diversity": (q_lexical_diversity, SQL_LEXICAL_DIVERSITY),
     "simsearch_ivf_md5": (q_ivf_md5_topk, SQL_IVF_MD5_TOPK),
+    "markov_stationary": (q_markov_stationary, SQL_MARKOV_STATIONARY),
     "hof_token_stats": (q_hof_token_stats, SQL_HOF_TOKEN_STATS),
     "outlink_hosts": (q_outlink_hosts, SQL_OUTLINK_HOSTS),
     "quality_classifier": (q_quality_classifier, None),
