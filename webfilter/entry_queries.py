@@ -5210,6 +5210,129 @@ FROM pi{_MARKOV_ROUNDS} p JOIN row_tot r ON r.src = p.state""")
 SQL_MARKOV_STATIONARY = _markov_sql()
 
 
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift test (the exact-statistic
+    complement to the PSI monitor): KS = max |ECDF_a - ECDF_b| over
+    the pooled distinct values of the `value` column, samples = click
+    vs view events. Exact relational form: per-value counts, one
+    ordered cumulative window, max of the ECDF gap — one shuffle on
+    the value key + one global window over DISTINCT values (bounded
+    by the value domain, not the corpus; for unbounded domains bin
+    first — the PSI query's device). Emits the 5%-level rejection
+    flag via the asymptotic critical value 1.358*sqrt((na+nb)/(na*nb))."""
+    ev = _tbl(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("value")
+    b = ev.filter(F.col("event_type") == "view").select("value")
+    per_val = (
+        a.select(F.col("value"), F.lit(1).alias("ca"), F.lit(0).alias("cb"))
+        .unionAll(b.select("value", F.lit(0), F.lit(1)))
+        .groupBy("value")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_val.agg(
+        F.sum("ca").cast("double").alias("na"), F.sum("cb").cast("double").alias("nb")
+    )
+    gaps = (
+        per_val.withColumn("cum_a", F.sum("ca").over(w))
+        .withColumn("cum_b", F.sum("cb").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.abs(
+                F.col("cum_a").cast("double") / F.col("na")
+                - F.col("cum_b").cast("double") / F.col("nb")
+            )).alias("gap"),
+            "na",
+            "nb",
+        )
+    )
+    ks = gaps.groupBy("na", "nb").agg(F.max("gap").alias("ks"))
+    crit = F.lit(1.358) * F.sqrt((F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb")))
+    return ks.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        r6(F.col("ks")).alias("ks_stat"),
+        r6(crit).alias("crit_05"),
+        (F.col("ks") > crit).alias("reject_same_dist"),
+    )
+
+
+SQL_KS_DRIFT = """
+WITH per_val AS (
+  SELECT value,
+    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY value),
+tot AS (SELECT sum(ca)::DOUBLE AS na, sum(cb)::DOUBLE AS nb FROM per_val),
+gaps AS (
+  SELECT abs(sum(ca) OVER wv / tot.na - sum(cb) OVER wv / tot.nb) AS gap,
+    tot.na, tot.nb
+  FROM per_val, tot
+  WINDOW wv AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+  round(max(gap), 6) AS ks_stat,
+  round(1.358 * sqrt((na + nb) / (na * nb)), 6) AS crit_05,
+  max(gap) > 1.358 * sqrt((na + nb) / (na * nb)) AS reject_same_dist
+FROM gaps GROUP BY na, nb
+"""
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle containment |A∩B|/|A| — catches the
+    doc-inside-doc duplication Jaccard misses (a page quoting another
+    wholesale has low Jaccard when the host page is long, but
+    containment of the quoted side is ~1). Same source-blocked
+    candidate structure as dedup_jaccard_pairs; emits both directions
+    and keeps pairs where EITHER side is >= 0.8 contained."""
+    from .dedup import shingles_col
+
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
+    s = docs.select(
+        "doc_id", "source", shingles_col(F.col("text"), k=3).alias("sh")
+    )
+    a = s.select(
+        F.col("doc_id").alias("id_a"), "source", F.col("sh").alias("sh_a")
+    )
+    b = s.select(
+        F.col("doc_id").alias("id_b"), "source", F.col("sh").alias("sh_b")
+    )
+    j = a.join(b, "source").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    c_ab = inter / F.size("sh_a")
+    c_ba = inter / F.size("sh_b")
+    return (
+        j.select(
+            "id_a", "id_b",
+            r6(c_ab).alias("contain_a_in_b"),
+            r6(c_ba).alias("contain_b_in_a"),
+        )
+        .filter(
+            (F.col("contain_a_in_b") >= 0.8) | (F.col("contain_b_in_a") >= 0.8)
+        )
+    )
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH tt AS (
+  SELECT doc_id, source, {_TOKS} AS toks FROM documents
+  WHERE length(trim(text)) > 0),
+s AS (
+  SELECT doc_id, source,
+    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        i -> array_to_string(toks[i:i+2], ' '))) END AS sh
+  FROM tt),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6) AS contain_a_in_b,
+    round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh), 6) AS contain_b_in_a
+  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, contain_a_in_b, contain_b_in_a FROM p
+WHERE contain_a_in_b >= 0.8 OR contain_b_in_a >= 0.8
+"""
+
+
 def _derived_lines(doc_id, toks):
     """Deterministic multi-line fixture shared with the DuckDB oracle:
     the flat synthetic documents carry no newlines, so C4's LINE-level
@@ -7083,6 +7206,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lexical_diversity": (q_lexical_diversity, SQL_LEXICAL_DIVERSITY),
     "simsearch_ivf_md5": (q_ivf_md5_topk, SQL_IVF_MD5_TOPK),
     "markov_stationary": (q_markov_stationary, SQL_MARKOV_STATIONARY),
+    "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
+    "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "hof_token_stats": (q_hof_token_stats, SQL_HOF_TOKEN_STATS),
     "outlink_hosts": (q_outlink_hosts, SQL_OUTLINK_HOSTS),
     "quality_classifier": (q_quality_classifier, None),
