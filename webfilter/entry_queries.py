@@ -5333,6 +5333,99 @@ WHERE contain_a_in_b >= 0.8 OR contain_b_in_a >= 0.8
 """
 
 
+def q_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined chunking dedup (the CDC idea from backup /
+    artifact-store dedup, applied to tokens): a chunk boundary falls
+    AFTER token i whenever the md5-prefix hash of the 3-gram ending
+    at i is ≡ 0 (mod 16) — boundaries depend only on LOCAL content,
+    so an insertion reshuffles only the chunk it lands in while
+    fixed-width chunking (chunk_fixed above) shifts every later
+    boundary. Chunks are fingerprinted (md5 of the joined tokens) and
+    deduped corpus-wide; output = duplicated chunks with occurrence
+    counts — the dedup-unit table a CDC store would keep. Pure
+    Column/HOF boundary algebra + one fingerprint-keyed shuffle."""
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    m = n - 2
+    z = F.arrays_zip(
+        F.slice(toks, 1, m).alias("t0"),
+        F.slice(toks, 2, m).alias("t1"),
+        F.slice(toks, 3, m).alias("t2"),
+    )
+    gram_hash = F.transform(
+        z,
+        lambda s: _md5_prefix_hash(F.concat_ws(" ", s["t0"], s["t1"], s["t2"])) % 16,
+    )
+    # boundary AFTER token i (1-based, i >= 3) iff hash(gram ending at i) == 0;
+    # cut positions = [0] + boundaries + [n] -> chunks = slices between cuts
+    cuts = F.when(n < 3, F.array(F.lit(0), n)).otherwise(
+        F.concat(
+            F.array(F.lit(0)),
+            F.filter(
+                F.transform(
+                    gram_hash,
+                    lambda h, i: F.when(h == 0, i + 3).otherwise(F.lit(-1)),
+                ),
+                lambda x: x > 0,
+            ),
+            F.array(n),
+        )
+    )
+    chunks = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size(cuts) - 1),
+            lambda i: F.array_join(
+                F.slice(
+                    toks,
+                    F.element_at(cuts, i) + 1,
+                    F.element_at(cuts, i + 1) - F.element_at(cuts, i),
+                ),
+                " ",
+            ),
+        ),
+        lambda c: c != "",
+    )
+    e = docs.select("doc_id", F.explode(chunks).alias("chunk"))
+    return (
+        e.groupBy(F.md5("chunk").alias("chunk_fp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(F.length("chunk")).alias("chunk_chars"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+SQL_CDC_CHUNK_DEDUP = f"""
+WITH tt AS (
+  SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents
+  WHERE length(trim(text)) > 0),
+g AS (
+  SELECT doc_id, toks,
+    CASE WHEN len(toks) < 3 THEN [0, len(toks)]
+    ELSE [0]
+      || list_filter(list_transform(range(1, len(toks) - 1),
+           i -> CASE WHEN ('0x' || substr(md5(
+                  array_to_string(toks[i:i+2], ' ')), 1, 15))::BIGINT % 16 = 0
+                THEN i + 2 ELSE -1 END),
+           x -> x > 0)
+      || [len(toks)] END AS cuts
+  FROM tt),
+ch AS (
+  SELECT doc_id,
+    unnest(list_filter(list_transform(range(1, len(cuts)),
+      i -> array_to_string(toks[cuts[i] + 1 : cuts[i + 1]], ' ')),
+      c -> c <> '')) AS chunk
+  FROM g)
+SELECT md5(chunk) AS chunk_fp, count(*)::BIGINT AS n_occurrences,
+  count(DISTINCT doc_id)::BIGINT AS n_docs,
+  min(length(chunk))::BIGINT AS chunk_chars
+FROM ch GROUP BY 1 HAVING count(*) > 1
+"""
+
+
 def _derived_lines(doc_id, toks):
     """Deterministic multi-line fixture shared with the DuckDB oracle:
     the flat synthetic documents carry no newlines, so C4's LINE-level
@@ -7208,6 +7301,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "markov_stationary": (q_markov_stationary, SQL_MARKOV_STATIONARY),
     "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
+    "cdc_chunk_dedup": (q_cdc_chunk_dedup, SQL_CDC_CHUNK_DEDUP),
     "hof_token_stats": (q_hof_token_stats, SQL_HOF_TOKEN_STATS),
     "outlink_hosts": (q_outlink_hosts, SQL_OUTLINK_HOSTS),
     "quality_classifier": (q_quality_classifier, None),
