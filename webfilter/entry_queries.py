@@ -5426,6 +5426,58 @@ FROM ch GROUP BY 1 HAVING count(*) > 1
 """
 
 
+def q_pagerank_personalized(spark, sf_dir):
+    """Personalized PageRank (Haveliwala 2002) over the pagerank_hosts
+    graph with teleport mass restricted to seed hosts {0,1,2} —
+    seed-biased authority, the crawl-frontier prioritizer's form.
+    Restart AND dangling mass both follow the teleport distribution
+    (graph.pagerank's `teleport` frame), so rank sums to exactly 1;
+    the DuckDB oracle replays 6 rounds with a recursive CTE whose
+    dangling donation rows carry tw(v) instead of 1/n."""
+    from .graph import pagerank
+
+    ev = _tbl(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 23).alias("src"), (F.col("event_id") % 30).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    universe = spark.range(30).select(F.col("id").alias("node"))
+    seeds = spark.range(3).select(
+        F.col("id").alias("node"), F.lit(1.0 / 3.0).alias("w")
+    )
+    return pagerank(
+        edges, iters=6, n_nodes=30, nodes=universe, teleport=seeds
+    ).select("node", r6(F.col("rank")).alias("rank"))
+
+
+SQL_PAGERANK_PERSONALIZED = """
+WITH RECURSIVE
+e AS (SELECT user_id % 23 AS src, event_id % 30 AS dst FROM events
+      WHERE user_id % 23 <> event_id % 30),
+nodes AS (SELECT range::BIGINT AS node FROM range(0, 30)),
+tw AS (SELECT node, CASE WHEN node < 3 THEN 1.0 / 3.0 ELSE 0.0 END AS w
+       FROM nodes),
+deg AS (SELECT src AS node, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+t AS (
+  SELECT e.src AS u, e.dst AS v, 1.0 / d.deg AS share
+  FROM e JOIN deg d ON d.node = e.src
+  UNION ALL
+  SELECT dn.node AS u, x.node AS v, x.w AS share
+  FROM (SELECT node FROM nodes
+        WHERE node NOT IN (SELECT node FROM deg)) dn, tw x
+  UNION ALL
+  SELECT node AS u, node AS v, 0.0 AS share FROM nodes),
+pr AS (
+  SELECT 0 AS it, tw.node, tw.w AS rank FROM tw
+  UNION ALL
+  SELECT p.it + 1, t.v AS node,
+    0.15 * w.w + 0.85 * sum(p.rank * t.share) AS rank
+  FROM pr p JOIN t ON t.u = p.node JOIN tw w ON w.node = t.v
+  WHERE p.it < 6
+  GROUP BY p.it, t.v, w.w)
+SELECT node, round(rank, 6) AS rank FROM pr WHERE it = 6
+"""
+
+
 def _derived_lines(doc_id, toks):
     """Deterministic multi-line fixture shared with the DuckDB oracle:
     the flat synthetic documents carry no newlines, so C4's LINE-level
@@ -7302,6 +7354,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
     "containment_pairs": (q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "cdc_chunk_dedup": (q_cdc_chunk_dedup, SQL_CDC_CHUNK_DEDUP),
+    "pagerank_personalized": (q_pagerank_personalized, SQL_PAGERANK_PERSONALIZED),
     "hof_token_stats": (q_hof_token_stats, SQL_HOF_TOKEN_STATS),
     "outlink_hosts": (q_outlink_hosts, SQL_OUTLINK_HOSTS),
     "quality_classifier": (q_quality_classifier, None),

@@ -34,6 +34,7 @@ def pagerank(
     checkpoint_every: int = 4,
     n_nodes: int | None = None,
     nodes: DataFrame | None = None,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """Rank every node reachable as an endpoint of ``edges``
     (directed, duplicates allowed — parallel edges weigh double,
@@ -57,6 +58,14 @@ def pagerank(
     a hard-coded n with partial coverage breaks rank-sums-to-1).
     Universe nodes absent from edges are isolated: dangling donors
     and teleport receivers, so total rank still sums to 1.
+
+    ``teleport``: optional (node, weight) frame of NORMALIZED
+    personalization weights (Σ=1; nodes absent get 0) — personalized
+    PageRank (Haveliwala 2002): both the (1-d) restart mass and the
+    dangling redistribution follow the teleport distribution instead
+    of uniform, so rank still sums to exactly 1 each round. Pass
+    already-normalized weights: no action runs here to normalize
+    (the construction-is-plan-only rule).
     """
     d = float(damping)
     if nodes is None:
@@ -98,7 +107,24 @@ def pagerank(
     # sense on toy graphs where the analyzer, not the executor, was
     # the cost — it now gates nothing.
     _ = checkpoint_every
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if teleport is not None:
+        tcols = teleport.columns
+        base = (
+            nodes.join(
+                teleport.select(
+                    F.col(tcols[0]).alias("node"),
+                    F.col(tcols[1]).cast("double").alias("tw"),
+                ),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("tw", F.lit(0.0)).alias("tw"))
+            .localCheckpoint(eager=False)
+        )
+        ranks = base.select("node", F.col("tw").alias("rank"))
+    else:
+        base = None
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _i in range(iters):
         contribs = (
             norm_edges.join(ranks, "node")
@@ -109,18 +135,35 @@ def pagerank(
         dangling = contribs.agg(
             (F.lit(1.0) - F.coalesce(F.sum("contrib"), F.lit(0.0))).alias("dang")
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - d) / n)
-                    + F.lit(d)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dang") / n)
-                ).alias("rank"),
+        if base is not None:
+            ranks = (
+                base.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit(1.0 - d) * F.col("tw")
+                        + F.lit(d)
+                        * (
+                            F.coalesce(F.col("contrib"), F.lit(0.0))
+                            + F.col("dang") * F.col("tw")
+                        )
+                    ).alias("rank"),
+                )
             )
-        )
+        else:
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - d) / n)
+                        + F.lit(d)
+                        * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dang") / n)
+                    ).alias("rank"),
+                )
+            )
     return ranks
 
 
