@@ -192,7 +192,12 @@ def test_registry_construction_is_action_free(spark):
             grp = f"construction_probe_{name}"
             sc.setJobGroup(grp, "registry construction must be plan-only")
             fn(spark, SF)
-            if name in ("pagerank_hosts", "graph_components", "kcore_peel"):
+            if name in (
+                "pagerank_hosts",
+                "pagerank_personalized",
+                "graph_components",
+                "kcore_peel",
+            ):
                 # iterative exception: the lazily-checkpointed loop
                 # segments execute at construction, so jobs are
                 # allowed but must be node-dim bounded, never
