@@ -467,721 +467,7 @@ FROM r WHERE rank <= 3
 """
 
 
-def q_agg_lang_source(spark, sf_dir):
-    return (
-        _docs(spark, sf_dir)
-        .groupBy("lang", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            r6(F.avg("n_chars")).alias("avg_chars"),
-            F.max("n_chars").alias("max_chars"),
-        )
-    )
-
-
-SQL_AGG_LANG_SOURCE = """
-SELECT lang, source, count(*)::BIGINT AS n_docs,
-  round(avg(n_chars), 6) AS avg_chars, max(n_chars) AS max_chars
-FROM documents GROUP BY 1, 2
-"""
-
-
-def q_window_rank(spark, sf_dir):
-    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-    return (
-        _docs(spark, sf_dir)
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 2)
-        .select("lang", "doc_id", "n_chars", "rnk")
-    )
-
-
-SQL_WINDOW_RANK = """
-SELECT lang, doc_id, n_chars, rnk::INT AS rnk FROM (
-  SELECT lang, doc_id, n_chars,
-    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rnk
-  FROM documents) WHERE rnk <= 2
-"""
-
-
-def q_anti_join(spark, sf_dir):
-    """Customers with no orders — the reference's incremental frontier
-    primitive (left_anti, 03_Curate_Articles.py:64-65)."""
-    cust = _tbl(spark, sf_dir, "customer")
-    orders = _tbl(spark, sf_dir, "orders")
-    return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey")
-
-
-SQL_ANTI_JOIN = """
-SELECT c_custkey FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-"""
-
-
-def q_semi_join(spark, sf_dir):
-    """Parts that appear in lineitem (left_semi, pmc.py:151)."""
-    part = _tbl(spark, sf_dir, "part")
-    li = _tbl(spark, sf_dir, "lineitem")
-    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
-        "p_partkey", "p_name"
-    )
-
-
-SQL_SEMI_JOIN = """
-SELECT p_partkey, p_name FROM part p
-WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
-"""
-
-
-def q_outer_join_agg(spark, sf_dir):
-    """Per-customer order count including zero (outer-join
-    reconciliation, pmc.py:62)."""
-    cust = _tbl(spark, sf_dir, "customer")
-    orders = _tbl(spark, sf_dir, "orders")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
-    )
-
-
-SQL_OUTER_JOIN_AGG = """
-SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS n_orders
-FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-GROUP BY 1
-"""
-
-
-def q_full_outer_reconcile(spark, sf_dir):
-    """Reference J1 exactly: new search args FULL OUTER JOIN history
-    on the key, ranges widened via coalesce (pmc.py:62-69; the only
-    reference join shape round 1 left unexercised — left-null AND
-    right-null rows both occur: 'xx' has no corpus, es/fr/zh have no
-    request)."""
-    hist = (
-        _docs(spark, sf_dir)
-        .groupBy("lang")
-        .agg(
-            F.min("n_chars").alias("hist_min"),
-            F.max("n_chars").alias("hist_max"),
-        )
-    )
-    args = spark.createDataFrame(
-        [("en", 50), ("de", 100), ("xx", 10)], "lang string, req_min int"
-    )
-    a, h = args.alias("a"), hist.alias("h")
-    return a.join(h, F.col("a.lang") == F.col("h.lang"), "outer").select(
-        F.coalesce(F.col("a.lang"), F.col("h.lang")).alias("lang"),
-        F.coalesce(F.col("req_min"), F.lit(0)).cast("bigint").alias("req_min"),
-        F.coalesce(F.col("hist_min"), F.lit(-1)).cast("bigint").alias("hist_min"),
-        F.coalesce(F.col("hist_max"), F.lit(-1)).cast("bigint").alias("hist_max"),
-        (F.col("a.lang").isNotNull() & F.col("h.lang").isNotNull()).alias("seen_both"),
-    )
-
-
-SQL_FULL_OUTER_RECONCILE = """
-WITH hist AS (
-  SELECT lang, min(n_chars) AS hist_min, max(n_chars) AS hist_max
-  FROM documents GROUP BY 1),
-args(lang, req_min) AS (VALUES ('en', 50), ('de', 100), ('xx', 10))
-SELECT coalesce(a.lang, h.lang) AS lang,
-  coalesce(a.req_min, 0)::BIGINT AS req_min,
-  coalesce(h.hist_min, -1)::BIGINT AS hist_min,
-  coalesce(h.hist_max, -1)::BIGINT AS hist_max,
-  (a.lang IS NOT NULL AND h.lang IS NOT NULL) AS seen_both
-FROM args a FULL OUTER JOIN hist h ON a.lang = h.lang
-"""
-
-
-def q_posexplode_lines(spark, sf_dir):
-    """doc -> (pos, line) rows (posexplode,
-    04_Chunk_Articles_Content.py:100-101); line ids concat like the
-    reference's id = pmid '-' pos."""
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
-    ).withColumn("line_id", F.concat_ws("-", "doc_id", "pos"))
-
-
-SQL_POSEXPLODE_LINES = """
-SELECT doc_id, u.pos, u.line, concat(doc_id, '-', u.pos) AS line_id
-FROM (
-  SELECT doc_id, list_transform(str_split(text, chr(10)),
-      (x, i) -> struct_pack(pos := i - 1, line := x)) AS z
-  FROM documents), UNNEST(z) AS t(u)
-"""
-
-
-def q_events_hourly(spark, sf_dir):
-    """Tumbling-window agg over the events table (batch form of the
-    streaming hourly rollup)."""
-    ev = _tbl(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
-        )
-        .agg(F.count(F.lit(1)).alias("n"), r6(F.sum("value")).alias("sum_value"))
-    )
-
-
-SQL_EVENTS_HOURLY = """
-SELECT date_trunc('hour', ts) AS hour, event_type,
-  count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
-FROM events GROUP BY 1, 2
-"""
-
-
-def q_latest_per_key(spark, sf_dir):
-    """Monotonic latest-wins upsert as a batch operator (the
-    conditional-MERGE semantics, 01_Metadata_Sync.py:63) on events."""
-    ev = _tbl(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    return (
-        ev.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("user_id", "event_id", "event_type")
-    )
-
-
-SQL_LATEST_PER_KEY = """
-SELECT user_id, event_id, event_type FROM (
-  SELECT user_id, event_id, event_type,
-    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events) WHERE rn = 1
-"""
-
-
-def q_asof_join(spark, sf_dir):
-    """As-of join (absent from the reference; SURVEY §2.3 notes no
-    theta/range/as-of joins there): each click event picks up the
-    most recent prior-or-simultaneous view's value per user. One
-    shuffle (union + per-key window), never a range cross-join;
-    DuckDB's native ASOF JOIN is the oracle."""
-    from .joins import asof_join
-
-    ev = _tbl(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
-    out = asof_join(clicks, views, by="user_id", ts="ts", right_cols=["value"])
-    return out.select(
-        "event_id", "user_id", r6(F.col("value_r")).alias("view_value")
-    )
-
-
-SQL_ASOF_JOIN = """
-SELECT l.event_id, l.user_id, round(r.value, 6) AS view_value
-FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
-ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
-  ON l.user_id = r.user_id AND l.ts >= r.ts
-"""
-
-
-def q_sessionize(spark, sf_dir):
-    """Session windows (gap 30 min) over the events table — Spark's
-    session_window in batch mode; the oracle is the classic
-    gap-and-island SQL. A new session starts when the gap to the
-    previous event is >= the gap duration (Spark's session extends
-    while the next event starts strictly before prev_ts + gap)."""
-    ev = _tbl(spark, sf_dir, "events")
-    return (
-        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.max("ts").alias("last_ts"),
-            r6(F.sum("value")).alias("sum_value"),
-        )
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            "last_ts",
-            "n_events",
-            "sum_value",
-        )
-    )
-
-
-SQL_SESSIONIZE = """
-WITH o AS (
-  SELECT user_id, ts, value,
-    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-  FROM events),
-m AS (
-  SELECT user_id, ts, value,
-    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
-  FROM o),
-s AS (
-  SELECT user_id, ts, value,
-    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-  FROM m)
-SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
-  count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
-FROM s GROUP BY user_id, sid
-"""
-
-
-def q_salted_source_counts(spark, sf_dir):
-    """Skew-safe two-phase aggregation must equal the plain GROUP BY
-    (north-rule salting, validated against an unsalted oracle)."""
-    from .partitioning import salted_count_by_key
-
-    docs = _docs(spark, sf_dir)
-    return salted_count_by_key(
-        docs, "source", n_salts=8, salt_from="doc_id",
-        aggs={"n_long": F.sum((F.col("n_chars") > 300).cast("bigint"))},
-    ).select("source", "n_rows", "n_long")
-
-
-SQL_SALTED_SOURCE_COUNTS = """
-SELECT source, count(*)::BIGINT AS n_rows,
-  sum((n_chars > 300)::BIGINT)::BIGINT AS n_long
-FROM documents GROUP BY 1
-"""
-
-
-def q_cross_join_rules(spark, sf_dir):
-    """Docs-per-lang x rule-dim expansion (crossJoin,
-    02_data_augmentation.py:106; small side auto-broadcast)."""
-    langs = _docs(spark, sf_dir).select("lang").distinct()
-    dim = spark.createDataFrame(
-        [("min_words",), ("symbol_ratio",), ("stopwords",)], "rule_name string"
-    )
-    return langs.crossJoin(dim).select("lang", "rule_name")
-
-
-SQL_CROSS_JOIN_RULES = """
-SELECT lang, rule_name
-FROM (SELECT DISTINCT lang FROM documents)
-CROSS JOIN (VALUES ('min_words'), ('symbol_ratio'), ('stopwords')) AS r(rule_name)
-"""
-
-
 # ------------------------------- model-based ops (no SQL oracle)
-
-
-def q_langid(spark, sf_dir):
-    from .scoring import with_scores
-
-    return with_scores(_docs(spark, sf_dir)).select(
-        "doc_id", "langid", r6(F.col("langid_conf")).alias("langid_conf")
-    )
-
-
-def q_perplexity(spark, sf_dir):
-    from .scoring import with_scores
-
-    return with_scores(_docs(spark, sf_dir)).select(
-        "doc_id", r6(F.col("perplexity")).alias("perplexity")
-    )
-
-
-def q_filter_full(spark, sf_dir):
-    """Flagship: full quality-filter decision over the documents
-    table (model rules included -> rows-only check; golden-label
-    equivalence is enforced in pytest on the synthetic pages corpus)."""
-    from . import rules, scoring, scrub
-
-    df = _docs(spark, sf_dir)
-    df = scoring.with_scores(df)
-    df = rules.with_heuristics(df)
-    df = rules.model_rule_columns(df)
-    df = rules.with_decision(df)
-    df = scrub.with_scrubbed(df)
-    return df.select(
-        "doc_id", "langid", r6("langid_conf").alias("langid_conf"),
-        r6("perplexity").alias("perplexity"),
-        "keep", F.to_json("drop_reasons").alias("drop_reasons_json"),
-        "scrubbed_text",
-    )
-
-
-def q_minhash_pairs(spark, sf_dir):
-    from .dedup import minhash_dedup_pairs
-
-    return minhash_dedup_pairs(
-        _docs(spark, sf_dir), k=2, threshold=0.3
-    ).select("id_a", "id_b", r6(F.col("jaccard")).alias("jaccard"))
-
-
-def q_simhash_pairs(spark, sf_dir):
-    from .dedup import simhash_near_dup_pairs
-
-    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
-
-
-def q_lsh_topk(spark, sf_dir):
-    from .simsearch import lsh_topk
-
-    emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    # dim=64 is the embeddings-table contract (TESTDATA.md); passing
-    # it keeps query construction plan-only (no first() probe job)
-    return lsh_topk(emb, queries, k=3, dim=64).select(
-        "query_id", "vec_id", r6(F.col("cosine")).alias("cosine"), "rank"
-    )
-
-
-_IVF_CODEBOOKS: dict = {}  # (sf_dir, n_centroids) -> trained centroid matrix
-
-
-def q_ivf_topk(spark, sf_dir):
-    """IVF coarse-quantizer ANN (the scale path named alongside LSH):
-    deterministic numpy codebook, cell-probe search, exact rerank.
-
-    The codebook is an INDEX — building it is an explicit bounded
-    action (hash-sampled Lloyd training, the ANN analog of writing LSH
-    tables), performed once here and cached per (sf_dir, k); the query
-    itself is then constructed action-free with pre-trained centroids
-    (VERDICT r2 #3)."""
-    from .simsearch import ivf_topk, train_ivf_centroids
-
-    emb = _emb(spark, sf_dir)
-    key = (sf_dir, 32)
-    if key not in _IVF_CODEBOOKS:
-        _IVF_CODEBOOKS[key] = train_ivf_centroids(emb, n_centroids=32)
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return ivf_topk(
-        emb, queries, k=3, n_centroids=32, n_probe=8, centroids=_IVF_CODEBOOKS[key]
-    ).select(
-        "query_id", "vec_id", r6(F.col("cosine")).alias("cosine"), "rank"
-    )
-
-
-def q_embedding_near_dup(spark, sf_dir):
-    from .dedup import embedding_near_dup_pairs
-
-    return embedding_near_dup_pairs(
-        _emb(spark, sf_dir), threshold=0.9, n_planes=8, dim=64
-    ).select("id_a", "id_b", r6(F.col("cosine")).alias("cosine"))
-
-
-def q_null_coalesce(spark, sf_dir):
-    """Null-scrub + coalescing fallback (reference P4/P9:
-    F.coalesce pmc.py:63-64, na.drop 01_seed_generation.py:361)."""
-    docs = _docs(spark, sf_dir)
-    return (
-        docs.na.drop(subset=["lang", "source"])
-        .select(
-            "doc_id",
-            F.coalesce(F.nullif(F.trim("text"), F.lit("")), F.lit("<EMPTY>")).alias(
-                "text_or_default"
-            ),
-            F.when(F.col("n_chars") > 300, "long").otherwise("short").alias("size_class"),
-        )
-    )
-
-
-SQL_NULL_COALESCE = """
-SELECT doc_id,
-  coalesce(nullif(trim(text), ''), '<EMPTY>') AS text_or_default,
-  CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END AS size_class
-FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
-"""
-
-
-def q_hash_sample(spark, sf_dir):
-    """Deterministic 10% hash-sample (the reference's unseeded
-    sample(0.2), 03_process_and split_dataset.py:89, is exactly what
-    we refuse to ship; a content-hash sample is reproducible AND
-    cross-engine verifiable, unlike RNG-based sample(fraction,seed))."""
-    docs = _docs(spark, sf_dir)
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    )
-    return docs.filter(h % 10 == 0).select("doc_id", "lang")
-
-
-SQL_HASH_SAMPLE = """
-SELECT doc_id, lang FROM documents
-WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 = 0
-"""
-
-
-def q_union_by_name(spark, sf_dir):
-    """unionByName set-op (reference A7 uses positional union after a
-    column-order select, 03_process_and split_dataset.py:44-50; by-name
-    is the safe form)."""
-    docs = _docs(spark, sf_dir)
-    en = docs.filter(F.col("lang") == "en").select("doc_id", "lang", "n_chars")
-    big = docs.filter((F.col("lang") != "en") & (F.col("n_chars") > 300)).select(
-        "n_chars", "doc_id", "lang"  # scrambled order on purpose
-    )
-    return en.unionByName(big).distinct()
-
-
-SQL_UNION_BY_NAME = """
-SELECT DISTINCT doc_id, lang, n_chars FROM (
-  SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
-  UNION ALL
-  SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'en' AND n_chars > 300)
-"""
-
-
-def q_rollup_lang_source(spark, sf_dir):
-    """ROLLUP aggregation (beyond the reference — SURVEY §2.4 notes
-    grouping sets absent there; a corpus report needs them)."""
-    return (
-        _docs(spark, sf_dir)
-        .rollup("lang", "source")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
-        .select(
-            F.coalesce("lang", F.lit("<all>")).alias("lang"),
-            F.coalesce("source", F.lit("<all>")).alias("source"),
-            "n_docs",
-            "sum_chars",
-        )
-    )
-
-
-SQL_ROLLUP = """
-SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
-  count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
-FROM documents GROUP BY ROLLUP (lang, source)
-"""
-
-
-def q_cube_lang_source(spark, sf_dir):
-    """CUBE aggregation with grouping_id (completes the grouping-sets
-    family next to rollup — VERDICT r2 #9). gid disambiguates a
-    genuinely-NULL group value from a cube total, so the '<all>'
-    coalesce cannot conflate them."""
-    return (
-        _docs(spark, sf_dir)
-        .cube("lang", "source")
-        .agg(
-            F.grouping_id().alias("gid"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("sum_chars"),
-        )
-        .select(
-            F.coalesce("lang", F.lit("<all>")).alias("lang"),
-            F.coalesce("source", F.lit("<all>")).alias("source"),
-            F.col("gid").cast("bigint").alias("gid"),
-            "n_docs",
-            "sum_chars",
-        )
-    )
-
-
-SQL_CUBE = """
-SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
-  grouping(lang, source)::BIGINT AS gid,
-  count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
-FROM documents GROUP BY CUBE (lang, source)
-"""
-
-
-def q_grouping_sets_lang_source(spark, sf_dir):
-    """Explicit GROUPING SETS (the general form rollup/cube sugar
-    over): per-lang totals, per-source totals, and the grand total in
-    ONE pass — one shuffle with partial aggregation, vs three separate
-    groupBys + union at 100 TB."""
-    return (
-        _docs(spark, sf_dir)
-        .groupingSets([["lang"], ["source"], []], "lang", "source")
-        .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n_docs"))
-        .select(
-            F.coalesce("lang", F.lit("<all>")).alias("lang"),
-            F.coalesce("source", F.lit("<all>")).alias("source"),
-            F.col("gid").cast("bigint").alias("gid"),
-            "n_docs",
-        )
-    )
-
-
-SQL_GROUPING_SETS = """
-SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
-  grouping(lang, source)::BIGINT AS gid, count(*)::BIGINT AS n_docs
-FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
-"""
-
-
-def q_lineitem_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 shape (the canonical grouped-agg benchmark query):
-    filter on shipdate, group by (returnflag, linestatus), 8
-    aggregates, ordered. Catalyst pushes the date filter to the scan
-    and partial-aggregates map-side; one shuffle total."""
-    li = _tbl(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
-    )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            # big double sums round at 2dp: a 1e8-magnitude sum of
-            # ~1e5 doubles accumulates ~1e-5 order-dependent error
-            # across engines — 6dp would flap, 2dp cannot
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            r6(F.avg("l_quantity")).alias("avg_qty"),
-            r6(F.avg("l_extendedprice")).alias("avg_price"),
-            r6(F.avg("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
-
-
-SQL_LINEITEM_Q1 = """
-SELECT l_returnflag, l_linestatus,
-  round(sum(l_quantity), 2) AS sum_qty,
-  round(sum(l_extendedprice), 2) AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-  round(avg(l_quantity), 6) AS avg_qty,
-  round(avg(l_extendedprice), 6) AS avg_price,
-  round(avg(l_discount), 6) AS avg_disc,
-  count(*)::BIGINT AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY 1, 2 ORDER BY 1, 2
-"""
-
-
-def q_unpivot_measures(spark, sf_dir):
-    """Unpivot (stack): melt lineitem's four measure columns into
-    (measure, value) rows, then sum per measure — the wide->long
-    reshape of a metrics pipeline."""
-    li = _tbl(spark, sf_dir, "lineitem")
-    long = li.selectExpr(
-        "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice, "
-        "'discount', l_discount, 'tax', l_tax) AS (measure, value)"
-    )
-    return long.groupBy("measure").agg(
-        F.round(F.sum("value"), 2).alias("total"), F.count(F.lit(1)).alias("n")
-    )
-
-
-SQL_UNPIVOT = """
-WITH long AS (
-  SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
-  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
-  UNION ALL SELECT 'discount', l_discount FROM lineitem
-  UNION ALL SELECT 'tax', l_tax FROM lineitem)
-SELECT measure, round(sum(value), 2) AS total, count(*)::BIGINT AS n
-FROM long GROUP BY 1
-"""
-
-
-def q_length_percentiles(spark, sf_dir):
-    """Exact percentiles of doc length per language (corpus length
-    distribution — the Gopher-rule calibration query). Exact
-    `percentile` (not percentile_approx) so the DuckDB quantile_cont
-    oracle matches bit-for-bit after rounding."""
-    return (
-        _docs(spark, sf_dir)
-        .groupBy("lang")
-        .agg(
-            r6(F.percentile("n_chars", F.lit(0.5))).alias("p50"),
-            r6(F.percentile("n_chars", F.lit(0.9))).alias("p90"),
-            r6(F.percentile("n_chars", F.lit(0.99))).alias("p99"),
-        )
-    )
-
-
-SQL_LENGTH_PERCENTILES = """
-SELECT lang,
-  round(quantile_cont(n_chars, 0.5), 6) AS p50,
-  round(quantile_cont(n_chars, 0.9), 6) AS p90,
-  round(quantile_cont(n_chars, 0.99), 6) AS p99
-FROM documents GROUP BY 1
-"""
-
-
-def q_except_intersect(spark, sf_dir):
-    """EXCEPT ALL / INTERSECT ALL set ops (completing the set-op
-    family beyond union): long docs minus english docs, tagged, plus
-    the intersection."""
-    docs = _docs(spark, sf_dir)
-    long_docs = docs.filter(F.col("n_chars") > 300).select("doc_id")
-    en_docs = docs.filter(F.col("lang") == "en").select("doc_id")
-    return (
-        long_docs.exceptAll(en_docs).withColumn("tag", F.lit("long_not_en"))
-        .unionByName(
-            long_docs.intersectAll(en_docs).withColumn("tag", F.lit("long_and_en"))
-        )
-    )
-
-
-SQL_EXCEPT_INTERSECT = """
-WITH l AS (SELECT doc_id FROM documents WHERE n_chars > 300),
-e AS (SELECT doc_id FROM documents WHERE lang = 'en')
-SELECT doc_id, 'long_not_en' AS tag FROM (SELECT * FROM l EXCEPT ALL SELECT * FROM e)
-UNION ALL
-SELECT doc_id, 'long_and_en' AS tag FROM (SELECT * FROM l INTERSECT ALL SELECT * FROM e)
-"""
-
-
-def q_pivot_lang_by_source(spark, sf_dir):
-    """Pivot (wide aggregation): doc counts per source x language.
-    Explicit pivot values keep the plan single-pass (no distinct-scan
-    job) and the output schema static for the oracle."""
-    langs = ["de", "en", "es", "fr", "zh"]
-    return (
-        _docs(spark, sf_dir)
-        .groupBy("source")
-        .pivot("lang", langs)
-        .agg(F.count(F.lit(1)))
-        .na.fill(0, langs)
-        .select("source", *[F.col(l).cast("bigint").alias(f"n_{l}") for l in langs])
-    )
-
-
-SQL_PIVOT = """
-SELECT source,
-  count(*) FILTER (WHERE lang = 'de')::BIGINT AS n_de,
-  count(*) FILTER (WHERE lang = 'en')::BIGINT AS n_en,
-  count(*) FILTER (WHERE lang = 'es')::BIGINT AS n_es,
-  count(*) FILTER (WHERE lang = 'fr')::BIGINT AS n_fr,
-  count(*) FILTER (WHERE lang = 'zh')::BIGINT AS n_zh
-FROM documents GROUP BY 1
-"""
-
-
-def q_chunk_fixed(spark, sf_dir):
-    """Reference stage-04 chunker (fixed windows + 110-char gate +
-    posexplode + concat id), fully SQL-mirrored."""
-    from .chunking import explode_chunks
-
-    return explode_chunks(_docs(spark, sf_dir))
-
-
-SQL_CHUNK_FIXED = """
-WITH c AS (
-  SELECT doc_id,
-    list_filter(
-      list_transform(range(0, greatest(ceil(length(text) / 500.0)::INT, 1)),
-        i -> substr(text, i * 500 + 1, 500)),
-      ch -> length(ch) >= 110) AS chunks
-  FROM documents),
-e AS (
-  SELECT doc_id, u.pos, u.chunk
-  FROM (SELECT doc_id, list_transform(chunks,
-      (x, i) -> struct_pack(pos := i - 1, chunk := x)) AS z FROM c),
-    UNNEST(z) AS t(u))
-SELECT doc_id, pos, chunk, concat(doc_id, '-', pos) AS chunk_id FROM e
-"""
-
-
-def q_chunk_paragraph(spark, sf_dir):
-    """Paragraph-aware greedy chunker (pandas UDF, U3 parity). The
-    sequential packing fold IS SQL-expressible: the DuckDB oracle
-    replays it as a recursive CTE (VERDICT r2 #7) — paragraphs are
-    pre-split into forced (>MAX hard-split) and normal pieces, then
-    folded with state (current chunk, emitted list), one recursion
-    step per piece."""
-    from .chunking import explode_paragraph_chunks
-
-    return explode_paragraph_chunks(_docs(spark, sf_dir))
 
 
 # Exact replay of chunking.paragraph_chunks_udf's greedy packing
@@ -1190,289 +476,12 @@ def q_chunk_paragraph(spark, sf_dir):
 # tail; the recursive fold carries cur (NULL == empty list; otherwise
 # the '\n'-joined current chunk, so cur_len == length(cur)+1) and the
 # emitted chunk list. Flush rules mirror the UDF line for line.
-SQL_CHUNK_PARAGRAPH = """
-WITH RECURSIVE
-paras AS (
-  SELECT doc_id, u.i, u.p
-  FROM (SELECT doc_id,
-          list_transform(string_split(coalesce(text, ''), chr(10)),
-            (x, i) -> struct_pack(i := i, p := x)) AS z
-        FROM documents),
-    UNNEST(z) AS t(u)),
-items AS (
-  SELECT doc_id,
-    row_number() OVER (PARTITION BY doc_id ORDER BY i, j) AS seq,
-    CASE WHEN j <= m THEN substr(p, (j-1)*4000 + 1, 4000)
-         ELSE substr(p, m*4000 + 1) END AS txt,
-    (j <= m) AS forced
-  FROM (SELECT doc_id, i, p,
-          greatest(ceil(length(p)/4000.0)::INT - 1, 0) AS m
-        FROM paras),
-    UNNEST(range(1, m + 2)) AS r(j)),
-rec AS (
-  SELECT doc_id, 0::BIGINT AS seq, NULL::VARCHAR AS cur, []::VARCHAR[] AS chunks
-  FROM (SELECT DISTINCT doc_id FROM documents)
-  UNION ALL
-  SELECT r.doc_id, r.seq + 1,
-    CASE WHEN it.forced THEN NULL
-         WHEN r.cur IS NOT NULL AND length(r.cur) + length(it.txt) + 2 > 500 THEN it.txt
-         WHEN r.cur IS NULL THEN it.txt
-         ELSE r.cur || chr(10) || it.txt END,
-    r.chunks
-      || (CASE WHEN r.cur IS NOT NULL AND (it.forced OR length(r.cur) + length(it.txt) + 2 > 500)
-               THEN [r.cur] ELSE []::VARCHAR[] END)
-      || (CASE WHEN it.forced THEN [it.txt] ELSE []::VARCHAR[] END)
-  FROM rec r JOIN items it ON it.doc_id = r.doc_id AND it.seq = r.seq + 1),
-fin AS (
-  SELECT r.doc_id,
-    list_filter(
-      r.chunks || (CASE WHEN r.cur IS NOT NULL THEN [r.cur] ELSE []::VARCHAR[] END),
-      c -> length(c) >= 110) AS cs
-  FROM rec r
-  JOIN (SELECT doc_id, max(seq) AS ms FROM rec GROUP BY 1) z
-    ON z.doc_id = r.doc_id AND r.seq = z.ms)
-SELECT doc_id, u.pos::INT AS pos, u.chunk, concat(doc_id, '-', u.pos) AS chunk_id
-FROM (SELECT doc_id, list_transform(cs, (x, i) -> struct_pack(pos := i - 1, chunk := x)) AS z
-      FROM fin),
-  UNNEST(z) AS t(u)
-"""
-
-
-def q_chat_messages(spark, sf_dir):
-    """ARRAY<STRUCT> pandas-UDF return (the reference's one vectorized
-    UDF, _setup/utils.py:61-63). Raw nested rendering differs across
-    engines, so the result unpacks EVERY struct field to scalars —
-    the full UDF output is hash-verified against a DuckDB
-    list_value/struct_pack reconstruction (VERDICT r3 #6). Input is a
-    deterministic doc_id slice, not limit() (order-dependent)."""
-    from .messages import with_chat_messages
-
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    df = docs.select(
-        "doc_id",
-        F.col("text").alias("context"),
-        F.concat(F.lit("what is doc "), F.col("doc_id")).alias("question"),
-        F.col("source").alias("answer"),
-    )
-    out = with_chat_messages(df, "context", "question", "answer")
-    m = F.col("messages")
-    return out.select(
-        "doc_id",
-        F.size("messages").alias("n_messages"),
-        m.getItem(0).getField("role").alias("role0"),
-        m.getItem(1).getField("role").alias("role1"),
-        m.getItem(2).getField("role").alias("role2"),
-        m.getItem(0).getField("content").alias("sys_content"),
-        m.getItem(1).getField("content").alias("user_content"),
-        m.getItem(2).getField("content").alias("asst_content"),
-    )
-
-
-SQL_CHAT_MESSAGES = """
-WITH m AS (
-  SELECT doc_id,
-    list_value(
-      struct_pack(role := 'system',
-                  content := 'You are a careful assistant. Use the context to answer.'),
-      struct_pack(role := 'user',
-                  content := 'context: ' || text || chr(10) || chr(10)
-                             || 'question: what is doc ' || doc_id),
-      struct_pack(role := 'assistant', content := source)
-    ) AS messages
-  FROM documents WHERE doc_id < 200)
-SELECT doc_id, len(messages) AS n_messages,
-  messages[1].role AS role0, messages[2].role AS role1, messages[3].role AS role2,
-  messages[1].content AS sys_content,
-  messages[2].content AS user_content,
-  messages[3].content AS asst_content
-FROM m
-"""
-
-
-def q_media_decode_meta(spark, sf_dir):
-    """Multimodal plumbing: binary media -> typed metadata via
-    mapInPandas (decode kernel stubbed; plumbing real). Input is the
-    deterministic synthetic media table (no media column exists in
-    the sf tables)."""
-    from .multimodal import decode_image_meta, synth_media
-
-    return decode_image_meta(synth_media(spark, 200))
-
-
-def q_media_frame_sample(spark, sf_dir):
-    from .multimodal import sample_frames, synth_media
-
-    return sample_frames(synth_media(spark, 50, kind="video"))
-
-
-def q_media_audio_meta(spark, sf_dir):
-    """Real WAV header decode over genuine PCM bytes (stdlib kernel)."""
-    from .multimodal import decode_audio_meta, synth_media
-
-    return decode_audio_meta(synth_media(spark, 100, kind="audio"))
-
-
-def q_dup_ngram_fraction(spark, sf_dir):
-    """Gopher repetition rule: fraction of repeated word-2gram
-    occurrences per doc (beyond-reference quality signal; the
-    reference's nearest analog is its dup-line dropDuplicates)."""
-    from .textstats import dup_ngram_fraction_col
-
-    return _docs(spark, sf_dir).select(
-        "doc_id", r6(dup_ngram_fraction_col(F.col("text"), 2)).alias("dup_2gram_frac")
-    )
-
-
-SQL_DUP_NGRAM = f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-g AS (SELECT doc_id,
-  CASE WHEN len(toks) >= 2
-    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-    ELSE []::VARCHAR[] END AS grams
-  FROM t)
-SELECT doc_id,
-  round(CASE WHEN len(grams) > 0
-    THEN (len(grams) - len(list_distinct(grams))) / len(grams)
-    ELSE 0.0 END, 6) AS dup_2gram_frac
-FROM g
-"""
-
-
-def q_json_props(spark, sf_dir):
-    """JSON field extraction + grouped agg over the events table
-    (get_json_object — the engine-side version of the reference's
-    python-side json handling, _setup/utils.py:28)."""
-    ev = _tbl(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
-    return (
-        ev.withColumn("k", k)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("k").alias("sum_k"),
-            F.max("k").alias("max_k"),
-        )
-    )
-
-
-SQL_JSON_PROPS = """
-SELECT event_type, count(*)::BIGINT AS n,
-  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
-  max(json_extract(props, '$.k')::BIGINT) AS max_k
-FROM events GROUP BY 1
-"""
-
-
-def q_top_terms_per_lang(spark, sf_dir):
-    """Corpus vocabulary report: top-3 terms per language by document
-    frequency (explode tokens -> distinct per doc -> grouped count ->
-    window top-k). The doc-frequency shuffle is the IDF-table build of
-    a training pipeline; map-side combine keeps it one pass."""
-    toks = F.array_distinct(
-        F.transform(tokens_col(F.col("text")), F.lower)
-    )
-    df = (
-        _docs(spark, sf_dir)
-        .select("doc_id", "lang", F.explode(toks).alias("term"))
-        .filter(F.length("term") >= 3)
-        .groupBy("lang", "term")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
-    )
-    w = Window.partitionBy("lang").orderBy(F.col("doc_freq").desc(), F.col("term"))
-    return (
-        df.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select("lang", "term", "doc_freq", "rnk")
-    )
-
-
-SQL_TOP_TERMS = f"""
-WITH t AS (
-  SELECT doc_id, lang,
-    list_distinct(list_transform({_TOKS}, w -> lower(w))) AS toks
-  FROM documents),
-e AS (
-  SELECT lang, u.term, count(*)::BIGINT AS doc_freq
-  FROM (SELECT lang, list_transform(toks, x -> struct_pack(term := x)) AS z FROM t),
-    UNNEST(z) AS s(u)
-  WHERE length(u.term) >= 3
-  GROUP BY 1, 2),
-r AS (
-  SELECT lang, term, doc_freq,
-    row_number() OVER (PARTITION BY lang ORDER BY doc_freq DESC, term) AS rnk
-  FROM e)
-SELECT lang, term, doc_freq, rnk::INT AS rnk FROM r WHERE rnk <= 3
-"""
-
-
-def q_stratified_sample(spark, sf_dir):
-    """Deterministic per-stratum hash sample: ~20% of docs per lang,
-    reproducible AND cross-engine-verifiable (unlike sampleBy's RNG).
-    The training-data use: balanced per-language subsets."""
-    docs = _docs(spark, sf_dir)
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws("|", "lang", F.col("doc_id").cast("string"))), 1, 8),
-        16, 10,
-    ).cast("bigint")
-    return docs.filter(h % 5 == 0).select("doc_id", "lang")
-
-
-SQL_STRATIFIED_SAMPLE = """
-SELECT doc_id, lang FROM documents
-WHERE ('0x' || substr(md5(lang || '|' || doc_id::VARCHAR), 1, 8))::BIGINT % 5 = 0
-"""
-
-
-def q_winnow_fingerprints(spark, sf_dir):
-    """Winnowing fingerprints with the cross-engine md5-prefix hash
-    (conv(substr(md5(gram),1,8),16,10)) so DuckDB replays the exact
-    selected fingerprints — the selection algebra (k-gram window-min
-    distinct-sort, textstats.py) is hash-agnostic; production keeps
-    the faster xxhash64 default."""
-    from .textstats import winnowing_fingerprints_col
-
-    def md5_hash(s):
-        return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
-
-    fps = winnowing_fingerprints_col(F.col("text"), hash_fn=md5_hash)
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(fps).alias("n_fps"),
-        fps.getItem(0).alias("min_fp"),
-        F.element_at(fps, -1).alias("max_fp"),
-    )
 
 
 # DuckDB replay of the winnowing selection: same tokenization
 # (trim/lower/split on whitespace), same k=5-gram md5-prefix hash,
 # same window=4 sliding min, same distinct+sort. List slices in
 # DuckDB are 1-based END-INCLUSIVE, so toks[i:i+4] is 5 tokens.
-SQL_WINNOW_FINGERPRINTS = f"""
-WITH t AS (
-  SELECT doc_id,
-    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-         ELSE regexp_split_to_array(trim(lower(text)), '{_WS}+') END AS toks
-  FROM documents
-), kg AS (
-  SELECT doc_id,
-    CASE WHEN len(toks) < 5 THEN
-      [('0x' || substr(md5(array_to_string(toks, ' ')), 1, 8))::BIGINT]
-    ELSE
-      list_transform(range(1, len(toks) - 3),
-        i -> ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 8))::BIGINT)
-    END AS kh
-  FROM t
-), w AS (
-  SELECT doc_id,
-    list_sort(list_distinct(
-      CASE WHEN len(kh) < 4 THEN [list_min(kh)]
-      ELSE list_transform(range(1, len(kh) - 2),
-        i -> least(kh[i], kh[i+1], kh[i+2], kh[i+3]))
-      END)) AS fps
-  FROM kg
-)
-SELECT doc_id, len(fps) AS n_fps, fps[1] AS min_fp, fps[-1] AS max_fp FROM w
-"""
 
 
 # ---------------------------------------------- training-prep operators
@@ -1481,933 +490,12 @@ SELECT doc_id, len(fps) AS n_fps, fps[1] AS min_fp, fps[-1] AS max_fp FROM w
 # frontier anti-join, sequence packing, dataset splits)
 
 # lowercased token-array expr for DuckDB oracles (parallel to _TOKS)
-_TOKS_LOWER = (
-    "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
-    f"ELSE regexp_split_to_array(trim(lower(text)), '{_WS}+') END"
-)
-
-
-def q_decontaminate(spark, sf_dir):
-    """Benchmark decontamination: flag corpus docs sharing any word
-    3-gram with a (pretend) benchmark suite — here a deterministic
-    md5-sampled slice of the corpus standing in for the eval set, so
-    hits are guaranteed and cross-engine reproducible. Probe side
-    excludes the benchmark docs themselves.
-
-    Local-bench note: the corpus side is map-only (broadcast join, no
-    shuffle), so parallelism == input splits; the sf tables are one
-    parquet split, so local wall time is one core's scan+ngram cost.
-    At real scale the table has thousands of splits and this op
-    parallelizes linearly — deliberately NO repartition() here (it
-    would shuffle the full corpus just to help a toy layout)."""
-    from .trainprep import decontaminate
-
-    docs = _docs(spark, sf_dir)
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    )
-    bench = docs.filter(h % 37 == 0)
-    probe = docs.filter(h % 37 != 0)
-    return decontaminate(probe, bench, n=3)
-
-
-SQL_DECONTAMINATE = f"""
-WITH h AS (
-  SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 37 AS hh
-  FROM documents),
-bg AS (
-  SELECT DISTINCT array_to_string(tk[u.i : u.i + 2], ' ') AS gram
-  FROM (SELECT {_TOKS_LOWER} AS tk FROM h WHERE hh = 0) t,
-    UNNEST(range(1, greatest(len(tk) - 3, 0) + 2)) AS u(i)
-  WHERE len(tk) >= 3),
-dg AS (
-  SELECT DISTINCT doc_id, array_to_string(tk[u.i : u.i + 2], ' ') AS gram
-  FROM (SELECT doc_id, {_TOKS_LOWER} AS tk FROM h WHERE hh <> 0) t,
-    UNNEST(range(1, greatest(len(tk) - 3, 0) + 2)) AS u(i)
-  WHERE len(tk) >= 3)
-SELECT doc_id, count(*)::BIGINT AS n_contaminated
-FROM dg JOIN bg USING (gram)
-GROUP BY doc_id
-"""
-
-
-def q_frequent_terms(spark, sf_dir):
-    """Exact vocabulary heavy hitters (>= 2 per-mille of all token
-    occurrences) via local-threshold candidates + broadcast exact
-    verify — the full zipf-tail vocabulary never shuffles."""
-    from .trainprep import frequent_terms
-
-    return frequent_terms(_docs(spark, sf_dir), min_per_mille=2)
-
-
-SQL_FREQUENT_TERMS = f"""
-WITH toks AS (
-  SELECT u.term FROM (
-    SELECT list_transform({_TOKS_LOWER}, x -> struct_pack(term := x)) AS z
-    FROM documents), UNNEST(z) AS s(u)),
-tot AS (SELECT count(*) AS total FROM toks)
-SELECT term, count(*)::BIGINT AS cnt
-FROM toks, tot
-GROUP BY term, tot.total
-HAVING count(*) * 1000 >= 2 * tot.total
-"""
-
-
-def q_bloom_anti_frontier(spark, sf_dir):
-    """Frontier anti-join routed through a distributed Bloom filter:
-    'which docs are NOT yet in the processed set' where the bloom's
-    definite-miss verdict short-circuits the shuffle for ~all new
-    docs. Result is EXACTLY the plain anti-join (oracle-checked);
-    the bloom only routes."""
-    from .trainprep import bloom_anti_join
-
-    docs = _docs(spark, sf_dir)
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    )
-    processed = docs.filter(h % 7 == 0).select("doc_id")
-    return bloom_anti_join(
-        docs.select("doc_id", "lang"), processed, "doc_id", m_bits=1 << 16
-    )
-
-
-SQL_BLOOM_ANTI = """
-SELECT doc_id, lang FROM documents d
-WHERE NOT EXISTS (
-  SELECT 1 FROM documents p
-  WHERE ('0x' || substr(md5(p.doc_id::VARCHAR), 1, 8))::BIGINT % 7 = 0
-    AND p.doc_id = d.doc_id)
-"""
-
-
-def q_pack_sequences(spark, sf_dir):
-    """Deterministic sequence packing: concatenation order + pack
-    boundaries per md5-bucket shard (each shard packs independently
-    in parallel — the sharded .bin layout of real training stacks)."""
-    from .trainprep import pack_sequences
-
-    return pack_sequences(_docs(spark, sf_dir), capacity=512)
-
-
-SQL_PACK_SEQUENCES = f"""
-WITH d AS (
-  SELECT doc_id,
-    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16 AS pack_bucket,
-    len({_TOKS})::BIGINT AS n_tokens
-  FROM documents),
-w AS (
-  SELECT *, sum(n_tokens) OVER (
-      PARTITION BY pack_bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING
-    ) AS cum
-  FROM d)
-SELECT doc_id, pack_bucket, n_tokens,
-  ((cum - n_tokens) // 512)::BIGINT AS pack_id,
-  ((cum - n_tokens) % 512)::BIGINT AS start_off,
-  (n_tokens > 0 AND (cum - 1) // 512 > (cum - n_tokens) // 512) AS spans_packs
-FROM w
-"""
-
-
-def q_dataset_split_counts(spark, sf_dir):
-    """Deterministic 80/10/10 train/val/test split from a content-id
-    hash (stable under corpus growth, unlike randomSplit), summarized
-    per split x lang."""
-    from .trainprep import dataset_split_col
-
-    return (
-        _docs(spark, sf_dir)
-        .withColumn("split", dataset_split_col(F.col("doc_id")))
-        .groupBy("split", "lang")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            r6(F.avg("n_chars")).alias("avg_chars"),
-        )
-    )
-
-
-SQL_DATASET_SPLIT = """
-WITH s AS (
-  SELECT lang, n_chars,
-    CASE
-      WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80
-        THEN 'train'
-      WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
-        THEN 'val'
-      ELSE 'test'
-    END AS split
-  FROM documents)
-SELECT split, lang, count(*)::BIGINT AS n_docs,
-  round(avg(n_chars), 6) AS avg_chars
-FROM s GROUP BY 1, 2
-"""
-
-
-def q_events_running_totals(spark, sf_dir):
-    """lag/lead + running/windowed sums per user ordered by event
-    time (SURVEY §2 window-function family beyond rank). Sums run on
-    DECIMAL(18,6) so the running accumulation is exact and engine-
-    independent (double window sums associate differently between
-    Spark's running accumulator and DuckDB's segment tree)."""
-    ev = _tbl(spark, sf_dir, "events")
-    dv = F.round(F.col("value"), 6).cast("decimal(18,6)")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wmov = w.rowsBetween(-2, Window.currentRow)
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.lag(r6(F.col("value"))).over(w).alias("prev_value"),
-        F.lead(r6(F.col("value"))).over(w).alias("next_value"),
-        F.sum(dv).over(wrun).cast("double").alias("running_sum"),
-        F.sum(dv).over(wmov).cast("double").alias("moving_sum3"),
-    )
-
-
-SQL_RUNNING_TOTALS = """
-SELECT event_id, user_id,
-  lag(round(value, 6)) OVER w AS prev_value,
-  lead(round(value, 6)) OVER w AS next_value,
-  CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) OVER (
-    PARTITION BY user_id ORDER BY ts, event_id
-    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum,
-  CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) OVER (
-    PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-"""
-
-
-def q_string_agg_docs(spark, sf_dir):
-    """Ordered string_agg per group (collect_list -> array_sort ->
-    concat_ws). Grouped collection is inherently bounded-per-group;
-    the md5 sample bounds it here, and the docstring contract is
-    'small groups only' — unbounded text concat per group is a
-    driver-OOM shape at 100 TB."""
-    docs = _docs(spark, sf_dir)
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    )
-    return (
-        docs.filter(h % 11 == 0)
-        .groupBy("lang")
-        .agg(
-            F.concat_ws(",", F.array_sort(F.collect_list("doc_id"))).alias("doc_ids"),
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        )
-    )
-
-
-SQL_STRING_AGG = """
-SELECT lang, string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids,
-  count(*)::BIGINT AS n_docs
-FROM documents
-WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 11 = 0
-GROUP BY lang
-"""
-
-
-def q_remove_dup_spans(spark, sf_dir):
-    """C4-style corpus-wide span dedup: cut every 4-token chunk that
-    occurs in >= 2 distinct docs, rebuild the text in order (C4's
-    repeated-three-sentence-span rule with token chunks as the
-    sentence-free analog)."""
-    from .dedup import remove_duplicate_spans
-
-    return remove_duplicate_spans(_docs(spark, sf_dir), span=4, min_docs=2)
-
-
-SQL_REMOVE_DUP_SPANS = f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
-c AS (
-  SELECT doc_id, u.i - 1 AS chunk_id,
-    array_to_string(tk[(u.i - 1) * 4 + 1 : least(u.i * 4, len(tk))], ' ') AS chunk,
-    least(u.i * 4, len(tk)) - (u.i - 1) * 4 AS clen
-  FROM t, UNNEST(range(1, ((len(tk) + 3) // 4)::BIGINT + 1)) AS u(i)
-  WHERE len(tk) >= 1),
-b AS (
-  SELECT chunk FROM c WHERE clen = 4
-  GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
-m AS (
-  SELECT c.*, (b.chunk IS NOT NULL) AS removed
-  FROM c LEFT JOIN b ON c.chunk = b.chunk)
-SELECT doc_id,
-  coalesce(string_agg(chunk, ' ' ORDER BY chunk_id)
-    FILTER (WHERE NOT removed), '') AS clean_text,
-  count(*) FILTER (WHERE removed)::BIGINT AS n_removed
-FROM m GROUP BY doc_id
-"""
-
-
-def q_approx_distinct_terms(spark, sf_dir):
-    """Mergeable distinct-count sketches (Apache DataSketches HLL via
-    hll_sketch_agg/hll_union_agg): per-(lang, source) sketches are
-    built in one pass, then UNIONED per lang — the two-level
-    aggregation that lets 100 TB daily partitions keep mergeable
-    sketches instead of re-scanning history. Estimates are model-
-    based -> no SQL oracle; tests/test_trainprep.py bounds relative
-    error vs exact count_distinct."""
-    docs = _docs(spark, sf_dir)
-    per_source = docs.groupBy("lang", "source").agg(
-        F.hll_sketch_agg(F.col("doc_id")).alias("sk")
-    )
-    return (
-        per_source.groupBy("lang")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("approx_docs"))
-        .select("lang", F.col("approx_docs").cast("bigint").alias("approx_docs"))
-    )
-
-
-def _shingles3_lower(text_col):
-    """Word 3-grams (sketches.shingles3_lower). Shared universe for
-    the sketch queries below: the synthetic corpus has a ~31-word
-    vocabulary, so single tokens are a degenerate cardinality-31
-    universe while 3-grams give thousands of distinct elements."""
-    from .sketches import shingles3_lower
-
-    return shingles3_lower(text_col)
 
 
 # DuckDB replay of _shingles3_lower given `toks` ({_TOKS_LOWER})
-_SQL_SHINGLES3 = (
-    "CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
-    "ELSE list_transform(range(1, len(toks) - 1), "
-    "i -> array_to_string(toks[i:i+2], ' ')) END"
-)
-
-
-def q_hll_distinct_terms(spark, sf_dir):
-    """HyperLogLog distinct-term counting implemented as PURE
-    relational algebra over the cross-engine md5-prefix hash — the
-    register state (m=256, p=8) and the raw HLL estimate are
-    hash-checked against a DuckDB replay, unlike engine sketches
-    (hll_sketch_agg above / DuckDB approx_count_distinct) whose
-    internals differ.
-
-    Per token: register = low 8 hash bits, rho = leading-zero rank of
-    the remaining 52 bits (via length(bin(w)) — integer algebra, no
-    floats until the final estimate). Registers aggregate with max();
-    the harmonic-mean denominator is kept as the EXACT integer
-    sum(2^(53-M_j)) + V*2^53 (fits int64), so the only float ops are
-    one multiply/divide per lang — IEEE-deterministic across engines.
-    Counts distinct word 3-grams per lang (the synthetic corpus has a
-    ~31-word vocabulary per lang but thousands of distinct shingles —
-    the regime where HLL's ~1.04/sqrt(256) = 6.5% error claim holds).
-    The standard linear-counting small-range correction (E <= 2.5m
-    and V > 0 -> m*ln(m/V)) is included; ln is the one libm call with
-    cross-engine last-ulp risk, tolerated by the round(.,2).
-
-    At 100 TB this is the mergeable two-level shape: (lang, register)
-    partial maxes combine associatively map-side, the final state is
-    256 ints per group — the same sketches.hll_registers state the
-    STREAMING ingestion appends per epoch (streaming.run_hll_stream,
-    tested equal to this batch form)."""
-    from .sketches import hll_estimate, hll_registers
-
-    docs = _docs(spark, sf_dir)
-    e = (
-        docs.filter(F.length(F.trim(F.col("text"))) > 0)
-        .select("lang", F.explode(_shingles3_lower(F.col("text"))).alias("tok"))
-    )
-    est = hll_estimate(
-        hll_registers(docs, text_col="text", group_col="lang"),
-        group_col="lang",
-        with_raw=True,
-    )
-    exact = e.groupBy("lang").agg(F.countDistinct("tok").alias("exact_terms"))
-    return (
-        est.join(exact, "lang")
-        .select(
-            "lang",
-            "regs_hit",
-            "v_zero",
-            "s_denom",
-            "hll_estimate",
-            "exact_terms",
-            F.round(
-                F.col("_raw_est") / F.col("exact_terms") - 1.0, 4
-            ).alias("rel_err"),
-        )
-    )
-
-
-SQL_HLL_DISTINCT_TERMS = f"""
-WITH tt AS (
-  SELECT lang, {_TOKS_LOWER} AS toks FROM documents
-  WHERE length(trim(text)) > 0),
-e AS (
-  SELECT lang, unnest({_SQL_SHINGLES3}) AS tok FROM tt),
-t AS (
-  SELECT lang, tok,
-    h & 255 AS reg, h >> 8 AS w
-  FROM (SELECT lang, tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM e)),
-r AS (
-  SELECT lang, tok, reg,
-    CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho
-  FROM t),
-regs AS (SELECT lang, reg, max(rho) AS m_j FROM r GROUP BY lang, reg),
-state AS (
-  SELECT lang, count(*)::BIGINT AS regs_hit,
-    256 - count(*)::BIGINT AS v_zero,
-    (sum(1::BIGINT << (53 - m_j)::INT)
-     + (256 - count(*)) * (1::BIGINT << 53))::BIGINT AS s_denom
-  FROM regs GROUP BY lang),
-exact AS (SELECT lang, count(DISTINCT tok)::BIGINT AS exact_terms FROM r GROUP BY lang),
-est AS (
-  SELECT lang,
-    CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
-              / s_denom::DOUBLE <= 640.0 AND v_zero > 0
-      THEN 256.0 * ln(256.0 / v_zero::DOUBLE)
-      ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
-           / s_denom::DOUBLE END AS e
-  FROM state)
-SELECT s.lang, s.regs_hit, s.v_zero, s.s_denom,
-  round(est.e, 2) AS hll_estimate,
-  x.exact_terms,
-  round(est.e / x.exact_terms - 1.0, 4) AS rel_err
-FROM state s JOIN exact x USING (lang) JOIN est USING (lang)
-"""
-
-
-def q_cms_term_counts(spark, sf_dir):
-    """Count-Min sketch frequencies as pure relational algebra over
-    the cross-engine md5 hash family — d=4 rows x w=512 columns over
-    the 3-gram shingle universe (thousands of distinct elements, so
-    cells genuinely collide), estimate = min over rows of the hashed
-    cell count, checked against a DuckDB replay (integer-only output:
-    no float risk).
-
-    The sketch is the mergeable 100 TB shape: cell counts are one
-    map-side-combining groupBy over d*w keys (constant state
-    regardless of corpus size); point queries for the top terms join
-    the tiny queried-term dim against the cell table. CMS guarantees
-    estimate >= exact with overestimate <= O(corpus/w) w.h.p. — the
-    `over` column exhibits the bound (and min-over-rows shrinking the
-    overshoot). Complements frequent_terms (pigeonhole exact heavy
-    hitters, trainprep.py) with the sketch-based alternative."""
-    from .sketches import cms_cells
-
-    docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
-    e = docs.select(F.explode(_shingles3_lower(F.col("text"))).alias("tok"))
-    rc = F.posexplode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(3)),
-            lambda r: _md5_prefix_hash(
-                F.concat_ws("#", F.col("tok"), r.cast("string"))
-            ) % 512,
-        )
-    ).alias("r", "col")
-    cells = cms_cells(docs, d=4, w=512)
-    top = (
-        e.groupBy("tok")
-        .agg(F.count("*").alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), F.col("tok"))
-        .limit(10)
-    )
-    probes = top.select("tok", "exact_n", rc)
-    est = (
-        probes.join(cells, ["r", "col"])
-        .groupBy("tok", "exact_n")
-        .agg(F.min("cell_n").alias("cms_n"))
-    )
-    return est.select(
-        "tok", "exact_n", "cms_n", (F.col("cms_n") - F.col("exact_n")).alias("over")
-    )
-
-
-SQL_CMS_TERM_COUNTS = f"""
-WITH tt AS (
-  SELECT {_TOKS_LOWER} AS toks FROM documents
-  WHERE length(trim(text)) > 0),
-e AS (SELECT unnest({_SQL_SHINGLES3}) AS tok FROM tt),
-rc AS (
-  SELECT tok, r,
-    ('0x' || substr(md5(tok || '#' || r::VARCHAR), 1, 15))::BIGINT % 512 AS col
-  FROM e CROSS JOIN range(4) t(r)),
-cells AS (SELECT r, col, count(*)::BIGINT AS cell_n FROM rc GROUP BY r, col),
-top AS (
-  SELECT tok, count(*)::BIGINT AS exact_n FROM e GROUP BY tok
-  ORDER BY exact_n DESC, tok LIMIT 10),
-probes AS (
-  SELECT tok, exact_n, r,
-    ('0x' || substr(md5(tok || '#' || r::VARCHAR), 1, 15))::BIGINT % 512 AS col
-  FROM top CROSS JOIN range(4) t(r))
-SELECT p.tok, p.exact_n, min(c.cell_n)::BIGINT AS cms_n,
-  (min(c.cell_n) - p.exact_n)::BIGINT AS over
-FROM probes p JOIN cells c ON p.r = c.r AND p.col = c.col
-GROUP BY p.tok, p.exact_n
-"""
-
-
-def q_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape (shipping priority): the canonical 3-table
-    join-filter-agg-topk — customer (filtered to one mktsegment)
-    BROADCAST onto orders, the orders->lineitem equi-join is the one
-    big orderkey shuffle, grouped revenue, top-10 via orderBy+limit
-    (TakeOrderedAndProject: per-partition heaps, never a global
-    sort). Adapted to the synthetic schema: o_orderpriority stands in
-    for o_shippriority. Ordering ties broken by l_orderkey; revenue
-    rounded at 2dp BEFORE ordering so both engines rank the same
-    (last-ulp sum differences cannot flip neighbors)."""
-    cut = F.lit("1998-06-15").cast("timestamp")
-    cust = _tbl(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    orders = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
-    li = _tbl(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
-    revenue = F.round(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-    ).alias("revenue")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(revenue)
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-        .limit(10)
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-    )
-
-
-SQL_SHIPPING_PRIORITY = """
-SELECT l_orderkey,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-  o_orderdate, o_orderpriority
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1998-06-15'
-  AND l_shipdate > TIMESTAMP '1998-06-15'
-GROUP BY l_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, l_orderkey LIMIT 10
-"""
-
-
-def q_triangle_counts(spark, sf_dir):
-    """Per-host triangle counts over the events-derived host graph
-    (same deterministic edge relation as pagerank_hosts) via
-    degree-ordered edge orientation (graph.triangle_count) — the
-    O(m^1.5) distributed algorithm, not the deg^2 naive wedge join.
-    Exact integer output; the DuckDB oracle replays the orientation
-    and joins verbatim."""
-    from .graph import triangle_count
-
-    ev = _tbl(spark, sf_dir, "events")
-    edges = ev.select(
-        (F.col("user_id") % 23).alias("src"), (F.col("event_id") % 30).alias("dst")
-    ).filter(F.col("src") != F.col("dst"))
-    return triangle_count(edges)
-
-
-SQL_TRIANGLE_COUNTS = """
-WITH raw AS (
-  SELECT user_id % 23 AS x, event_id % 30 AS y FROM events
-  WHERE user_id % 23 <> event_id % 30),
-und AS (
-  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw),
-deg AS (
-  SELECT n, count(*)::BIGINT AS deg FROM (
-    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
-  GROUP BY n),
-oriented AS (
-  SELECT
-    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
-         THEN u.a ELSE u.b END AS u,
-    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
-         THEN u.b ELSE u.a END AS v
-  FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b),
-tris AS (
-  SELECT e1.u AS a, e1.v AS b, e2.v AS c
-  FROM oriented e1
-  JOIN oriented e2 ON e1.u = e2.u AND e1.v <> e2.v
-  JOIN oriented e3 ON e3.u = e1.v AND e3.v = e2.v)
-SELECT node, count(*)::BIGINT AS n_tri FROM (
-  SELECT a AS node FROM tris
-  UNION ALL SELECT b AS node FROM tris
-  UNION ALL SELECT c AS node FROM tris)
-GROUP BY node
-"""
-
-
-def q_semdedup_drops(spark, sf_dir):
-    """SemDeDup (Abbas et al. 2023) semantic dedup: cluster
-    embeddings, then inside each cluster drop the
-    farther-from-centroid member of every high-cosine pair. Here the
-    k-means step is one deterministic Lloyd ASSIGNMENT against fixed
-    seed centroids (vec_id < 8) so a DuckDB oracle can replay it —
-    RNG-free, like the Gumbel sampling precedent. The synthetic
-    embeddings carry no planted semantic dups, so the radius (0.40)
-    sits below a real corpus's ~0.95: the algebra, not the constant,
-    is the operator.
-
-    Scale shape: centroid dim is broadcast (k rows), assignment is
-    one argmax window per vector, and the near-dup self-join is
-    CLUSTER-LOCAL (the IVF-cell trick: cluster id = partition key),
-    never the corpus-wide cross join. Tie-breaks pinned: centroid by
-    (cos DESC, cent_id), drop the lower-cent_cos member, tie -> the
-    higher vec_id."""
-    from .simsearch import dot_col, norm_col
-
-    emb = _emb(spark, sf_dir)
-    v = emb.select("vec_id", F.col("embedding").alias("ev"))
-    cents = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
-    )
-    cos_c = dot_col(F.col("ev"), F.col("cv")) / (
-        norm_col(F.col("ev")) * norm_col(F.col("cv"))
-    )
-    scored = v.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cent_id", "ev", cos_c.alias("cos")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id"))
-    asg = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id", F.col("cent_id").alias("cluster"),
-            F.col("cos").alias("cent_cos"), "ev",
-        )
-    )
-    a = asg.select(
-        F.col("vec_id").alias("id_a"), "cluster",
-        F.col("cent_cos").alias("cc_a"), F.col("ev").alias("ev_a"),
-    )
-    b = asg.select(
-        F.col("vec_id").alias("id_b"), "cluster",
-        F.col("cent_cos").alias("cc_b"), F.col("ev").alias("ev_b"),
-    )
-    pcos = dot_col(F.col("ev_a"), F.col("ev_b")) / (
-        norm_col(F.col("ev_a")) * norm_col(F.col("ev_b"))
-    )
-    near = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("cluster", "id_a", "id_b", "cc_a", "cc_b", pcos.alias("cos"))
-        .filter(F.col("cos") >= 0.40)
-    )
-    drop = F.when(F.col("cc_a") < F.col("cc_b"), F.col("id_a")).otherwise(
-        F.col("id_b")
-    )
-    return near.select(drop.alias("vec_id"), "cluster").distinct()
-
-
-SQL_SEMDEDUP_DROPS = """
-WITH c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
-           FROM embeddings WHERE vec_id < 8),
-v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-sc AS (
-  SELECT vec_id, cent_id,
-    list_sum(list_transform(range(1, 1 + len(ev)), i -> ev[i] * cv[i]))
-      / (sqrt(list_sum(list_transform(ev, x -> x*x)))
-         * sqrt(list_sum(list_transform(cv, x -> x*x)))) AS cos
-  FROM v CROSS JOIN c),
-a AS (
-  SELECT vec_id, cent_id, cos,
-    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
-  FROM sc),
-asg AS (SELECT vec_id, cent_id AS cluster, cos AS cent_cos FROM a WHERE rn = 1),
-p AS (
-  SELECT x.cluster, x.vec_id AS id_a, y.vec_id AS id_b,
-    x.cent_cos AS cc_a, y.cent_cos AS cc_b,
-    list_sum(list_transform(range(1, 1 + len(vx.ev)), i -> vx.ev[i] * vy.ev[i]))
-      / (sqrt(list_sum(list_transform(vx.ev, x -> x*x)))
-         * sqrt(list_sum(list_transform(vy.ev, x -> x*x)))) AS cos
-  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-  JOIN v vx ON vx.vec_id = x.vec_id
-  JOIN v vy ON vy.vec_id = y.vec_id)
-SELECT DISTINCT CASE WHEN cc_a < cc_b THEN id_a ELSE id_b END AS vec_id, cluster
-FROM p WHERE cos >= 0.40
-"""
-
-
-def q_fuzzy_name_pairs(spark, sf_dir):
-    """Record-linkage fuzzy self-join: customer-name pairs within
-    edit distance 1 via DELETION-NEIGHBORHOOD blocking (the SymSpell
-    trick): every name explodes into itself + its |name| one-char
-    deletions; any two strings with lev <= 1 share at least one
-    variant, so an equi-join on the variant string finds ALL such
-    pairs without the |n|^2 cross join or a LIKE nested loop.
-    Candidates are then verified with exact levenshtein (both engines
-    implement the same DP). ~(|name|+1)x row expansion, one
-    variant-keyed shuffle — linear in corpus size, the 100 TB shape
-    for typo-tolerant entity resolution."""
-    cust = _tbl(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    n = F.col("c_name")
-    dels = F.transform(
-        F.sequence(F.lit(1), F.length(n)),
-        lambda i: F.concat(
-            F.substr(n, F.lit(1), i - 1), F.substr(n, i + 1, F.length(n))
-        ),
-    )
-    v = cust.select(
-        "c_custkey", "c_name",
-        F.explode(F.array_union(F.array(n), dels)).alias("variant"),
-    )
-    a = v.select(
-        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"), "variant"
-    )
-    b = v.select(
-        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"), "variant"
-    )
-    cand = (
-        a.join(b, "variant")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "name_a", "name_b")
-        .distinct()
-    )
-    return (
-        cand.withColumn("lev", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("lev") <= 1)
-        .select("id_a", "id_b", "lev")
-    )
-
-
-SQL_FUZZY_NAME_PAIRS = """
-WITH v AS (
-  SELECT c_custkey, c_name, variant FROM (
-    SELECT c_custkey, c_name,
-      unnest(list_distinct([c_name] || list_transform(
-        range(1, length(c_name) + 1),
-        i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1, length(c_name))
-      ))) AS variant
-    FROM customer)),
-cand AS (
-  SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b,
-    a.c_name AS name_a, b.c_name AS name_b
-  FROM v a JOIN v b ON a.variant = b.variant AND a.c_custkey < b.c_custkey)
-SELECT id_a, id_b, levenshtein(name_a, name_b)::INT AS lev
-FROM cand WHERE levenshtein(name_a, name_b) <= 1
-"""
-
-
-def q_readability(spark, sf_dir):
-    """Flesch reading-ease per doc (206.835 - 1.015*words/sentences -
-    84.6*syllables/words), the classic readability quality gate —
-    pure regex/Column algebra: sentences = runs of [.!?], syllables =
-    PER-WORD vowel-group runs clamped to >= 1 per word (the standard
-    heuristic — a doc-level clamp would undercount whenever vowelless
-    and multi-syllable words coexist; review finding). Map-only — no
-    shuffle at any scale; the three divisions are IEEE-deterministic,
-    hash-checked vs DuckDB."""
-    docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
-    t = F.lower(F.col("text"))
-    toks_l = F.split(F.trim(t), r"\s+")
-    words = F.size(toks_l)
-    sentences = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
-    syllables = F.aggregate(
-        F.transform(
-            toks_l,
-            lambda w: F.greatest(F.regexp_count(w, F.lit("[aeiouy]+")), F.lit(1)),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    flesch = (
-        F.lit(206.835)
-        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
-        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
-    )
-    return docs.select(
-        "doc_id",
-        words.cast("bigint").alias("n_words"),
-        sentences.cast("bigint").alias("n_sentences"),
-        syllables.cast("bigint").alias("n_syllables"),
-        F.round(flesch, 4).alias("flesch"),
-    )
-
-
-SQL_READABILITY = f"""
-WITH t AS (
-  SELECT doc_id, lower(text) AS lt, {_TOKS_LOWER} AS toks FROM documents
-  WHERE length(trim(text)) > 0),
-s AS (
-  SELECT doc_id,
-    len(toks)::BIGINT AS n_words,
-    greatest(len(regexp_extract_all(lt, '[.!?]+')), 1)::BIGINT AS n_sentences,
-    list_sum(list_transform(toks,
-      w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))::BIGINT
-      AS n_syllables
-  FROM t)
-SELECT doc_id, n_words, n_sentences, n_syllables,
-  round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
-        - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 4) AS flesch
-FROM s
-"""
-
-
-def q_etld1_extract(spark, sf_dir):
-    """Registrable-domain (eTLD+1) extraction with a public-suffix-
-    style LONGEST-SUFFIX match: each host explodes into its bounded
-    label-suffix chain (k = 1..3 trailing labels), equi-joins the
-    broadcast suffix dim, and a per-host window keeps the longest
-    match — the trie-join form of PSL lookup (the url_policy_filter
-    recipe applied to suffixes instead of path prefixes), never a
-    per-row loop over the 9k-entry real PSL. The list deliberately
-    contains both 'uk' and 'co.uk' (and 'io'/'github.io') so the
-    longest-wins rule is exercised: blog.acme.co.uk must yield
-    acme.co.uk, not co.uk. Hosts are synthesized deterministically
-    from doc_id (the canonical_url_dedup pattern)."""
-    suffixes = spark.createDataFrame(
-        [(s,) for s in _PSL_SUFFIXES], ["suffix"]
-    ).withColumn("n_labels", F.size(F.split(F.col("suffix"), r"\.")))
-    docs = _docs(spark, sf_dir)
-    d = F.col("doc_id")
-    host = F.concat(
-        F.when(d % 3 == 0, F.lit("www.")).when(d % 3 == 1, F.lit("blog.")).otherwise(F.lit("")),
-        F.col("source"),
-        F.element_at(
-            F.array(*[F.lit(s) for s in [".com", ".co.uk", ".org", ".com.au", ".github.io", ".net"]]),
-            (d % 6 + 1).cast("int"),
-        ),
-    )
-    h = docs.select(host.alias("host")).distinct()
-    labels = F.split(F.col("host"), r"\.")
-    n = F.size(labels)
-    chain = F.transform(
-        F.sequence(F.lit(1), F.least(n - 1, F.lit(3))),
-        lambda k: F.array_join(F.slice(labels, n - k + 1, k), "."),
-    )
-    cand = h.select("host", F.explode(chain).alias("cand_suffix"))
-    m = cand.join(
-        F.broadcast(suffixes), cand.cand_suffix == suffixes.suffix
-    ).select("host", "suffix", "n_labels")
-    w = Window.partitionBy("host").orderBy(F.col("n_labels").desc())
-    best = m.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    lbl = F.split(F.col("host"), r"\.")
-    etld1 = F.concat(
-        F.element_at(lbl, F.size(lbl) - F.col("n_labels")), F.lit("."), F.col("suffix")
-    )
-    return best.select("host", "suffix", etld1.alias("etld1"))
-
-
-_PSL_SUFFIXES = [
-    "com", "net", "org", "uk", "co.uk", "au", "com.au", "io", "github.io",
-]
-
-
-SQL_ETLD1_EXTRACT = """
-WITH sfx AS (
-  SELECT suffix, len(string_split(suffix, '.')) AS n_labels
-  FROM (VALUES ('com'), ('net'), ('org'), ('uk'), ('co.uk'), ('au'),
-               ('com.au'), ('io'), ('github.io')) s(suffix)),
-h AS (
-  SELECT DISTINCT
-    (CASE WHEN doc_id % 3 = 0 THEN 'www.'
-          WHEN doc_id % 3 = 1 THEN 'blog.' ELSE '' END)
-    || source
-    || (['.com', '.co.uk', '.org', '.com.au', '.github.io', '.net'])[(doc_id % 6 + 1)::INT]
-    AS host
-  FROM documents),
-cand AS (
-  SELECT host,
-    array_to_string(lb[len(lb) - k + 1 : len(lb)], '.') AS cand_suffix
-  FROM (SELECT host, string_split(host, '.') AS lb FROM h)
-  CROSS JOIN UNNEST(range(1, 4)) u(k)
-  WHERE k <= len(lb) - 1),
-m AS (
-  SELECT host, suffix, n_labels,
-    row_number() OVER (PARTITION BY host ORDER BY n_labels DESC) AS rn
-  FROM cand JOIN sfx ON cand_suffix = suffix)
-SELECT host, suffix,
-  string_split(host, '.')[len(string_split(host, '.')) - n_labels] || '.' || suffix
-    AS etld1
-FROM m WHERE rn = 1
-"""
-
-
-def q_lsh_md5_topk(spark, sf_dir):
-    """Multi-table hyperplane-LSH top-k under a CROSS-ENGINE hash
-    family, so the DuckDB oracle replays the exact buckets, multiprobe
-    flips, candidate set and rerank — upgrading the LSH similarity
-    operator from rows-only to hash-checked (production
-    simsearch_lsh_topk keeps the Box-Muller planes + numpy kernel).
-
-    Two determinism devices: (1) Rademacher +/-1 planes whose signs
-    come from one md5 hex digit per (table, plane, dim) — Spark folds
-    them as literals, DuckDB recomputes the same md5; (2) vectors are
-    QUANTIZED to round(x*1000) int64 before the plane dot product, so
-    bucket sign bits are integer arithmetic — a float sum's last-ulp
-    difference can never flip a near-zero dot across engines. Sign
-    patterns are invariant to normalization, so quantized-raw buckets
-    equal normalized buckets up to quantization. Exact cosine rerank
-    on candidates (the hash-agnostic stage) as in the brute-force
-    oracle. 2 tables x 6 planes + 1-bit multiprobe, k=3."""
-    from .sketches import md5_lsh_buckets
-    from .simsearch import dot_col, norm_col
-
-    n_planes, k = 6, 3
-    emb = _emb(spark, sf_dir)
-    buckets = md5_lsh_buckets(emb)
-    probes = (
-        buckets.filter(F.col("vec_id") < 5)
-        .withColumnRenamed("vec_id", "query_id")
-        .select(
-            "query_id",
-            "table_id",
-            F.explode(
-                F.array_union(
-                    F.array(F.col("bucket")),
-                    F.array(
-                        *[
-                            F.col("bucket").bitwiseXOR(F.lit(1 << i))
-                            for i in range(n_planes)
-                        ]
-                    ),
-                )
-            ).alias("bucket"),
-        )
-    )
-    cand = (
-        buckets.join(F.broadcast(probes), ["table_id", "bucket"])
-        .select("query_id", "vec_id")
-        .distinct()
-    )
-    vecs = emb.select("vec_id", F.col("embedding").alias("v"))
-    j = (
-        cand.join(vecs.withColumnRenamed("vec_id", "query_id").withColumnRenamed("v", "q_v"), "query_id")
-        .join(vecs.withColumnRenamed("v", "c_v"), "vec_id")
-    )
-    cos = dot_col(F.col("c_v"), F.col("q_v")) / (
-        norm_col(F.col("c_v")) * norm_col(F.col("q_v"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        j.withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", r6(F.col("cosine")).alias("cosine"), "rank")
-    )
 
 
 from .sketches import SQL_MD5_LSH_BUCKETS  # noqa: E402
-
-SQL_LSH_MD5_TOPK = f"""
-WITH {SQL_MD5_LSH_BUCKETS},
-probes AS (
-  SELECT vec_id AS query_id, table_id,
-    unnest(list_distinct([bucket] || list_transform(range(0, 6),
-      i -> xor(bucket::BIGINT, 1::BIGINT << i::INT)::INT))) AS bucket
-  FROM buckets WHERE vec_id < 5),
-cand AS (
-  SELECT DISTINCT p.query_id, b.vec_id
-  FROM buckets b JOIN probes p
-    ON b.table_id = p.table_id AND b.bucket = p.bucket),
-v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-scored AS (
-  SELECT c.query_id, c.vec_id,
-    list_sum(list_transform(range(1, 1 + len(cv.ev)), i -> cv.ev[i] * qv2.ev[i]))
-      / (sqrt(list_sum(list_transform(cv.ev, x -> x*x)))
-         * sqrt(list_sum(list_transform(qv2.ev, x -> x*x)))) AS cos
-  FROM cand c JOIN v cv ON cv.vec_id = c.vec_id
-  JOIN v qv2 ON qv2.vec_id = c.query_id),
-r AS (
-  SELECT query_id, vec_id, cos,
-    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-  FROM scored)
-SELECT query_id, vec_id, round(cos, 6) AS cosine, rank::INT AS rank
-FROM r WHERE rank <= 3
-"""
 
 
 def q_agg_lang_source(spark, sf_dir):
