@@ -5352,6 +5352,97 @@ FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id AND a8.rn = 1 AND a9.rn = 1
 """
 
 
+def q_bm25_rank(spark, sf_dir):
+    """BM25 document ranking (Robertson/Lucene form, k1=1.2, b=0.75)
+    for a query made of the corpus's 5 most-common tokens (derived,
+    not hard-coded, so the query works at every sf): per-(doc, term)
+    tf, per-doc length, broadcast avgdl scalar, and the +1-smoothed
+    idf ln(1 + (N - df + 0.5)/(df + 0.5)); top 10 docs by summed
+    score. Scale shape: ONE term-keyed explode shuffle builds tf/df,
+    dl rides the same explode, the 5-row query-term dim and the
+    (N, avgdl) scalar broadcast — the 100 TB side never shuffles
+    twice. Ordering is by the 6-dp-rounded score so rank boundaries
+    are float-noise-proof across engines (the simsearch precedent).
+    Reference precedent: retrieval scoring over curated articles is
+    the reference's RAG endpoint (biomed_genai vector search); this
+    is the lexical-ranking analog done relationally."""
+    k1, b = 1.2, 0.75
+    docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    e = docs.select("doc_id", F.explode(toks).alias("term"))
+    tf = e.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = dfc.orderBy(F.col("df").desc(), F.col("term")).limit(5)
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+        r6(F.sum("contrib")).alias("bm25"),
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "n_terms_matched", "bm25", "rank")
+    )
+
+
+SQL_BM25_RANK = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents
+  WHERE length(trim(text)) > 0),
+e AS (SELECT doc_id, u.term FROM t, UNNEST(toks) AS u(term)),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM e GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM e GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM dl),
+dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+qterms AS (SELECT term, df FROM dfc ORDER BY df DESC, term LIMIT 5),
+scored AS (
+  SELECT tf.doc_id,
+    ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / s.avgdl))
+      AS contrib
+  FROM tf JOIN qterms q ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+agg AS (
+  SELECT doc_id, count(*)::INT AS n_terms_matched,
+    round(sum(contrib), 6) AS bm25
+  FROM scored GROUP BY doc_id),
+r AS (
+  SELECT doc_id, n_terms_matched, bm25,
+    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM agg)
+SELECT doc_id, n_terms_matched, bm25, rank::INT AS rank FROM r
+WHERE rank <= 10
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
@@ -5478,6 +5569,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dsir_scores": (q_dsir_scores, SQL_DSIR_SCORES),
     "dsir_gumbel_sample": (q_dsir_gumbel_sample, SQL_DSIR_GUMBEL_SAMPLE),
     "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
+    "bm25_rank": (q_bm25_rank, SQL_BM25_RANK),
 }
 
 # The driver oracle-grades exactly the first 50 entries in insertion
