@@ -168,6 +168,42 @@ cost 6.3 s/iter at 1M edges vs 0.9 now).
 """
 
 
+def _zorder_section() -> str:
+    """Surface the jobs/bench_zorder.py data-skipping measurement if
+    it has been recorded."""
+    p = REPO / "BENCH" / "zorder.json"
+    if not p.exists():
+        return ""
+    try:
+        d = json.loads(p.read_text())
+    except (OSError, json.JSONDecodeError):
+        return ""
+    b2, ys = d["box_2d"], d["y_slice"]
+    return f"""
+## Z-order layout: row groups a box predicate must read
+
+`jobs/bench_zorder.py` ({d['rows']:,} uniform 2-D points, {d['files']}
+files, {d['row_group_bytes'] // 1024} KiB row groups so pruning
+resolution comes from the layout, not the file count; hit counts read
+from the parquet footers with pyarrow — engine-independent ground
+truth):
+
+| probe | selectivity | linear rg hit | z-order rg hit | gain |
+| --- | --- | --- | --- | --- |
+| 2-D box | {b2['selectivity']:.4f} | {b2['linear']['row_groups_hit']}/{b2['linear']['row_groups']} | {b2['zorder']['row_groups_hit']}/{b2['zorder']['row_groups']} | **{b2['rg_pruning_gain']}x** |
+| y-only slice | {ys['selectivity']:.4f} | {ys['linear']['row_groups_hit']}/{ys['linear']['row_groups']} | {ys['zorder']['row_groups_hit']}/{ys['zorder']['row_groups']} | **{ys['rg_pruning_gain']}x** |
+
+The x-sorted (linear) layout prunes only its sort column: the 2-D box
+still reads every row group the x-range admits, and the y-only slice
+reads ALL of them. The z-ordered layout (webfilter/zorder.py — exact
+integer binning + Morton interleave, one range shuffle) keeps both
+dims compact per row group, so min/max skipping works on every
+clustered dimension at once. At 100 TB this is the difference between
+a (host, ts)-box query scanning the full table and scanning ~1/{int(ys['rg_pruning_gain'])}
+of it — layout work done once at write time, paid back on every read.
+"""
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=120_000)
@@ -295,7 +331,7 @@ writes. All I/O and shuffles included; session boot excluded.
 * Per-level outputs byte-agree with the golden labels (enforced by
   tests/test_golden_e2e.py; decisions fingerprints are
   parallelism-invariant by construction).
-{_scaling_8v32_section()}{_pagerank_section()}"""
+{_scaling_8v32_section()}{_pagerank_section()}{_zorder_section()}"""
     (REPO / "BENCH").mkdir(exist_ok=True)
     (REPO / "BENCH" / "BASELINE.md").write_text(md)
     print(json.dumps({"thr_n": thr_s, "thr_4n": thr_b, "efficiency": round(eff, 3)}))

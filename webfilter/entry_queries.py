@@ -5443,6 +5443,61 @@ WHERE rank <= 10
 """
 
 
+def q_zorder_cells(spark, sf_dir):
+    """Z-order (Morton) clustering key over events' (user_id,
+    event_id): each dim min/max-binned to 12 bits with EXACT integer
+    arithmetic, bits interleaved by pure shift/mask Column algebra
+    (`zorder.with_zorder` — the layout step behind Delta OPTIMIZE
+    ZORDER / Iceberg zorder rewrites), then rolled up into the 64
+    top-6-bit z-cells (cell, count, zval range) so the output stays
+    bounded at every sf. Scale shape: one broadcast min/max scalar,
+    map-only key computation, one cell-keyed agg; the write-side
+    pruning payoff is measured in jobs/bench_zorder.py. Reference
+    precedent: the reference's only layout control is a blind
+    repartition(64) (pmc.py:152)."""
+    from .zorder import with_zorder
+
+    ev = _tbl(spark, sf_dir, "events")
+    z = with_zorder(ev, ["user_id", "event_id"], bits=12)
+    return (
+        z.groupBy(F.shiftright(F.col("zval"), 18).alias("z_cell"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+        )
+    )
+
+
+def _sql_interleave2(a: str, b: str, bits: int) -> str:
+    """Unrolled DuckDB Morton-interleave: dim a owns even bits, dim b
+    odd bits (matches zorder.interleave_bits order)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+SQL_ZORDER_CELLS = f"""
+WITH s AS (
+  SELECT min(user_id) AS umin, max(user_id) AS umax,
+         min(event_id) AS emin, max(event_id) AS emax
+  FROM events),
+b AS (
+  SELECT
+    CASE WHEN s.umax <= s.umin THEN 0
+         ELSE ((e.user_id - s.umin) * 4095) // (s.umax - s.umin) END AS ub,
+    CASE WHEN s.emax <= s.emin THEN 0
+         ELSE ((e.event_id - s.emin) * 4095) // (s.emax - s.emin) END AS eb
+  FROM events e CROSS JOIN s),
+z AS (SELECT ({_sql_interleave2('ub', 'eb', 12)})::BIGINT AS zval FROM b)
+SELECT (zval >> 18)::BIGINT AS z_cell, count(*)::BIGINT AS n_events,
+       min(zval) AS z_min, max(zval) AS z_max
+FROM z GROUP BY z_cell
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
@@ -5570,6 +5625,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dsir_gumbel_sample": (q_dsir_gumbel_sample, SQL_DSIR_GUMBEL_SAMPLE),
     "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
     "bm25_rank": (q_bm25_rank, SQL_BM25_RANK),
+    "zorder_cells": (q_zorder_cells, SQL_ZORDER_CELLS),
 }
 
 # The driver oracle-grades exactly the first 50 entries in insertion
