@@ -265,6 +265,8 @@ def main() -> None:
         "hll_distinct_terms",
         "kneser_ney_lm_score",
         "bpe_merges",
+        "bm25_rank",
+        "zorder_cells",
     ]
     for name in bench_queries:
         best_q = float("inf")

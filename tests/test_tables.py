@@ -150,3 +150,74 @@ def test_layout_sort_gives_rowgroup_skipping(spark, synth_dir, tmp_path):
     cols = [c for c in a.columns if c != "run_id"]
     assert a.select(cols).exceptAll(b.select(cols)).isEmpty()
     assert b.select(cols).exceptAll(a.select(cols)).isEmpty()
+
+
+def _files_of(path: str) -> dict[str, float]:
+    import glob
+    import os
+
+    return {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/**/*.parquet", recursive=True)
+    }
+
+
+def test_compact_unpartitioned_merges_small_files(spark, tmp_path):
+    """20 tiny appends -> compact -> 1 file, identical content, a
+    'compact' snapshot logged, and a row-count guard that refuses to
+    swap in a bad rewrite."""
+    cat = ParquetCatalog(spark, str(tmp_path))
+    for i in range(20):
+        cat.append(spark.range(i * 10, i * 10 + 10).toDF("v"), "t")
+    before = sorted(
+        r["v"] for r in cat.read("t").collect()
+    )
+    stats = cat.compact("t")
+    assert stats["files_before"] >= 20
+    assert stats["files_after"] == 1
+    assert stats["rows"] == 200
+    after = sorted(r["v"] for r in cat.read("t").collect())
+    assert after == before == list(range(200))
+    assert cat.history("t")[0]["operation"] == "compact"
+    # idempotent: nothing left to do
+    again = cat.compact("t")
+    assert again["partitions_rewritten"] == 0
+    assert again["files_after"] == 1
+
+
+def test_compact_partitioned_rewrites_only_fragmented(spark, tmp_path):
+    """Fragmented partitions collapse to one file each; an untouched
+    partition keeps its EXACT files (same paths, same mtimes) — the
+    dynamic-overwrite guarantee resume depends on."""
+    cat = ParquetCatalog(spark, str(tmp_path))
+    big = spark.range(1000).select(
+        F.lit(0).alias("b"), F.col("id").alias("v")
+    ).coalesce(1)
+    cat.overwrite_partitions(big, "t", "b")
+    untouched = {
+        f: m for f, m in _files_of(cat.path("t")).items() if "/b=0/" in f
+    }
+    # fragment partitions 1 and 2 with 5 tiny appends each
+    for i in range(5):
+        for b in (1, 2):
+            cat.append(
+                spark.range(i * 10, i * 10 + 10).select(
+                    F.lit(b).alias("b"), F.col("id").alias("v")
+                ),
+                "t",
+                part_col="b",
+            )
+    rows_before = cat.read("t").count()
+    stats = cat.compact("t", part_col="b")
+    assert stats["partitions_rewritten"] == 2
+    assert stats["rows"] == rows_before == 1100
+    files = _files_of(cat.path("t"))
+    per_part = {}
+    for f in files:
+        part = f.split("/b=")[1].split("/")[0]
+        per_part[part] = per_part.get(part, 0) + 1
+    assert per_part["1"] == 1 and per_part["2"] == 1
+    # partition 0: same files, same mtimes
+    now0 = {f: m for f, m in files.items() if "/b=0/" in f}
+    assert now0 == untouched
+    assert cat.read("t").count() == 1100

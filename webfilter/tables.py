@@ -105,9 +105,12 @@ class ParquetCatalog:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(name))
 
-    def append(self, df: DataFrame, name: str) -> None:
-        df.write.mode("append").parquet(self.path(name))
-        self._log_snapshot(name, "append", "")
+    def append(self, df: DataFrame, name: str, part_col: str | None = None) -> None:
+        w = df.write.mode("append")
+        if part_col is not None:
+            w = w.partitionBy(part_col)
+        w.parquet(self.path(name))
+        self._log_snapshot(name, "append", part_col or "")
 
     def _log_snapshot(self, name: str, operation: str, detail: str) -> None:
         """Append one commit row to the catalog's snapshot log — the
@@ -193,6 +196,132 @@ class ParquetCatalog:
             .parquet(self.path(name))
         )
         self._log_snapshot(name, "overwrite_partitions", part_col)
+
+    def _file_stats(self, name: str) -> dict[str, tuple[int, int]]:
+        """(n_files, bytes) per partition dir ('' = unpartitioned
+        root), from a driver-side walk — footer metadata only, no
+        Spark job. On a real catalog this is the manifest/file-list
+        metadata query."""
+        base = self.path(name)
+        stats: dict[str, tuple[int, int]] = {}
+        for dirpath, _dirs, files in os.walk(base):
+            pf = [f for f in files if f.endswith(".parquet")]
+            if not pf:
+                continue
+            rel = os.path.relpath(dirpath, base)
+            key = "" if rel == "." else rel
+            n = sum(
+                os.path.getsize(os.path.join(dirpath, f)) for f in pf
+            )
+            stats[key] = (len(pf), n)
+        return stats
+
+    def compact(
+        self,
+        name: str,
+        target_bytes: int = 128 << 20,
+        part_col: str | None = None,
+        min_files: int = 2,
+    ) -> dict:
+        """Small-file compaction — the Iceberg rewrite_data_files /
+        Delta OPTIMIZE analog for the parquet catalog. Every append
+        and streaming micro-batch leaves one-or-more files; at 10^12
+        docs a day of micro-batches is millions of tiny files whose
+        open/footer cost dominates the scan. Bin-pack each fragmented
+        partition (>= min_files files AND under target_bytes total)
+        back to one file; bigger fragmented partitions get
+        ceil(bytes/target) files.
+
+        Only fragmented partitions are rewritten (dynamic partition
+        overwrite — untouched partitions keep their exact files, same
+        guarantee the MERGE path relies on); an unpartitioned table
+        rewrites atomically via a tmp-dir swap. Data is rewritten
+        byte-identically (no re-sort here; combine with zorder_write
+        when re-clustering is wanted). Returns {files_before,
+        files_after, partitions_rewritten, rows}."""
+        import math
+        import shutil
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        base = self.path(name)
+        before = self._file_stats(name)
+        files_before = sum(n for n, _ in before.values())
+        rows = self.read(name).count()
+
+        if part_col is None:
+            total = sum(b for _, b in before.values())
+            n_out = max(1, math.ceil(total / target_bytes))
+            if files_before <= max(n_out, min_files - 1):
+                return {
+                    "files_before": files_before,
+                    "files_after": files_before,
+                    "partitions_rewritten": 0,
+                    "rows": rows,
+                }
+            tmp = f"{base}._compact_{uuid.uuid4().hex}"
+            self.read(name).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+            n_new = self.spark.read.parquet(tmp).count()
+            if n_new != rows:  # never swap in a bad rewrite
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise RuntimeError(f"compact row mismatch: {rows} -> {n_new}")
+            old = f"{base}._old_{uuid.uuid4().hex}"
+            os.rename(base, old)
+            os.rename(tmp, base)
+            shutil.rmtree(old, ignore_errors=True)
+            self._log_snapshot(name, "compact", f"files:{files_before}->{n_out}")
+            after = sum(n for n, _ in self._file_stats(name).values())
+            return {
+                "files_before": files_before,
+                "files_after": after,
+                "partitions_rewritten": 1,
+                "rows": rows,
+            }
+
+        # partitioned: rewrite only fragmented partitions
+        frag: list[str] = []
+        for key, (n, b) in before.items():
+            # fragmented = several files that together still fit one
+            # target file; bigger partitions are left to a ranged
+            # rewrite (zorder_write) rather than a blind coalesce
+            if key and n >= min_files and b < target_bytes:
+                frag.append(key)
+        if not frag:
+            return {
+                "files_before": files_before,
+                "files_after": files_before,
+                "partitions_rewritten": 0,
+                "rows": rows,
+            }
+        # partition dir names are <part_col>=<value>
+        values = [k.split("=", 1)[1] for k in frag if k.startswith(f"{part_col}=")]
+        df = self.read(name)
+        vtype = dict(df.dtypes)[part_col]
+        lit_vals = [int(v) for v in values] if vtype in (
+            "int", "bigint", "smallint", "tinyint"
+        ) else values
+        sel = df.filter(F.col(part_col).isin(lit_vals))
+        # one output file per fragmented partition (they are small by
+        # selection); the shuffle key is the partition itself
+        (
+            sel.repartition(F.col(part_col))
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(base)
+        )
+        n_new = self.read(name).count()
+        if n_new != rows:
+            raise RuntimeError(f"compact row mismatch: {rows} -> {n_new}")
+        self._log_snapshot(name, "compact", f"partitions:{len(values)}")
+        after = sum(n for n, _ in self._file_stats(name).values())
+        return {
+            "files_before": files_before,
+            "files_after": after,
+            "partitions_rewritten": len(values),
+            "rows": rows,
+        }
 
 
 def latest_per_url(pages: DataFrame, cluster_col: str | None = None) -> DataFrame:
