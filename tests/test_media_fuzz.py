@@ -12,8 +12,10 @@ from hypothesis import strategies as st
 
 from webfilter.kernels.media import (
     decode_gif_pixels,
+    decode_jpeg_pixels,
     decode_png_pixels,
     make_gif,
+    make_jpeg,
     make_mp4,
     make_png,
     parse_image,
@@ -29,6 +31,7 @@ MAGICS = [
 
 def _all_parsers(raw: bytes) -> None:
     decode_gif_pixels(raw)
+    decode_jpeg_pixels(raw)
     decode_png_pixels(raw)
     parse_mp4(raw)
     parse_image(raw)
@@ -51,7 +54,7 @@ def test_parsers_never_raise_on_arbitrary_bytes(raw):
 @given(st.integers(0, 10_000), st.integers(0, 255))
 def test_parsers_never_raise_on_corrupted_valid_files(pos, val):
     for raw in (make_gif(9, 5, seed=3), make_png(9, 5, seed=3),
-                make_mp4(4200, 600, seed=3)):
+                make_mp4(4200, 600, seed=3), make_jpeg(9, 5, seed=3)[0]):
         b = bytearray(raw)
         b[pos % len(b)] = val
         _all_parsers(bytes(b))
@@ -74,3 +77,17 @@ def test_gif_lzw_roundtrip_property(w, h, seed):
     assert np.array_equal(
         px[:, :, 0], np.array(truth, dtype=np.uint8).reshape(h, w)
     )
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 24), st.integers(0, 2**31))
+def test_jpeg_flatq_roundtrip_property(w, h, seed):
+    """decode(make_jpeg(..., flat_q=True)) reconstructs the encoder's
+    pixels to within DCT integer-rounding (|err| <= 2) for ANY
+    dimensions/seed — real entropy decode, not header sniffing."""
+    import numpy as np
+
+    raw, px = make_jpeg(w, h, seed=seed, flat_q=True)
+    dec = decode_jpeg_pixels(raw)
+    assert dec is not None and dec.shape == (h, w, 1)
+    assert int(np.abs(dec[:, :, 0].astype(int) - px.astype(int)).max()) <= 2

@@ -307,3 +307,68 @@ def test_sample_frames_uses_real_mp4_probe(spark):
     for i in range(12):
         dur = 1000 + (i * 977) % 30_000
         assert got[i] == math.ceil(dur / 1000), (i, dur, got[i])
+
+
+def test_jpeg_pixel_decode_real_entropy_data():
+    """decode_jpeg_pixels runs a REAL baseline decode (Huffman entropy
+    data -> dequantize -> IDCT): flat-q round trip within integer
+    rounding, default-q within quantization error on smooth content,
+    and correct refusal (None, no exception) of the unsupported
+    shapes it documents."""
+    import numpy as np
+
+    from webfilter.kernels.media import (
+        decode_jpeg_pixels,
+        make_jpeg,
+        parse_image,
+    )
+
+    for w, h, seed in [(8, 8, 0), (17, 9, 3), (64, 48, 7), (1, 1, 2)]:
+        raw, px = make_jpeg(w, h, seed=seed, flat_q=True)
+        assert parse_image(raw)["format"] == "jpeg"
+        dec = decode_jpeg_pixels(raw)
+        assert dec is not None and dec.shape == (h, w, 1)
+        err = np.abs(dec[:, :, 0].astype(int) - px.astype(int))
+        assert err.max() <= 2, (w, h, seed, err.max())
+
+    raw, px = make_jpeg(96, 64, seed=11)  # spec-table quantization
+    dec = decode_jpeg_pixels(raw)
+    err = np.abs(dec[:, :, 0].astype(int) - px.astype(int))
+    assert err.max() <= 24 and err.mean() <= 4.0
+
+    # documented refusals: multi-component SOF, progressive marker
+    mono, _ = make_jpeg(16, 16, seed=1)
+    assert decode_jpeg_pixels(mono[:40]) is None  # truncated
+    prog = bytearray(mono)
+    i = mono.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    assert decode_jpeg_pixels(bytes(prog)) is None
+
+
+def test_jpeg_features_use_decoded_pixels(spark):
+    """A grayscale JPEG's embedding must come from DECODED pixels:
+    cosine vs the ground-truth pixel histogram ~1, and far from the
+    compressed-byte histogram."""
+    import numpy as np
+    import pandas as pd
+
+    from webfilter.kernels.media import make_jpeg
+
+    raw, px = make_jpeg(32, 24, seed=9, flat_q=True)
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "bytes": [raw]})
+    )
+    feat = np.array(
+        multimodal.extract_features(df).collect()[0]["feature"], dtype=np.float32
+    )
+    hist, _ = np.histogram(px.reshape(-1), bins=multimodal.EMBED_DIM, range=(0, 256))
+    v = hist.astype(np.float32)
+    v /= np.linalg.norm(v)
+    assert float(feat @ v) > 0.999
+    bhist, _ = np.histogram(
+        np.frombuffer(raw[:4096], dtype=np.uint8),
+        bins=multimodal.EMBED_DIM, range=(0, 256),
+    )
+    b = bhist.astype(np.float32)
+    b /= np.linalg.norm(b)
+    assert float(feat @ b) < 0.9

@@ -127,15 +127,21 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def extract_features(df: DataFrame) -> DataFrame:
-    """Feature-extraction stage. For 8-bit non-interlaced PNGs AND
-    non-interlaced GIFs the embedding is computed from REAL decoded
-    pixels (kernels.media.decode_png_pixels — stdlib zlib inflate +
-    unfiltering, VERDICT r3 #8; decode_gif_pixels — from-scratch
-    GIF-LZW): an L2-normalized EMBED_DIM-bin pixel histogram. Other
-    formats keep the documented byte-histogram stand-in (real impl:
-    a vision model over decoded pixels — jpeg entropy decode is a
-    deploy-time library swap). Batched numpy."""
-    from .kernels.media import decode_gif_pixels, decode_png_pixels
+    """Feature-extraction stage. For 8-bit non-interlaced PNGs,
+    non-interlaced GIFs AND baseline grayscale JPEGs the embedding is
+    computed from REAL decoded pixels (kernels.media:
+    decode_png_pixels — stdlib zlib inflate + unfiltering;
+    decode_gif_pixels — from-scratch GIF-LZW; decode_jpeg_pixels —
+    from-scratch baseline entropy decode + IDCT): an L2-normalized
+    EMBED_DIM-bin pixel histogram. Remaining formats keep the
+    documented byte-histogram stand-in (real impl: a vision model
+    over decoded pixels — chroma-subsampled color jpeg and video
+    codec frames are the deploy-time library swap). Batched numpy."""
+    from .kernels.media import (
+        decode_gif_pixels,
+        decode_jpeg_pixels,
+        decode_png_pixels,
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -144,6 +150,8 @@ def extract_features(df: DataFrame) -> DataFrame:
                 px = decode_png_pixels(b)
                 if px is None:
                     px = decode_gif_pixels(b)
+                if px is None:
+                    px = decode_jpeg_pixels(b)
                 if px is not None:
                     arr = px.reshape(-1)
                 else:
