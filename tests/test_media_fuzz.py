@@ -13,6 +13,7 @@ from hypothesis import strategies as st
 from webfilter.kernels.media import (
     decode_gif_pixels,
     decode_jpeg_pixels,
+    make_jpeg_color,
     decode_png_pixels,
     make_gif,
     make_jpeg,
@@ -54,7 +55,8 @@ def test_parsers_never_raise_on_arbitrary_bytes(raw):
 @given(st.integers(0, 10_000), st.integers(0, 255))
 def test_parsers_never_raise_on_corrupted_valid_files(pos, val):
     for raw in (make_gif(9, 5, seed=3), make_png(9, 5, seed=3),
-                make_mp4(4200, 600, seed=3), make_jpeg(9, 5, seed=3)[0]):
+                make_mp4(4200, 600, seed=3), make_jpeg(9, 5, seed=3)[0],
+                make_jpeg_color(9, 5, seed=3)[0]):
         b = bytearray(raw)
         b[pos % len(b)] = val
         _all_parsers(bytes(b))
@@ -91,3 +93,16 @@ def test_jpeg_flatq_roundtrip_property(w, h, seed):
     dec = decode_jpeg_pixels(raw)
     assert dec is not None and dec.shape == (h, w, 1)
     assert int(np.abs(dec[:, :, 0].astype(int) - px.astype(int)).max()) <= 2
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 32), st.integers(1, 20), st.integers(0, 2**31))
+def test_jpeg_color_roundtrip_property(w, h, seed):
+    """4:4:4 color: decode(make_jpeg_color(..., flat_q=True)) matches
+    the encoder's RGB within YCbCr-transform + DCT rounding (<= 4)."""
+    import numpy as np
+
+    raw, rgb = make_jpeg_color(w, h, seed=seed, flat_q=True)
+    dec = decode_jpeg_pixels(raw)
+    assert dec is not None and dec.shape == (h, w, 3)
+    assert int(np.abs(dec.astype(int) - rgb.astype(int)).max()) <= 4

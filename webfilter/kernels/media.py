@@ -9,11 +9,12 @@ decode is real for PNG (decode_png_pixels — zlib inflate + all five
 row unfilters) and GIF (decode_gif_pixels — from-scratch GIF-LZW
 with a real-LZW generator for round-trip tests), JPEG (
 decode_jpeg_pixels — from-scratch baseline-sequential entropy decode
-for grayscale frames: canonical DHT Huffman, byte-unstuffed bit
-reader, dequantize + de-zigzag + float IDCT, with encode_jpeg_gray
-as the real-encoder ground truth), and the MP4 container duration
+for grayscale AND 4:4:4 color frames: canonical DHT Huffman,
+byte-unstuffed bit reader, per-component predictors/tables,
+dequantize + de-zigzag + float IDCT + JFIF YCbCr inverse, with
+encode_jpeg_gray/encode_jpeg_color as real-encoder ground truth), and the MP4 container duration
 probe is real (parse_mp4 — ISO-BMFF box walk to mvhd, both version
-layouts). Only chroma-subsampled multi-component jpeg and video
+layouts). Only chroma-SUBSAMPLED jpeg (4:2:0 etc.) and video
 codec frames remain a deploy-time library swap, and unknown formats
 surface err='unknown_format' instead of fake values.
 """
@@ -667,12 +668,14 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg_pixels(raw: bytes | None):
-    """REAL entropy decode for baseline-sequential GRAYSCALE JPEGs.
-    Returns an (h, w, 1) uint8 array or None (unsupported/multi-
-    component/progressive/malformed — callers keep the stand-in).
+    """REAL entropy decode for baseline-sequential JPEGs with 1 or 3
+    components at 1x1 sampling (grayscale and 4:4:4 color). Returns
+    an (h, w, 1) or (h, w, 3) uint8 array — RGB after the JFIF
+    YCbCr inverse for color — or None (progressive / subsampled /
+    restart-interval / malformed: callers keep the stand-in).
     Closes the 'jpeg entropy data' gap in the round-3 verdict's
-    media stand-in list for the 1-component case; chroma-subsampled
-    3-component decode remains the deploy-time library swap."""
+    media stand-in list except chroma-SUBSAMPLED frames, which stay
+    the deploy-time library swap."""
     import numpy as np
 
     if not raw or raw[:2] != b"\xff\xd8":
@@ -682,7 +685,8 @@ def decode_jpeg_pixels(raw: bytes | None):
         dc_t: dict[int, dict] = {}
         ac_t: dict[int, dict] = {}
         h = w = None
-        comp_q = dc_id = ac_id = 0
+        comps: list[tuple[int, int]] = []  # (component_id, qtable_id)
+        scan_tabs: dict[int, tuple[int, int]] = {}  # cid -> (dc, ac)
         i, n = 2, len(raw)
         scan_at = None
         while i + 4 <= n:
@@ -715,62 +719,86 @@ def decode_jpeg_pixels(raw: bytes | None):
                     p += 17 + cnt
             elif marker == 0xC0:  # SOF0 baseline
                 h, w = struct.unpack_from(">HH", body, 1)
-                if body[5] != 1:  # components
-                    return None  # grayscale only
-                if body[7] != 0x11:
-                    return None  # no subsampling
-                comp_q = body[8]
+                nc = body[5]
+                if nc not in (1, 3):
+                    return None
+                for c in range(nc):
+                    cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                    if samp != 0x11:
+                        return None  # subsampled: unsupported
+                    comps.append((cid, tq))
             elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 return None  # progressive/extended: unsupported
             elif marker == 0xDD:  # DRI
                 if struct.unpack_from(">H", body, 0)[0] != 0:
                     return None  # restart markers unsupported
             elif marker == 0xDA:  # SOS
-                if body[0] != 1:
+                if body[0] != len(comps) or not comps:
                     return None
-                dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+                for c in range(body[0]):
+                    cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                    scan_tabs[cid] = (tt >> 4, tt & 0xF)
                 scan_at = i + 2 + seg
                 break
             i += 2 + seg
-        if scan_at is None or h is None or comp_q not in qt:
+        if scan_at is None or h is None:
             return None
-        q = np.array(qt[comp_q], dtype=np.float64)
-        dqz = np.zeros(64)
-        dqz[_ZIGZAG] = q  # de-zigzag the quant table once
         m = _dct_matrix()
         bw, bh = (w + 7) // 8, (h + 7) // 8
-        out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        dqzs, tabs, planes, preds = [], [], [], []
+        for cid, tq in comps:
+            if tq not in qt or cid not in scan_tabs:
+                return None
+            dqz = np.zeros(64)
+            dqz[_ZIGZAG] = np.array(qt[tq], dtype=np.float64)
+            dqzs.append(dqz)
+            di, ai = scan_tabs[cid]
+            tabs.append((dc_t[di], ac_t[ai]))
+            planes.append(np.zeros((bh * 8, bw * 8), dtype=np.float64))
+            preds.append(0)
         r = _BitReader(raw, scan_at)
-        dct, act = dc_t[dc_id], ac_t[ac_id]
-        pred = 0
         for by in range(bh):
             for bx in range(bw):
-                coef = np.zeros(64)
-                t = _huff_read(r, dct)
-                pred += _extend(r.bits(t), t)
-                coef[0] = pred
-                k = 1
-                while k < 64:
-                    rs = _huff_read(r, act)
-                    run, size = rs >> 4, rs & 0xF
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        return None
-                    coef[_ZIGZAG[k]] = _extend(r.bits(size), size)
-                    k += 1
-                # coef was scattered into natural order as it decoded;
-                # dequantize in natural order
-                deq = (coef * dqz).reshape(8, 8)
-                px = m.T @ deq @ m + 128.0
-                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
-        return (
-            np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8).reshape(h, w, 1)
+                for c in range(len(comps)):  # interleaved MCU
+                    dct, act = tabs[c]
+                    coef = np.zeros(64)
+                    t = _huff_read(r, dct)
+                    preds[c] += _extend(r.bits(t), t)
+                    coef[0] = preds[c]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_read(r, act)
+                        run, size = rs >> 4, rs & 0xF
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += run
+                        if k > 63:
+                            return None
+                        coef[_ZIGZAG[k]] = _extend(r.bits(size), size)
+                        k += 1
+                    # coef was scattered into natural order as it
+                    # decoded; dequantize in natural order
+                    deq = (coef * dqzs[c]).reshape(8, 8)
+                    px = m.T @ deq @ m + 128.0
+                    planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+        if len(comps) == 1:
+            out = planes[0][:h, :w]
+            return np.clip(np.round(out), 0, 255).astype(np.uint8).reshape(h, w, 1)
+        yy = planes[0][:h, :w]
+        cb = planes[1][:h, :w] - 128.0
+        cr = planes[2][:h, :w] - 128.0
+        rgb = np.stack(
+            [
+                yy + 1.402 * cr,
+                yy - 0.344136 * cb - 0.714136 * cr,
+                yy + 1.772 * cb,
+            ],
+            axis=-1,
         )
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     except (ValueError, IndexError, struct.error, KeyError):
         return None
 
@@ -784,15 +812,31 @@ def make_jpeg(width: int, height: int, seed: int = 0, flat_q: bool = False) -> t
     input, the test oracle for the lossy round trip. ``flat_q=True``
     uses an all-ones quantization table so the round-trip error is
     rounding-only (near-lossless); the default table is the spec's
-    example luminance table scaled down (quality ~85). Huffman tables are uniform-length canonical DHTs (12x4-bit
-    DC categories, 162x8-bit AC run/size symbols) — legal, simple,
-    and they force the decoder to honor arbitrary DHTs rather than
+    example luminance table scaled down (quality ~85). Huffman
+    tables are uniform-length canonical DHTs (12x4-bit DC
+    categories, 162x8-bit AC run/size symbols) — legal, simple, and
+    they force the decoder to honor arbitrary DHTs rather than
     memorized constants."""
+    pixels = _synth_pixels(width, height, seed)
+    return encode_jpeg_gray(pixels, flat_q=flat_q), pixels
+
+
+def make_jpeg_color(width: int, height: int, seed: int = 0, flat_q: bool = False) -> tuple:
+    """Valid 4:4:4 color JFIF (3 components, 1x1 sampling) with
+    deterministic RGB pixels; returns (jpeg_bytes, rgb_array)."""
     import numpy as np
 
-    # deterministic smooth-ish pixels (gradients + hash ripple): smooth
-    # enough that default-quality round-trip error stays small, varied
-    # enough to exercise every AC path
+    planes = [_synth_pixels(width, height, seed + 17 * c) for c in range(3)]
+    rgb = np.stack(planes, axis=-1)
+    return encode_jpeg_color(rgb, flat_q=flat_q), rgb
+
+
+def _synth_pixels(width: int, height: int, seed: int):
+    """Deterministic smooth-ish pixels (gradients + hash ripple):
+    smooth enough that default-quality round-trip error stays small,
+    varied enough to exercise every AC path."""
+    import numpy as np
+
     x = np.arange(width)[None, :]
     y = np.arange(height)[:, None]
     s = (seed * 2654435761 + 0x9E3779B9) & 0xFFFFFFFF
@@ -802,11 +846,11 @@ def make_jpeg(width: int, height: int, seed: int = 0, flat_q: bool = False) -> t
         + 48.0 * np.cos((y + (s >> 5 & 31)) / 7.0)
         + ((x * 13 + y * 7 + s) % 11)
     )
-    pixels = np.clip(np.round(px), 0, 255).astype(np.uint8)
-    return encode_jpeg_gray(pixels, flat_q=flat_q), pixels
+    return np.clip(np.round(px), 0, 255).astype(np.uint8)
 
 
-# spec example luminance table (Annex K.1), scaled toward q~85
+# spec example luminance / chrominance tables (Annex K.1/K.2),
+# scaled toward q~85
 _JPEG_QTABLE = [
     16, 11, 10, 16, 24, 40, 51, 61,
     12, 12, 14, 19, 26, 58, 60, 55,
@@ -817,23 +861,64 @@ _JPEG_QTABLE = [
     49, 64, 78, 87, 103, 121, 120, 101,
     72, 92, 95, 98, 112, 100, 103, 99,
 ]
+_JPEG_QTABLE_C = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
 
 
 def encode_jpeg_gray(pixels, flat_q: bool = False) -> bytes:
+    return _encode_jpeg([pixels], flat_q=flat_q)
+
+
+def encode_jpeg_color(rgb, flat_q: bool = False) -> bytes:
+    """JFIF RGB -> YCbCr, then the shared 4:4:4 baseline encoder."""
     import numpy as np
 
-    h, w = pixels.shape
-    qtab = np.ones(64) if flat_q else np.maximum(1, (np.array(_JPEG_QTABLE) * 3) // 10)
-    qtab = qtab.astype(np.int64)
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    yy = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    planes = [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (yy, cb, cr)]
+    return _encode_jpeg(planes, flat_q=flat_q)
+
+
+def _encode_jpeg(planes: list, flat_q: bool = False) -> bytes:
+    """Shared baseline-sequential encoder: 1 plane -> grayscale,
+    3 planes (Y, Cb, Cr, same size = 4:4:4) -> color. Components 2-3
+    use quant/Huffman table id 1 (identical content to id 0 for the
+    Huffman side) so decoders must honor per-component table ids."""
+    import numpy as np
+
+    h, w = planes[0].shape
+    nc = len(planes)
+    if flat_q:
+        qtabs = [np.ones(64, dtype=np.int64)] * 2
+    else:
+        qtabs = [
+            np.maximum(1, (np.array(_JPEG_QTABLE) * 3) // 10).astype(np.int64),
+            np.maximum(1, (np.array(_JPEG_QTABLE_C) * 3) // 10).astype(np.int64),
+        ]
     m = _dct_matrix()
 
-    # pad to 8x8 blocks by edge replication
-    ph, pw = ((h + 7) // 8) * 8, ((w + 7) // 8) * 8
-    img = np.zeros((ph, pw), dtype=np.float64)
-    img[:h, :w] = pixels
-    img[h:, :w] = pixels[-1:, :]
-    img[:h, w:] = pixels[:, -1:]
-    img[h:, w:] = pixels[-1, -1]
+    def pad(p):
+        ph, pw = ((h + 7) // 8) * 8, ((w + 7) // 8) * 8
+        img = np.zeros((ph, pw), dtype=np.float64)
+        img[:h, :w] = p
+        img[h:, :w] = p[-1:, :]
+        img[:, w:] = img[:, w - 1 : w]  # right edge incl. the corner
+        return img
+
+    imgs = [pad(p) for p in planes]
+    ph, pw = imgs[0].shape
 
     # uniform-length canonical Huffman tables
     dc_syms = list(range(12))
@@ -874,56 +959,73 @@ def encode_jpeg_gray(pixels, flat_q: bool = False) -> bytes:
     def category(v: int) -> int:
         return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
-    pred = 0
+    def emit_block(img, by, bx, qtab, pred):
+        blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        coef = m @ blk @ m.T
+        zz = np.round(coef.reshape(64)[_ZIGZAG] / qtab[_ZIGZAG]).astype(np.int64)
+        diff = int(zz[0]) - pred
+        t = category(diff)
+        ln, code = dc_enc[t]
+        put(ln, code)
+        if t:
+            put(t, diff & ((1 << t) - 1) if diff >= 0 else (diff + (1 << t) - 1))
+        run = 0
+        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if k > last_nz:
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_enc[0xF0]
+                put(ln, code)
+                run -= 16
+            s = category(v)
+            ln, code = ac_enc[(run << 4) | s]
+            put(ln, code)
+            put(s, v & ((1 << s) - 1) if v >= 0 else (v + (1 << s) - 1))
+            run = 0
+        if last_nz < 63:
+            ln, code = ac_enc[0x00]
+            put(ln, code)
+        return int(zz[0])
+
+    preds = [0] * nc
+    q_of = [0] + [1] * (nc - 1)
     for by in range(ph // 8):
         for bx in range(pw // 8):
-            blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coef = m @ blk @ m.T
-            zz = np.round(coef.reshape(64)[_ZIGZAG] / qtab[_ZIGZAG]).astype(np.int64)
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            t = category(diff)
-            ln, code = dc_enc[t]
-            put(ln, code)
-            if t:
-                put(t, diff & ((1 << t) - 1) if diff >= 0 else (diff + (1 << t) - 1))
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if k > last_nz:
-                    break
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    ln, code = ac_enc[0xF0]
-                    put(ln, code)
-                    run -= 16
-                s = category(v)
-                ln, code = ac_enc[(run << 4) | s]
-                put(ln, code)
-                put(s, v & ((1 << s) - 1) if v >= 0 else (v + (1 << s) - 1))
-                run = 0
-            if last_nz < 63:
-                ln, code = ac_enc[0x00]
-                put(ln, code)
+            for c in range(nc):  # interleaved MCU at 1x1 sampling
+                preds[c] = emit_block(imgs[c], by, bx, qtabs[q_of[c]], preds[c])
     if acc[1]:
         put(8 - acc[1], (1 << (8 - acc[1])) - 1)  # pad with 1s
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    zz_q = bytes(int(qtab[_ZIGZAG[i]]) for i in range(64))
-    dqt = seg(0xDB, b"\x00" + zz_q)
+    def zz_bytes(q) -> bytes:
+        return bytes(int(q[_ZIGZAG[i]]) for i in range(64))
+
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    dht = seg(
-        0xC4,
-        b"\x00" + bytes(dc_bits) + bytes(dc_syms)
-        + b"\x10" + bytes(ac_bits) + bytes(ac_syms),
+    dqt = seg(0xDB, b"\x00" + zz_bytes(qtabs[0]))
+    sof_comps = b"".join(
+        bytes([cid + 1, 0x11, q_of[cid]]) for cid in range(nc)
     )
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return (
-        b"\xff\xd8" + app0 + dqt + sof + dht + sos + bytes(out) + b"\xff\xd9"
-    )
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, nc) + sof_comps)
+    huff = b"\x00" + bytes(dc_bits) + bytes(dc_syms) + b"\x10" + bytes(ac_bits) + bytes(ac_syms)
+    dht = seg(0xC4, huff)
+    head = b"\xff\xd8" + app0 + dqt + sof + dht
+    if nc == 3:
+        head += seg(0xDB, b"\x01" + zz_bytes(qtabs[1]))
+        # table id 1 = same canonical tables under the other id
+        head += seg(
+            0xC4,
+            b"\x01" + bytes(dc_bits) + bytes(dc_syms)
+            + b"\x11" + bytes(ac_bits) + bytes(ac_syms),
+        )
+        sos_comps = bytes([1, 0x00, 2, 0x11, 3, 0x11])
+    else:
+        sos_comps = bytes([1, 0x00])
+    sos = seg(0xDA, bytes([nc]) + sos_comps + bytes([0, 63, 0]))
+    return head + sos + bytes(out) + b"\xff\xd9"
