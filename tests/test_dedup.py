@@ -421,3 +421,40 @@ def test_remove_duplicate_windows_periodic_text_collapses(spark):
     row = remove_duplicate_windows(df, window=8).collect()[0]
     assert row.clean_text == "rep"
     assert row.n_tokens == 16 and row.n_removed == 15
+
+
+def test_incremental_simhash_equals_full_recompute(spark, near_dup_docs):
+    """base batch + increment through persisted chunk state must
+    reproduce the one-shot simhash pair set EXACTLY (fingerprints are
+    deterministic per text; the verify reads fps from state, so no
+    corpus text is touched)."""
+    from webfilter.dedup import (
+        incremental_simhash_pairs,
+        simhash_near_dup_pairs,
+        simhash_state_table,
+    )
+
+    docs = near_dup_docs
+    full = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(docs, max_hamming=8).collect()
+    }
+    assert full, "fixture must contain simhash near-dups"
+
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    inc = docs.filter(F.col("doc_id") % 3 == 0)
+    state = simhash_state_table(base)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(base, max_hamming=8).collect()
+    }
+    p2, nc = incremental_simhash_pairs(inc, state, max_hamming=8)
+    got |= {(r["id_a"], r["id_b"], r["hamming"]) for r in p2.collect()}
+    assert got == full
+
+    # appending the increment's chunks and feeding an EMPTY batch
+    # must add nothing (state growth is append-only, no rescoring)
+    state2 = state.unionByName(nc)
+    empty = docs.filter(F.lit(False))
+    p3, _ = incremental_simhash_pairs(empty, state2, max_hamming=8)
+    assert p3.count() == 0

@@ -921,6 +921,119 @@ def simhash_col(text: Column, bits: int = 64, hash_fn=None) -> Column:
     )
 
 
+def simhash_state_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_chunks: int = 4,
+    use_kernel: bool = True,
+    bits: int = 64,
+    hash_fn=None,
+) -> DataFrame:
+    """(id, fp, chunk_idx, chunk_val) — the simhash pigeonhole
+    blocking state, shared by the one-shot pairs path and the
+    incremental path (persist it as a catalog table and each new
+    crawl increment joins against it instead of re-fingerprinting
+    the corpus). fp rides along so hamming verification never needs
+    the corpus text at all — unlike minhash, whose exact-Jaccard
+    verify must re-shingle candidate texts."""
+    if hash_fn is not None or bits != 64:
+        use_kernel = False
+    if use_kernel:
+        fp = with_simhash(
+            df.select(F.col(id_col).alias("id"), text_col), text_col
+        ).select("id", "fp")
+        # the pigeonhole self-join consumes fp twice; persist so the
+        # Arrow-UDF signature pass runs once (reference H2 cache()
+        # precedent, pmc.py:161). Tiny: 16 bytes x n_docs; released
+        # via release_cached().
+        fp = _persist(fp)
+    else:
+        fp = df.select(
+            F.col(id_col).alias("id"),
+            simhash_col(F.col(text_col), bits=bits, hash_fn=hash_fn).alias("fp"),
+        )
+    chunk_bits = bits // n_chunks
+    return fp.select(
+        "id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("fp"), c * chunk_bits).bitwiseAND(
+                        F.lit((1 << chunk_bits) - 1)
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+
+
+def incremental_simhash_pairs(
+    new_df: DataFrame,
+    old_chunks: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    use_kernel: bool = True,
+    broadcast_new: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """SimHash twin of incremental_minhash_pairs: dedup a NEW batch
+    against persisted chunk state without re-fingerprinting the
+    corpus. Returns ``(pairs, new_chunks)``; the caller appends
+    ``new_chunks`` to the state table.
+
+    Fingerprints are deterministic per text, so (x, y) is a
+    candidate here iff it is one in the one-shot run, and the
+    hamming verify reads fps straight from the state — full-recompute
+    equivalence is exact (tested), with NO corpus text scan: the
+    100 TB side is one narrow (id, fp, chunk) scan with a map-side
+    join against the broadcast increment. Set ``broadcast_new=False``
+    for huge increments (degrades to a sort-merge on the chunk key,
+    still never all-pairs)."""
+    nc = _persist(
+        simhash_state_table(
+            new_df, id_col, text_col, n_chunks=n_chunks, use_kernel=use_kernel
+        )
+    )
+    probe = F.broadcast(nc) if broadcast_new else nc
+    a, b = probe.alias("a"), old_chunks.alias("b")
+    swap = F.col("a.id") > F.col("b.id")
+    cross = a.join(
+        b,
+        (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+        & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+        & (F.col("a.id") != F.col("b.id")),
+    ).select(
+        F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+        F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        F.when(swap, F.col("b.fp")).otherwise(F.col("a.fp")).alias("fp_a"),
+        F.when(swap, F.col("a.fp")).otherwise(F.col("b.fp")).alias("fp_b"),
+    )
+    x, y = nc.alias("a"), nc.alias("b")
+    within = x.join(
+        y,
+        (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+        & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.fp").alias("fp_a"),
+        F.col("b.fp").alias("fp_b"),
+    )
+    pairs = (
+        cross.unionByName(within)
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs, nc
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -943,36 +1056,9 @@ def simhash_near_dup_pairs(
     bits/hash_fn: oracle hook (see simhash_col) — forces the pure
     Column path so a DuckDB replay sees the identical fingerprints.
     """
-    if hash_fn is not None or bits != 64:
-        use_kernel = False
-    if use_kernel:
-        fp = with_simhash(
-            df.select(F.col(id_col).alias("id"), text_col), text_col
-        ).select("id", "fp")
-        # the pigeonhole self-join consumes fp twice; persist so the
-        # Arrow-UDF signature pass runs once (reference H2 cache()
-        # precedent, pmc.py:161). Tiny: 16 bytes x n_docs; released
-        # via release_cached().
-        fp = _persist(fp)
-    else:
-        fp = df.select(
-            F.col(id_col).alias("id"),
-            simhash_col(F.col(text_col), bits=bits, hash_fn=hash_fn).alias("fp"),
-        )
-    chunk_bits = bits // n_chunks
-    chunks = fp.select(
-        "id",
-        "fp",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("fp"), c * chunk_bits).bitwiseAND(
-                        F.lit((1 << chunk_bits) - 1)
-                    )
-                    for c in range(n_chunks)
-                ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
+    chunks = simhash_state_table(
+        df, id_col, text_col, n_chunks=n_chunks,
+        use_kernel=use_kernel, bits=bits, hash_fn=hash_fn,
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
