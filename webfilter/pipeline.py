@@ -309,7 +309,11 @@ def run_near_dedup_increment(
 
     Equivalence ``initial + increments == one full recompute`` (same
     survivors, same drop decisions) is tested in
-    tests/test_idempotency.py. Cold start (no state) is just the
+    tests/test_idempotency.py. The SimHash family has the same
+    incremental shape at the operator level
+    (dedup.incremental_simhash_pairs over a persisted
+    simhash_state_table); this stage keeps minhash because its
+    Jaccard threshold is the tested keep/drop contract. Cold start (no state) is just the
     first increment against an empty band table.
 
     Crash safety: pairs/bands appends land before the sidecar is
