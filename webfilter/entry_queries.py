@@ -5404,11 +5404,14 @@ def q_bm25_rank(spark, sf_dir):
         F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
         r6(F.sum("contrib")).alias("bm25"),
     )
+    # top-k via sort+limit (TakeOrderedAndProject: per-partition
+    # top-10 then a 10-row merge), NOT a global unpartitioned window
+    # — row_number over the whole corpus would sort 10^12 rows into
+    # one task; the rank window then runs on 10 rows only
+    top = agg.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(10)
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("doc_id", "n_terms_matched", "bm25", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "n_terms_matched", "bm25", "rank"
     )
 
 
