@@ -97,17 +97,10 @@ def with_zorder(
         ]
     stats = df.agg(*aggs)
     out = df.crossJoin(F.broadcast(stats))
-    top = F.lit((1 << bits) - 1).cast("bigint")
-    binned = []
-    for c in cols:
-        cmin, cmax = F.col(f"_zmin_{c}"), F.col(f"_zmax_{c}")
-        span = cmax - cmin
-        scaled = (F.col(c).cast("bigint") - cmin) * top
-        binned.append(
-            F.when(span <= 0, F.lit(0).cast("bigint")).otherwise(
-                _int_div(scaled, span)
-            )
-        )
+    binned = [
+        binned_col(F.col(c), F.col(f"_zmin_{c}"), F.col(f"_zmax_{c}"), bits)
+        for c in cols
+    ]
     out = out.withColumn(zcol, interleave_bits(binned, bits))
     return out.drop(*[f"_zmin_{c}" for c in cols], *[f"_zmax_{c}" for c in cols])
 
