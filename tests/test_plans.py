@@ -336,3 +336,37 @@ def test_minhash_md5_bands_equijoin(spark):
     plan = _plan(q_minhash_md5(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_topk_plan_shape(spark):
+    """BM25: the query-term dim and (N, avgdl) scalar must broadcast,
+    the final top-10 must be TakeOrderedAndProject (per-partition
+    top-k) — never a global single-task Sort/window over the corpus —
+    and nothing may form a CartesianProduct (the 1-row stats join is
+    a broadcast nested loop, which is fine)."""
+    from webfilter.entry_queries import q_bm25_rank
+
+    plan = _plan(q_bm25_rank(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_zorder_key_is_map_only_over_the_scan(spark):
+    """with_zorder: the big side gets the key via a broadcast of the
+    one-row min/max agg — no shuffle may touch the scan side (at
+    100 TB the key computation must stay map-only; the only range
+    shuffle belongs to the WRITE, not the key)."""
+    from webfilter.zorder import with_zorder
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(with_zorder(ev, ["user_id", "event_id"], bits=12))
+    body = plan.split("== Physical Plan ==")[1]
+    assert "CartesianProduct" not in plan
+    # the only allowed non-broadcast exchange is the scalar agg's
+    # partial->final SinglePartition merge (it moves one 4-value row
+    # per input split, never scan data); any hash/range exchange
+    # would mean the scan side shuffled
+    n_exchanges = (body.count("Exchange") - body.count("BroadcastExchange")) // 2
+    n_scalar = body.count("Arguments: SinglePartition")
+    assert n_exchanges == n_scalar == 1, plan
