@@ -56,7 +56,8 @@ def test_parsers_never_raise_on_arbitrary_bytes(raw):
 def test_parsers_never_raise_on_corrupted_valid_files(pos, val):
     for raw in (make_gif(9, 5, seed=3), make_png(9, 5, seed=3),
                 make_mp4(4200, 600, seed=3), make_jpeg(9, 5, seed=3)[0],
-                make_jpeg_color(9, 5, seed=3)[0]):
+                make_jpeg_color(9, 5, seed=3)[0],
+                make_jpeg_color(9, 5, seed=3, subsample=True)[0]):
         b = bytearray(raw)
         b[pos % len(b)] = val
         _all_parsers(bytes(b))

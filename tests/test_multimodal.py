@@ -372,3 +372,52 @@ def test_jpeg_features_use_decoded_pixels(spark):
     b = bhist.astype(np.float32)
     b /= np.linalg.norm(b)
     assert float(feat @ b) < 0.9
+
+
+def test_jpeg_420_decode_matches_subsampling_model():
+    """4:2:0 decode must equal the EXACT chroma model computed
+    independently in numpy (YCbCr round -> pad16 -> 2x2-mean
+    downsample -> nearest upsample -> inverse), within DCT integer
+    rounding — proving the MCU interleave (4 Y + Cb + Cr), the
+    per-component sampling grid and the upsample are all real."""
+    import numpy as np
+
+    from webfilter.kernels.media import decode_jpeg_pixels, make_jpeg_color
+
+    def model(rgb):
+        r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
+        yy = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        yy, cb, cr = (np.clip(np.round(p), 0, 255) for p in (yy, cb, cr))
+        h, w = yy.shape
+
+        def pad(p, m=16):
+            hh, ww = p.shape
+            ph, pw = ((hh + m - 1) // m) * m, ((ww + m - 1) // m) * m
+            img = np.zeros((ph, pw))
+            img[:hh, :ww] = p
+            img[hh:, :ww] = p[-1:, :]
+            img[:, ww:] = img[:, ww - 1 : ww]
+            return img
+
+        def down(p):
+            f = pad(p)
+            return (f[0::2, 0::2] + f[1::2, 0::2] + f[0::2, 1::2] + f[1::2, 1::2]) / 4.0
+
+        cbu = np.repeat(np.repeat(down(cb), 2, 0), 2, 1)[:h, :w] - 128.0
+        cru = np.repeat(np.repeat(down(cr), 2, 0), 2, 1)[:h, :w] - 128.0
+        out = np.stack(
+            [yy + 1.402 * cru,
+             yy - 0.344136 * cbu - 0.714136 * cru,
+             yy + 1.772 * cbu],
+            axis=-1,
+        )
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+    for w, h, seed in [(34, 22, 5), (16, 16, 0), (17, 9, 3), (40, 33, 9)]:
+        raw, rgb = make_jpeg_color(w, h, seed, flat_q=True, subsample=True)
+        dec = decode_jpeg_pixels(raw)
+        assert dec is not None and dec.shape == (h, w, 3)
+        err = np.abs(dec.astype(int) - model(rgb).astype(int))
+        assert err.max() <= 3, (w, h, seed, err.max())

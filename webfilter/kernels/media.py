@@ -9,12 +9,13 @@ decode is real for PNG (decode_png_pixels — zlib inflate + all five
 row unfilters) and GIF (decode_gif_pixels — from-scratch GIF-LZW
 with a real-LZW generator for round-trip tests), JPEG (
 decode_jpeg_pixels — from-scratch baseline-sequential entropy decode
-for grayscale AND 4:4:4 color frames: canonical DHT Huffman,
+for grayscale, 4:4:4 AND subsampled (4:2:0 family) color frames:
+canonical DHT Huffman,
 byte-unstuffed bit reader, per-component predictors/tables,
 dequantize + de-zigzag + float IDCT + JFIF YCbCr inverse, with
 encode_jpeg_gray/encode_jpeg_color as real-encoder ground truth), and the MP4 container duration
 probe is real (parse_mp4 — ISO-BMFF box walk to mvhd, both version
-layouts). Only chroma-SUBSAMPLED jpeg (4:2:0 etc.) and video
+layouts). Only video
 codec frames remain a deploy-time library swap, and unknown formats
 surface err='unknown_format' instead of fake values.
 """
@@ -668,14 +669,14 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg_pixels(raw: bytes | None):
-    """REAL entropy decode for baseline-sequential JPEGs with 1 or 3
-    components at 1x1 sampling (grayscale and 4:4:4 color). Returns
-    an (h, w, 1) or (h, w, 3) uint8 array — RGB after the JFIF
-    YCbCr inverse for color — or None (progressive / subsampled /
-    restart-interval / malformed: callers keep the stand-in).
-    Closes the 'jpeg entropy data' gap in the round-3 verdict's
-    media stand-in list except chroma-SUBSAMPLED frames, which stay
-    the deploy-time library swap."""
+    """REAL entropy decode for baseline-sequential JPEGs: grayscale,
+    4:4:4 color, and SUBSAMPLED color (any integer sampling grid that
+    divides the max factors — 4:2:0, 4:2:2, 4:4:0 ...). Returns an
+    (h, w, 1) or (h, w, 3) uint8 array — RGB after nearest-neighbor
+    chroma upsampling + the JFIF YCbCr inverse — or None
+    (progressive / restart-interval / malformed: callers keep the
+    stand-in). With this, the only remaining media stand-in is video
+    codec frames."""
     import numpy as np
 
     if not raw or raw[:2] != b"\xff\xd8":
@@ -685,7 +686,7 @@ def decode_jpeg_pixels(raw: bytes | None):
         dc_t: dict[int, dict] = {}
         ac_t: dict[int, dict] = {}
         h = w = None
-        comps: list[tuple[int, int]] = []  # (component_id, qtable_id)
+        comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
         scan_tabs: dict[int, tuple[int, int]] = {}  # cid -> (dc, ac)
         i, n = 2, len(raw)
         scan_at = None
@@ -724,9 +725,10 @@ def decode_jpeg_pixels(raw: bytes | None):
                     return None
                 for c in range(nc):
                     cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                    if samp != 0x11:
-                        return None  # subsampled: unsupported
-                    comps.append((cid, tq))
+                    hs, vs = samp >> 4, samp & 0xF
+                    if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                        return None
+                    comps.append((cid, hs, vs, tq))
             elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 return None  # progressive/extended: unsupported
             elif marker == 0xDD:  # DRI
@@ -743,10 +745,15 @@ def decode_jpeg_pixels(raw: bytes | None):
             i += 2 + seg
         if scan_at is None or h is None:
             return None
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if any(hmax % c[1] or vmax % c[2] for c in comps):
+            return None  # non-integer upsample factors
         m = _dct_matrix()
-        bw, bh = (w + 7) // 8, (h + 7) // 8
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
         dqzs, tabs, planes, preds = [], [], [], []
-        for cid, tq in comps:
+        for cid, hs, vs, tq in comps:
             if tq not in qt or cid not in scan_tabs:
                 return None
             dqz = np.zeros(64)
@@ -754,42 +761,54 @@ def decode_jpeg_pixels(raw: bytes | None):
             dqzs.append(dqz)
             di, ai = scan_tabs[cid]
             tabs.append((dc_t[di], ac_t[ai]))
-            planes.append(np.zeros((bh * 8, bw * 8), dtype=np.float64))
+            planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64))
             preds.append(0)
         r = _BitReader(raw, scan_at)
-        for by in range(bh):
-            for bx in range(bw):
-                for c in range(len(comps)):  # interleaved MCU
-                    dct, act = tabs[c]
-                    coef = np.zeros(64)
-                    t = _huff_read(r, dct)
-                    preds[c] += _extend(r.bits(t), t)
-                    coef[0] = preds[c]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_read(r, act)
-                        run, size = rs >> 4, rs & 0xF
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += run
-                        if k > 63:
-                            return None
-                        coef[_ZIGZAG[k]] = _extend(r.bits(size), size)
-                        k += 1
-                    # coef was scattered into natural order as it
-                    # decoded; dequantize in natural order
-                    deq = (coef * dqzs[c]).reshape(8, 8)
-                    px = m.T @ deq @ m + 128.0
-                    planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+
+        def read_block(c: int):
+            dct, act = tabs[c]
+            coef = np.zeros(64)
+            t = _huff_read(r, dct)
+            preds[c] += _extend(r.bits(t), t)
+            coef[0] = preds[c]
+            k = 1
+            while k < 64:
+                rs = _huff_read(r, act)
+                run, size = rs >> 4, rs & 0xF
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("coefficient index overrun")
+                coef[_ZIGZAG[k]] = _extend(r.bits(size), size)
+                k += 1
+            # coef was scattered into natural order as it decoded;
+            # dequantize in natural order
+            deq = (coef * dqzs[c]).reshape(8, 8)
+            return m.T @ deq @ m + 128.0
+
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c, (_cid, hs, vs, _tq) in enumerate(comps):
+                    for v in range(vs):  # data units in raster order
+                        for u in range(hs):
+                            px = read_block(c)
+                            y0 = (my * vs + v) * 8
+                            x0 = (mx * hs + u) * 8
+                            planes[c][y0 : y0 + 8, x0 : x0 + 8] = px
+        full = []
+        for c, (_cid, hs, vs, _tq) in enumerate(comps):
+            p = planes[c]
+            fy, fx = vmax // vs, hmax // hs
+            if fy > 1 or fx > 1:  # nearest-neighbor chroma upsample
+                p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+            full.append(p[:h, :w])
         if len(comps) == 1:
-            out = planes[0][:h, :w]
-            return np.clip(np.round(out), 0, 255).astype(np.uint8).reshape(h, w, 1)
-        yy = planes[0][:h, :w]
-        cb = planes[1][:h, :w] - 128.0
-        cr = planes[2][:h, :w] - 128.0
+            return np.clip(np.round(full[0]), 0, 255).astype(np.uint8).reshape(h, w, 1)
+        yy, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
         rgb = np.stack(
             [
                 yy + 1.402 * cr,
@@ -821,14 +840,18 @@ def make_jpeg(width: int, height: int, seed: int = 0, flat_q: bool = False) -> t
     return encode_jpeg_gray(pixels, flat_q=flat_q), pixels
 
 
-def make_jpeg_color(width: int, height: int, seed: int = 0, flat_q: bool = False) -> tuple:
-    """Valid 4:4:4 color JFIF (3 components, 1x1 sampling) with
-    deterministic RGB pixels; returns (jpeg_bytes, rgb_array)."""
+def make_jpeg_color(
+    width: int, height: int, seed: int = 0,
+    flat_q: bool = False, subsample: bool = False,
+) -> tuple:
+    """Valid color JFIF (3 components; 4:4:4, or 4:2:0 when
+    ``subsample``) with deterministic RGB pixels; returns
+    (jpeg_bytes, rgb_array)."""
     import numpy as np
 
     planes = [_synth_pixels(width, height, seed + 17 * c) for c in range(3)]
     rgb = np.stack(planes, axis=-1)
-    return encode_jpeg_color(rgb, flat_q=flat_q), rgb
+    return encode_jpeg_color(rgb, flat_q=flat_q, subsample=subsample), rgb
 
 
 def _synth_pixels(width: int, height: int, seed: int):
@@ -877,8 +900,9 @@ def encode_jpeg_gray(pixels, flat_q: bool = False) -> bytes:
     return _encode_jpeg([pixels], flat_q=flat_q)
 
 
-def encode_jpeg_color(rgb, flat_q: bool = False) -> bytes:
-    """JFIF RGB -> YCbCr, then the shared 4:4:4 baseline encoder."""
+def encode_jpeg_color(rgb, flat_q: bool = False, subsample: bool = False) -> bytes:
+    """JFIF RGB -> YCbCr, then the shared baseline encoder — 4:4:4 by
+    default, 4:2:0 (2x2-mean chroma downsample) with subsample=True."""
     import numpy as np
 
     r = rgb[:, :, 0].astype(np.float64)
@@ -888,18 +912,21 @@ def encode_jpeg_color(rgb, flat_q: bool = False) -> bytes:
     cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
     cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
     planes = [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (yy, cb, cr)]
-    return _encode_jpeg(planes, flat_q=flat_q)
+    return _encode_jpeg(planes, flat_q=flat_q, subsample=subsample)
 
 
-def _encode_jpeg(planes: list, flat_q: bool = False) -> bytes:
+def _encode_jpeg(planes: list, flat_q: bool = False, subsample: bool = False) -> bytes:
     """Shared baseline-sequential encoder: 1 plane -> grayscale,
-    3 planes (Y, Cb, Cr, same size = 4:4:4) -> color. Components 2-3
-    use quant/Huffman table id 1 (identical content to id 0 for the
-    Huffman side) so decoders must honor per-component table ids."""
+    3 planes (Y, Cb, Cr, same size) -> color at 4:4:4, or 4:2:0 when
+    ``subsample`` (chroma 2x2-mean downsampled; MCU = 4 Y blocks +
+    Cb + Cr). Components 2-3 use quant/Huffman table id 1 (identical
+    content to id 0 for the Huffman side) so decoders must honor
+    per-component table ids."""
     import numpy as np
 
     h, w = planes[0].shape
     nc = len(planes)
+    subsample = subsample and nc == 3
     if flat_q:
         qtabs = [np.ones(64, dtype=np.int64)] * 2
     else:
@@ -909,15 +936,28 @@ def _encode_jpeg(planes: list, flat_q: bool = False) -> bytes:
         ]
     m = _dct_matrix()
 
-    def pad(p):
-        ph, pw = ((h + 7) // 8) * 8, ((w + 7) // 8) * 8
+    mcu = 16 if subsample else 8
+
+    def pad(p, mult):
+        hh, ww = p.shape
+        ph, pw = ((hh + mult - 1) // mult) * mult, ((ww + mult - 1) // mult) * mult
         img = np.zeros((ph, pw), dtype=np.float64)
-        img[:h, :w] = p
-        img[h:, :w] = p[-1:, :]
-        img[:, w:] = img[:, w - 1 : w]  # right edge incl. the corner
+        img[:hh, :ww] = p
+        img[hh:, :ww] = p[-1:, :]
+        img[:, ww:] = img[:, ww - 1 : ww]  # right edge incl. the corner
         return img
 
-    imgs = [pad(p) for p in planes]
+    if subsample:
+        ypad = pad(planes[0], 16)
+        # chroma: 2x2 mean over the padded grid -> already 8-aligned
+        def down(p):
+            f = pad(p, 16)
+            return (f[0::2, 0::2] + f[1::2, 0::2] + f[0::2, 1::2] + f[1::2, 1::2]) / 4.0
+        imgs = [ypad, down(planes[1]), down(planes[2])]
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        imgs = [pad(p, 8) for p in planes]
+        samp = [(1, 1)] * nc
     ph, pw = imgs[0].shape
 
     # uniform-length canonical Huffman tables
@@ -994,10 +1034,16 @@ def _encode_jpeg(planes: list, flat_q: bool = False) -> bytes:
 
     preds = [0] * nc
     q_of = [0] + [1] * (nc - 1)
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for c in range(nc):  # interleaved MCU at 1x1 sampling
-                preds[c] = emit_block(imgs[c], by, bx, qtabs[q_of[c]], preds[c])
+    for my in range(ph // mcu):
+        for mx in range(pw // mcu):
+            for c in range(nc):  # interleaved MCU, data units raster
+                hs, vs = samp[c]
+                for v in range(vs):
+                    for u in range(hs):
+                        preds[c] = emit_block(
+                            imgs[c], my * vs + v, mx * hs + u,
+                            qtabs[q_of[c]], preds[c],
+                        )
     if acc[1]:
         put(8 - acc[1], (1 << (8 - acc[1])) - 1)  # pad with 1s
 
@@ -1010,7 +1056,8 @@ def _encode_jpeg(planes: list, flat_q: bool = False) -> bytes:
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     dqt = seg(0xDB, b"\x00" + zz_bytes(qtabs[0]))
     sof_comps = b"".join(
-        bytes([cid + 1, 0x11, q_of[cid]]) for cid in range(nc)
+        bytes([cid + 1, (samp[cid][0] << 4) | samp[cid][1], q_of[cid]])
+        for cid in range(nc)
     )
     sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, nc) + sof_comps)
     huff = b"\x00" + bytes(dc_bits) + bytes(dc_syms) + b"\x10" + bytes(ac_bits) + bytes(ac_syms)

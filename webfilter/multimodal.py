@@ -128,16 +128,16 @@ FEATURE_SCHEMA = T.StructType(
 
 def extract_features(df: DataFrame) -> DataFrame:
     """Feature-extraction stage. For 8-bit non-interlaced PNGs,
-    non-interlaced GIFs AND baseline 1x1-sampled JPEGs (grayscale and
-    4:4:4 color) the embedding is
+    non-interlaced GIFs AND baseline JPEGs (grayscale, 4:4:4 and
+    4:2:0-family color) the embedding is
     computed from REAL decoded pixels (kernels.media:
     decode_png_pixels — stdlib zlib inflate + unfiltering;
     decode_gif_pixels — from-scratch GIF-LZW; decode_jpeg_pixels —
     from-scratch baseline entropy decode + IDCT): an L2-normalized
     EMBED_DIM-bin pixel histogram. Remaining formats keep the
     documented byte-histogram stand-in (real impl: a vision model
-    over decoded pixels — chroma-SUBSAMPLED jpeg and video codec
-    frames are the deploy-time library swap). Batched numpy."""
+    over decoded pixels — video codec frames are the deploy-time
+    library swap). Batched numpy."""
     from .kernels.media import (
         decode_gif_pixels,
         decode_jpeg_pixels,
