@@ -59,6 +59,9 @@ def _train() -> tuple[np.ndarray, list[str]]:
 
 
 _LOGP, _LABELS = _train()
+# upcast ONCE at import (bit-identical to the old per-batch
+# `.astype(float64)` inside the scoring loop, minus the per-batch copy)
+_LOGP = _LOGP.astype(np.float64)
 _PRIOR = np.zeros(len(_LABELS), dtype=np.float32)  # uniform prior
 
 
@@ -83,26 +86,36 @@ def predict_batch(texts: pd.Series) -> pd.DataFrame:
     if n == 0:
         return pd.DataFrame({"langid": langs, "langid_conf": confs})
 
-    bufs = [t.encode("utf-32-le") for t in texts]
-    doc_lens = np.array([len(b) // 4 for b in bufs], dtype=np.int64)
-    sep = b"\x00\x00\x00\x00"
-    cp = np.frombuffer(sep.join(bufs), dtype=np.uint32) if n > 1 else (
-        np.frombuffer(bufs[0], dtype=np.uint32)
-    )
+    # ONE C-level encode of the whole batch (utf-32-le has no BOM, so
+    # codepoint i of the joined string is lane i of the uint32 view);
+    # len(str) == codepoint count, so per-doc offsets need no per-doc
+    # encode at all.
+    texts_list = list(texts)
+    joined = "\x00".join(texts_list)
+    doc_lens = np.fromiter(map(len, texts_list), dtype=np.int64, count=n)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
     total = len(cp)
-    offsets = np.cumsum(np.concatenate(([0], doc_lens[:-1] + 1)))
-    doc_of = np.searchsorted(offsets + doc_lens, np.arange(total), side="left")
+    # doc_of via repeat (O(total), no log-factor): doc i owns its own
+    # codepoints plus its trailing NUL separator — identical attribution
+    # to searchsorted(ends, pos, side="left") since ends are strictly
+    # increasing (each width >= 1).
+    widths = doc_lens + 1
+    widths[-1] -= 1
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), widths)
 
-    # CJK ratio per doc (script-unique shortcut)
+    # CJK ratio per doc (script-unique shortcut); skip the weighted
+    # bincount entirely for the common all-non-CJK batch
+    cjk_ratio = np.zeros(n)
     if total:
-        is_cjk = ((cp >= 0x4E00) & (cp <= 0x9FFF)).astype(np.float64)
-        cjk_sum = np.bincount(doc_of, weights=is_cjk, minlength=n)
-        cjk_ratio = np.divide(
-            cjk_sum, np.maximum(doc_lens, 1), where=doc_lens > 0,
-            out=np.zeros(n),
-        )
-    else:
-        cjk_ratio = np.zeros(n)
+        is_cjk = (cp >= 0x4E00) & (cp <= 0x9FFF)
+        if is_cjk.any():
+            cjk_sum = np.bincount(
+                doc_of, weights=is_cjk.astype(np.float64), minlength=n
+            )
+            cjk_ratio = np.divide(
+                cjk_sum, np.maximum(doc_lens, 1), where=doc_lens > 0,
+                out=np.zeros(n),
+            )
 
     # trigram hashing over the whole batch; windows crossing a doc
     # boundary (or touching the NUL separator) are masked out
@@ -126,7 +139,7 @@ def predict_batch(texts: pd.Series) -> pd.DataFrame:
         scores = np.empty((n, len(_LABELS)), dtype=np.float64)
         for l in range(len(_LABELS)):
             scores[:, l] = np.bincount(
-                tri_doc, weights=_LOGP[l][ids].astype(np.float64), minlength=n
+                tri_doc, weights=_LOGP[l][ids], minlength=n
             )
         with np.errstate(invalid="ignore", divide="ignore"):
             scores = scores / np.maximum(tri_counts, 1.0)[:, None]

@@ -86,8 +86,7 @@ def tokenize(text: str) -> list[str]:
 
 def _train() -> tuple[np.ndarray, np.ndarray, np.ndarray, float]:
     ids, _ = _batch_token_ids([lang_training_text("en")])
-    uni = np.zeros(DIM, dtype=np.float64)
-    np.add.at(uni, ids, 1.0)
+    uni = np.bincount(ids, minlength=DIM).astype(np.float64)
     k = 0.1
     log_uni = np.log((uni + k) / (uni.sum() + k * DIM))
     # bigram table as sorted key array (a<<16|b) + prob array, so
@@ -127,8 +126,8 @@ def score_batch(texts: pd.Series) -> pd.Series:
         p_bi = _lookup_bigram(keys)
         p_uni = np.exp(_LOG_UNI[ids[li + 1]])
         logp = np.log(np.maximum(_LAM * p_bi + (1.0 - _LAM) * p_uni, np.exp(_FLOOR)))
-        sums = np.zeros(n_docs, dtype=np.float64)
-        np.add.at(sums, doc_of[li], logp)
+        # bincount is the fast scatter-add (np.add.at is ~10x slower)
+        sums = np.bincount(doc_of[li], weights=logp, minlength=n_docs)
         ok = lens >= 2
         npairs = np.maximum(lens - 1, 1)
         out[ok] = np.exp(-(sums[ok] / npairs[ok]))

@@ -97,7 +97,10 @@ def _weights() -> tuple[np.ndarray, float]:
     Still deterministic — same corpora, same zero init, no RNG."""
     global _MODEL
     if _MODEL is None:
-        _MODEL = _train()
+        w, b = _train()
+        # upcast once (bit-identical to the old per-batch
+        # `_W[ids].astype(float64)`, minus the per-batch copy)
+        _MODEL = (w.astype(np.float64), b)
     return _MODEL
 
 
@@ -112,17 +115,20 @@ def quality_prob_batch(texts: pd.Series) -> pd.Series:
     if n == 0:
         return pd.Series(out)
     _W, _B = _weights()
-    bufs = [t.lower().encode("utf-32-le") for t in texts.fillna("")]
-    doc_lens = np.array([len(b) // 4 for b in bufs], dtype=np.int64)
-    sep = b"\x00\x00\x00\x00"
-    cp = np.frombuffer(sep.join(bufs), dtype=np.uint32) if n > 1 else (
-        np.frombuffer(bufs[0], dtype=np.uint32)
-    )
+    # ONE C-level encode of the whole batch (see langid.predict_batch:
+    # utf-32-le has no BOM and len(str) == codepoint count, so the
+    # per-doc offsets need no per-doc encode); doc_of via repeat is
+    # O(total) vs searchsorted's O(total log n)
+    texts_list = [t.lower() for t in texts.fillna("")]
+    joined = "\x00".join(texts_list)
+    doc_lens = np.fromiter(map(len, texts_list), dtype=np.int64, count=n)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
     total = len(cp)
     if total < NGRAM:
         return pd.Series(out)
-    offsets = np.cumsum(np.concatenate(([0], doc_lens[:-1] + 1)))
-    doc_of = np.searchsorted(offsets + doc_lens, np.arange(total), side="left")
+    widths = doc_lens + 1
+    widths[-1] -= 1
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), widths)
 
     h = np.full(total - NGRAM + 1, _FNV_OFFSET, dtype=np.uint32)
     with np.errstate(over="ignore"):
@@ -143,7 +149,7 @@ def quality_prob_batch(texts: pd.Series) -> pd.Series:
     # bincount(doc, w[ids]) gives dot with UNnormalized counts; the
     # L2 norm needs per-doc gram counts per id — get it from a sparse
     # (doc, id) pair count
-    dot = np.bincount(gram_doc, weights=_W[ids].astype(np.float64), minlength=n)
+    dot = np.bincount(gram_doc, weights=_W[ids], minlength=n)
     pair = gram_doc * DIM + ids
     uniq, cnt = np.unique(pair, return_counts=True)
     sq = np.bincount(
