@@ -88,6 +88,28 @@ def test_audit_totals(spark, pipeline_out, joined):
     assert tot["k"] == kept
 
 
+def test_audit_rule_hit_lineage(spark, pipeline_out, joined):
+    """The north rule's per-partition 'rule hits' lineage: audit's
+    reason_counts map must reproduce the exact per-rule drop counts
+    recomputable from the decision rows."""
+    audit = ParquetCatalog(spark, pipeline_out).read("audit")
+    got: dict[str, int] = {}
+    for r in audit.select("reason_counts").collect():
+        for rule, n in (r["reason_counts"] or {}).items():
+            got[rule] = got.get(rule, 0) + n
+    expected = {
+        r["reason"]: r["n"]
+        for r in (
+            joined.select(F.explode("d.drop_reasons").alias("reason"))
+            .groupBy("reason")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    assert expected, "synth corpus must exercise at least one rule"
+    assert {k: v for k, v in got.items() if v} == expected
+
+
 def test_host_audit_covers_hot_hosts(spark, pipeline_out):
     host_audit = ParquetCatalog(spark, pipeline_out).read("host_audit")
     rows = {r["host"]: r["n_rows"] for r in host_audit.collect()}

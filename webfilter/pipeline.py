@@ -211,6 +211,7 @@ def run_filter(
     # per-bucket lineage metrics: ONE job, collected driver-side
     # (<= n_buckets rows by construction) and reused for the audit
     # append, the DONE marks and the run summary
+    rule_names = rules.rule_names_for(cfg)
     audit_rows = (
         dec.groupBy("bucket_id")
         .agg(
@@ -219,6 +220,15 @@ def run_filter(
             F.sum(F.col("pii_found").cast("bigint")).alias("n_pii"),
             F.avg("perplexity").alias("avg_perplexity"),
             F.avg("langid_conf").alias("avg_langid_conf"),
+            # per-rule hit counts — the north rule's "rule hits"
+            # lineage, one cheap conditional sum per rule in the SAME
+            # single aggregation pass (no extra job, no explode)
+            *(
+                F.sum(
+                    F.array_contains("drop_reasons", rn).cast("bigint")
+                ).alias(f"_hits_{rn}")
+                for rn in rule_names
+            ),
         )
         .collect()
     )
@@ -234,16 +244,26 @@ def run_filter(
             ("n_pii", pa.int64()),
             ("avg_perplexity", pa.float64()),
             ("avg_langid_conf", pa.float64()),
+            ("reason_counts", pa.map_(pa.string(), pa.int64())),
             ("run_id", pa.string()),
             ("stage", pa.string()),
             ("processed_at", pa.timestamp("us", tz="UTC")),
         ]
     )
+
+    def _audit_dict(r) -> dict:
+        d = r.asDict()
+        hits = [(rn, d.pop(f"_hits_{rn}")) for rn in rule_names]
+        return {
+            **d,
+            "reason_counts": hits,
+            "run_id": run_id,
+            "stage": "filter",
+            "processed_at": now,
+        }
+
     catalog.append_rows(
-        [
-            {**r.asDict(), "run_id": run_id, "stage": "filter", "processed_at": now}
-            for r in audit_rows
-        ],
+        [_audit_dict(r) for r in audit_rows],
         audit_schema,
         "audit",
     )
