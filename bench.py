@@ -133,6 +133,30 @@ def _subtree_cpu_s() -> float | None:
         return None
 
 
+def _mem_bw_gbps(mb: int = 192) -> float:
+    """~0.1-1 s single-stream memory-bandwidth probe (read+write GB/s).
+
+    The steal/own_util detectors are blind to the sandbox's dominant
+    interference mode: co-tenant VMs stealing MEMORY BANDWIDTH, not
+    cycles — a starved run shows own_util ~0.9 (cores busy-stalling on
+    loads) while wall grows 5-10x. Measured on this host: the same
+    pages run is 31.7 s at ~5 GB/s and 299 s at own_util 0.92 in a
+    throttled window; the probe itself has measured 0.2-5.7 GB/s
+    depending on the minute."""
+    import numpy as np
+
+    a = np.zeros(mb * 1024 * 1024 // 8, dtype=np.float64)
+    t0 = time.perf_counter()
+    a += 1.0
+    dt = time.perf_counter() - t0
+    return round(a.nbytes * 2 / dt / 1e9, 2)
+
+
+#: below this the host's memory subsystem is being throttled by
+#: co-tenants (healthy windows measure ~5 GB/s single-stream)
+MEM_BW_CONTENDED = 1.0
+
+
 def main() -> None:
     cores = _pin_and_quiesce(CPUS)
 
@@ -158,6 +182,7 @@ def main() -> None:
         "host_cpus": os.cpu_count(),
         "affinity_cores": len(cores) if cores is not None else None,
         "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+        "mem_bw_gbps_start": _mem_bw_gbps(),
     }
     shutil.rmtree(work, ignore_errors=True)
     synth.write_dataset(spark, PAGES_N, f"{work}/data")
@@ -174,6 +199,7 @@ def main() -> None:
     def timed_run(i: int) -> tuple[dict, dict]:
         shutil.rmtree(f"{work}/out{i}", ignore_errors=True)
         la = os.getloadavg()
+        bw = _mem_bw_gbps()
         st0, cpu0 = _proc_stat(), _subtree_cpu_s()
         t0 = time.time()
         res = pipeline.run_filter(
@@ -185,6 +211,7 @@ def main() -> None:
         stats = {
             "wall_s": round(wall, 3),
             "loadavg_before": round(la[0], 2),
+            "mem_bw_gbps": bw,
             **_stat_fracs(st0, st1),
         }
         if cpu0 is not None and cpu1 is not None:
@@ -196,18 +223,21 @@ def main() -> None:
         return (
             stats.get("steal_frac", 0.0) > STEAL_CONTENDED
             or stats.get("own_util", 1.0) < OWN_UTIL_CONTENDED
+            or stats.get("mem_bw_gbps", 99.0) < MEM_BW_CONTENDED
         )
 
-    # best-of-3 timed runs, plus up to 3 extra when every run so far
+    # best-of-3 timed runs, plus up to 5 extra when every run so far
     # was externally contended: the sandbox host is shared, and a
-    # single load spike otherwise defines the round's headline
+    # single load spike otherwise defines the round's headline.
+    # Bandwidth-throttled windows last minutes, hence 5 (measured:
+    # three consecutive runs 299/32/64 s inside one bench invocation)
     run_stats: list[dict] = []
     res: dict = {}
     for i in range(3):
         stats, res = timed_run(i)
         run_stats.append(stats)
     extra = 0
-    while extra < 3 and all(contended(s) for s in run_stats):
+    while extra < 5 and all(contended(s) for s in run_stats):
         stats, res = timed_run(3 + extra)
         run_stats.append(stats)
         extra += 1
@@ -269,12 +299,19 @@ def main() -> None:
         "zorder_cells",
     ]
     for name in bench_queries:
-        best_q = float("inf")
+        walls: list[float] = []
         for _ in range(2):  # best-of-2 (shared-host spike insurance)
             t0 = time.time()
             n = qs[name](spark, SF_DIR).count()
-            best_q = min(best_q, time.time() - t0)
-        timings[name] = round(best_q, 3)
+            walls.append(time.time() - t0)
+        # both samples may sit inside one throttled-bandwidth window;
+        # a >2.5x disagreement proves a spike hit at least one — take
+        # a third sample
+        if max(walls) > 2.5 * min(walls):
+            t0 = time.time()
+            n = qs[name](spark, SF_DIR).count()
+            walls.append(time.time() - t0)
+        timings[name] = round(min(walls), 3)
         release_cached()  # drop operator-persisted frames between queries
         _ = n
 
@@ -313,6 +350,7 @@ def main() -> None:
         "pages_docs": res["docs"],
         "pages_docs_per_s": round(docs_per_s, 1),
         "pages_best_contended": contended(best),
+        "pages_best_mem_bw_gbps": best.get("mem_bw_gbps"),
         "cpus": CPUS,
     }
     line = json.dumps(headline, separators=(",", ":"))
