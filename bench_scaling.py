@@ -100,6 +100,12 @@ Why the wide level flattens — the HOST, not the job (measured):
   by 8 concurrent streams ({bw['32_procs']} GB/s at 32). A text
   pipeline streams every byte through decode/regex/Arrow several
   times, so ~8 cores of it saturate the memory subsystem.
+  CAVEAT (round 4): the ceiling is TIME-VARYING — the same probe has
+  measured 0.2 to 5.7 GB/s single-stream on this VM depending on
+  co-tenant load (bench.py now records a probe per timed run), so
+  these host-evidence numbers describe the window they were taken
+  in, and wide-level (32-core) results are only comparable between
+  runs whose recorded probe bandwidth is similar.
 * **It is not a core limit**: a cache-resident pure-CPU benchmark
   (md5 over a 4 KB buffer) scales {cpu['ratio']}x from 8 to 32
   pinned procs on the same host.
