@@ -23,6 +23,11 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 
+# Everything after this marker in BENCH/BASELINE.md is hand-written
+# evidence (operator bench refreshes, triangle-counting runs, ...) and
+# is carried verbatim across regenerations of the measured sections.
+MANUAL_MARKER = "<!-- MANUAL SECTIONS"
+
 
 def _package_zip(work: Path) -> str:
     """Build the --py-files package (the north-rule ship form): the
@@ -276,6 +281,30 @@ def main() -> None:
     eff = (thr_b / thr_s) / 4.0
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
 
+    # Contention validity gate: super-linear scaling (eff >> 1) is
+    # physically impossible for this fixed job — it means every
+    # N-level run landed in a co-tenant contention window (the long
+    # N runs have far more exposure per attempt than the short 4N
+    # runs), so best-of-k failed to find an uncontended N sample.
+    # Refuse to overwrite the recorded baseline with an invalid
+    # measurement; park the raw numbers in a sidecar instead.
+    if not args.sidecar and not (0.2 <= eff <= 1.1):
+        (REPO / "BENCH").mkdir(exist_ok=True)
+        invalid = REPO / "BENCH" / "scaling_invalid_last.json"
+        invalid.write_text(json.dumps({
+            "reason": "efficiency outside [0.2, 1.1] — contention-invalidated",
+            "n": args.n, "docs": args.docs, "repeats": args.repeats,
+            "thr_n": thr_s, "thr_4n": thr_b, "efficiency": round(eff, 3),
+            "runs_n": [r["docs_per_s"] for r in smalls],
+            "runs_4n": [r["docs_per_s"] for r in bigs],
+            "stamp": stamp,
+        }, indent=1))
+        print(json.dumps({"thr_n": thr_s, "thr_4n": thr_b,
+                          "efficiency": round(eff, 3),
+                          "invalid": True, "kept": "BASELINE.md unchanged",
+                          "sidecar": str(invalid)}))
+        return
+
     if args.sidecar:
         (REPO / "BENCH").mkdir(exist_ok=True)
         (REPO / "BENCH" / f"{args.sidecar}.json").write_text(
@@ -339,7 +368,14 @@ writes. All I/O and shuffles included; session boot excluded.
   parallelism-invariant by construction).
 {_scaling_8v32_section()}{_pagerank_section()}{_zorder_section()}"""
     (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    target = REPO / "BENCH" / "BASELINE.md"
+    # carry hand-written sections (after MANUAL_MARKER) verbatim
+    if target.exists():
+        old = target.read_text()
+        idx = old.find(MANUAL_MARKER)
+        if idx >= 0:
+            md = md.rstrip("\n") + "\n\n" + old[idx:]
+    target.write_text(md)
     print(json.dumps({"thr_n": thr_s, "thr_4n": thr_b, "efficiency": round(eff, 3)}))
 
 
