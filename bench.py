@@ -336,7 +336,15 @@ def main() -> None:
     # BENCH_r03 lost its graded headline to "parsed": null).
     print(json.dumps(full))
     try:
-        out = Path(__file__).resolve().parent / "BENCH" / "last_run_full.json"
+        # sf-suffixed record for non-reference scale factors so a quick
+        # sf0.001 validation run can't overwrite the clean sf0.1
+        # reference record (which BASELINE.md's numbers point at)
+        name = (
+            "last_run_full.json"
+            if SF_LABEL == "0.1"
+            else f"last_run_full_sf{SF_LABEL}.json"
+        )
+        out = Path(__file__).resolve().parent / "BENCH" / name
         out.parent.mkdir(exist_ok=True)
         out.write_text(json.dumps(full, indent=1))
     except OSError:

@@ -29,6 +29,28 @@ REPO = Path(__file__).resolve().parent
 MANUAL_MARKER = "<!-- MANUAL SECTIONS"
 
 
+def efficiency_valid(eff: float) -> bool:
+    """Contention validity gate: super-linear scaling (eff >> 1) is
+    physically impossible for this fixed job — it means every long
+    N-level run landed in a co-tenant contention window while the
+    short 4N runs found a clean slot (the N runs have ~wall_N/wall_4N
+    times the per-attempt contention exposure), so best-of-k failed
+    asymmetrically. Such a measurement must not replace the recorded
+    baseline."""
+    return 0.2 <= eff <= 1.1
+
+
+def merge_manual(new_md: str, old_md: str | None) -> str:
+    """Carry the hand-written sections (everything from MANUAL_MARKER
+    to EOF in the existing file) verbatim into the regenerated
+    document."""
+    if old_md:
+        idx = old_md.find(MANUAL_MARKER)
+        if idx >= 0:
+            return new_md.rstrip("\n") + "\n\n" + old_md[idx:]
+    return new_md
+
+
 def _package_zip(work: Path) -> str:
     """Build the --py-files package (the north-rule ship form): the
     measured job runs from the zip, exactly as a cluster would."""
@@ -281,14 +303,10 @@ def main() -> None:
     eff = (thr_b / thr_s) / 4.0
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
 
-    # Contention validity gate: super-linear scaling (eff >> 1) is
-    # physically impossible for this fixed job — it means every
-    # N-level run landed in a co-tenant contention window (the long
-    # N runs have far more exposure per attempt than the short 4N
-    # runs), so best-of-k failed to find an uncontended N sample.
-    # Refuse to overwrite the recorded baseline with an invalid
-    # measurement; park the raw numbers in a sidecar instead.
-    if not args.sidecar and not (0.2 <= eff <= 1.1):
+    # Refuse to overwrite the recorded baseline with a
+    # contention-invalidated measurement (see efficiency_valid);
+    # park the raw numbers in a sidecar instead.
+    if not args.sidecar and not efficiency_valid(eff):
         (REPO / "BENCH").mkdir(exist_ok=True)
         invalid = REPO / "BENCH" / "scaling_invalid_last.json"
         invalid.write_text(json.dumps({
@@ -369,12 +387,7 @@ writes. All I/O and shuffles included; session boot excluded.
 {_scaling_8v32_section()}{_pagerank_section()}{_zorder_section()}"""
     (REPO / "BENCH").mkdir(exist_ok=True)
     target = REPO / "BENCH" / "BASELINE.md"
-    # carry hand-written sections (after MANUAL_MARKER) verbatim
-    if target.exists():
-        old = target.read_text()
-        idx = old.find(MANUAL_MARKER)
-        if idx >= 0:
-            md = md.rstrip("\n") + "\n\n" + old[idx:]
+    md = merge_manual(md, target.read_text() if target.exists() else None)
     target.write_text(md)
     print(json.dumps({"thr_n": thr_s, "thr_4n": thr_b, "efficiency": round(eff, 3)}))
 
