@@ -142,3 +142,64 @@ def test_ivf_sample_is_partition_order_invariant(spark, emb):
         emb.orderBy(F.col("vec_id").desc()), n_centroids=16, sample_cap=300
     )
     assert np.array_equal(a, b) and np.array_equal(a, c)
+
+
+# ------------------------------------------------------------------ PQ
+
+
+def test_pq_centroids_encode_to_themselves(emb):
+    """A codebook vector's nearest sub-centroid in every subspace is
+    itself (distance 0), so vec_id < 8 must encode to codes
+    [cid, cid, cid, cid]."""
+    cb = simsearch.pq_codebook(emb, n_codes=8)
+    codes = simsearch.pq_encode(emb, cb, n_sub=4, dim=64)
+    rows = {r["vec_id"]: r["codes"] for r in codes.filter(F.col("vec_id") < 8).collect()}
+    assert set(rows) == set(range(8))
+    for cid, cs in rows.items():
+        assert cs == [cid] * 4, (cid, cs)
+
+
+def test_pq_adc_self_distance_zero_for_centroids(emb):
+    """For a query that IS a centroid, the ADC distance to that
+    centroid's own codes is exactly 0 — and since self-matches are
+    excluded, any other vector sharing all four codes ranks first
+    with distance 0; every reported distance is >= 0."""
+    cb = simsearch.pq_codebook(emb, n_codes=8)
+    codes = simsearch.pq_encode(emb, cb, n_sub=4, dim=64)
+    luts = simsearch.pq_query_luts(
+        emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        cb,
+    )
+    top = simsearch.pq_adc_topk(codes, luts, n_sub=4, k=3).collect()
+    assert len(top) > 0
+    assert all(r["adc_dist"] >= 0 for r in top)
+    assert all(r["query_id"] != r["vec_id"] for r in top)
+    # ranks are 1..k contiguous per query
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_pq_encode_is_map_only(emb):
+    """The 100 TB contract: encoding never shuffles the corpus — the
+    one-row codebook enters via BroadcastExchange; the plan contains
+    no corpus-side (non-broadcast) Exchange."""
+    cb = simsearch.pq_codebook(emb, n_codes=8)
+    codes = simsearch.pq_encode(emb, cb, n_sub=4, dim=64)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    non_broadcast_exchanges = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bExchange\b", ln) and "Broadcast" not in ln
+    ]
+    # the codebook's own single-row aggregation may exchange its 8
+    # rows; the corpus scan side must not. 8-row exchanges sit under
+    # the BroadcastExchange subtree — assert none elsewhere by
+    # checking every plain Exchange is a SinglePartition gather (the
+    # codebook agg), never a corpus hashpartitioning
+    assert all("SinglePartition" in ln for ln in non_broadcast_exchanges), plan

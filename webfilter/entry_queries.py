@@ -3218,6 +3218,68 @@ FROM r WHERE rank <= 3
 """
 
 
+def q_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): vectors are
+    quantized to round(x*1000) int64 (the cross-engine integer device
+    shared with simsearch_lsh_md5), split into 4 x 16-dim subvectors,
+    and encoded as the nearest sub-centroid id per subspace against
+    the deterministic first-8-vectors codebook (the RNG-free device
+    shared with q_ivf_md5_topk) — 4 small ints replacing 64 floats.
+    Queries (vec_id < 5) carry 4x8 integer LUTs; approximate distance
+    is the asymmetric-distance sum of LUT entries at the corpus
+    codes, top-3 ascending. Everything after quantization is integer
+    arithmetic, so the DuckDB oracle replays encode, LUT and ADC
+    hash-exactly. Scale shape: encode and ADC scan are MAP-ONLY with
+    broadcast codebook/LUTs; the float embeddings are never re-read
+    at query time (completing the ANN family: brute -> LSH -> IVF ->
+    PQ)."""
+    from .simsearch import pq_adc_topk, pq_codebook, pq_encode, pq_query_luts
+
+    emb = _emb(spark, sf_dir)
+    cb = pq_codebook(emb, n_codes=8)
+    codes = pq_encode(emb, cb, n_sub=4, dim=64)
+    luts = pq_query_luts(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        cb,
+        n_sub=4,
+        dim=64,
+    )
+    return pq_adc_topk(codes, luts, n_sub=4, k=3)
+
+
+SQL_PQ_ADC_TOPK = """
+WITH qv AS (
+  SELECT vec_id,
+    list_transform(embedding::DOUBLE[], x -> round(x * 1000)::BIGINT) AS q
+  FROM embeddings),
+cb AS (SELECT vec_id AS cid, q AS cv FROM qv WHERE vec_id < 8),
+d AS (
+  SELECT v.vec_id, m.m, c.cid,
+    list_sum(list_transform(range(1, 17),
+      j -> (v.q[m.m * 16 + j] - c.cv[m.m * 16 + j])
+         * (v.q[m.m * 16 + j] - c.cv[m.m * 16 + j])))::BIGINT AS dist
+  FROM qv v CROSS JOIN range(4) m(m) CROSS JOIN cb c),
+codes AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT vec_id, m, cid,
+      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+    FROM d) WHERE rn = 1),
+lut AS (SELECT vec_id AS query_id, m, cid, dist FROM d WHERE vec_id < 5),
+adc AS (
+  SELECT l.query_id, c.vec_id, sum(l.dist)::BIGINT AS adc_dist
+  FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id),
+r AS (
+  SELECT query_id, vec_id, adc_dist,
+    row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+  FROM adc)
+SELECT query_id, vec_id, adc_dist, rank::INT AS rank FROM r WHERE rank <= 3
+"""
+
+
 _MARKOV_ROUNDS = 8
 
 
@@ -5629,6 +5691,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "gopher_repetition": (q_gopher_repetition, SQL_GOPHER_REPETITION),
     "bm25_rank": (q_bm25_rank, SQL_BM25_RANK),
     "zorder_cells": (q_zorder_cells, SQL_ZORDER_CELLS),
+    "simsearch_pq_adc": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
 }
 
 # The driver oracle-grades exactly the first 50 entries in insertion

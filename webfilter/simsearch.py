@@ -384,3 +384,161 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+# ------------------------------------------------------------------ PQ
+
+
+def quantized_vec(vec: Column, scale: int = 1000) -> Column:
+    """round(x*scale) int64 per element — the cross-engine integer
+    device shared with sketches.md5_lsh_buckets: once quantized, every
+    downstream distance is exact integer arithmetic, so a float sum's
+    last-ulp difference can never flip an argmin across engines."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * scale).cast("bigint")
+    )
+
+
+def _sq_dist_int(a: Column, b: Column) -> Column:
+    """Integer squared L2 distance between two bigint arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc + d,
+    )
+
+
+def pq_codebook(
+    emb: DataFrame,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row broadcastable PQ codebook: the first ``n_codes`` corpus
+    vectors (by id), quantized — the RNG-free deterministic-codebook
+    device shared with the IVF oracle twin (q_ivf_md5_topk). Real
+    deployments swap this for k-means sub-codebooks trained on a
+    hash-sample (train_ivf_centroids is the template); everything
+    downstream — encode, LUT, ADC — is codebook-agnostic.
+
+    ``cbook`` is array<struct<cid,cv>> sorted by cid, so array index
+    i+1 holds centroid i; construction is action-free (the single
+    groupBy row materializes lazily inside the consuming plan)."""
+    return (
+        emb.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("cid"), quantized_vec(F.col(vec_col)).alias("cv"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cbook"))
+    )
+
+
+def _sub_dists(qv: Column, cbook: Column, m: int, sub: int) -> Column:
+    """array<bigint>: integer squared distance from ``qv``'s m-th
+    subvector to every centroid's m-th subvector (codebook order)."""
+    return F.transform(
+        cbook,
+        lambda e: _sq_dist_int(
+            F.slice(qv, m * sub + 1, sub), F.slice(e["cv"], m * sub + 1, sub)
+        ),
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: DataFrame,
+    n_sub: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encode (Jégou, Douze & Schmid 2011, "Product Quantization
+    for Nearest Neighbor Search"): split each dim-D vector into
+    ``n_sub`` contiguous subvectors and store only the id of the
+    nearest sub-codebook centroid per subspace — (id, codes
+    array<int>), n_sub small ints replacing dim floats (16x here,
+    256x at the paper's D=128/M=8/K=256 shape).
+
+    Scale shape: MAP-ONLY — the corpus never shuffles; the one-row
+    codebook is broadcast, per-subspace distance arrays are staged as
+    columns (no captured-aggregate re-evaluation inside HOF lambdas),
+    and the argmin is array_position(min) with the first-match rule
+    giving the deterministic lowest-cid tie-break."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub = dim // n_sub
+    df = (
+        emb.select(id_col, quantized_vec(F.col(vec_col)).alias("qv"))
+        .crossJoin(F.broadcast(codebook))
+    )
+    for m in range(n_sub):
+        df = df.withColumn(
+            f"_d{m}", _sub_dists(F.col("qv"), F.col("cbook"), m, sub)
+        )
+    codes = F.array(
+        *[
+            (
+                F.array_position(F.col(f"_d{m}"), F.array_min(F.col(f"_d{m}"))) - 1
+            ).cast("int")
+            for m in range(n_sub)
+        ]
+    )
+    return df.select(id_col, codes.alias("codes"))
+
+
+def pq_query_luts(
+    queries: DataFrame,
+    codebook: DataFrame,
+    n_sub: int = 4,
+    dim: int = 64,
+    id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, lut array<array<bigint>>): the ADC lookup tables —
+    lut[m][cid+1] = integer squared distance from the query's m-th
+    subvector to sub-centroid cid. n_queries x n_sub x n_codes
+    numbers total: always the broadcast side."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub = dim // n_sub
+    df = (
+        queries.select(id_col, quantized_vec(F.col(vec_col)).alias("qv"))
+        .crossJoin(F.broadcast(codebook))
+    )
+    lut = F.array(
+        *[_sub_dists(F.col("qv"), F.col("cbook"), m, sub) for m in range(n_sub)]
+    )
+    return df.select(id_col, lut.alias("lut"))
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    luts: DataFrame,
+    n_sub: int = 4,
+    k: int = 3,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: approx dist(q, x) =
+    sum_m lut_q[m][code_m(x)] — the corpus side touches only its
+    M-byte codes (the 100 TB story: the float embeddings are never
+    re-read at query time), the tiny LUT frame is broadcast, and the
+    scan is map-only until the per-query top-k window. Ascending
+    distance, ties by id; self-matches excluded. Integer throughout —
+    hash-exact across engines."""
+    j = codes.crossJoin(F.broadcast(luts)).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    adc = None
+    for m in range(n_sub):
+        term = F.element_at(
+            F.element_at(F.col("lut"), m + 1),
+            F.element_at(F.col("codes"), m + 1) + F.lit(1),
+        )
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adc_dist").asc(), F.col(id_col))
+    return (
+        j.select(query_id_col, id_col, adc.cast("bigint").alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )
