@@ -203,3 +203,31 @@ def test_pq_encode_is_map_only(emb):
     # checking every plain Exchange is a SinglePartition gather (the
     # codebook agg), never a corpus hashpartitioning
     assert all("SinglePartition" in ln for ln in non_broadcast_exchanges), plan
+
+
+def test_ivfpq_candidates_share_query_cell(emb):
+    """IVFADC single-probe contract: every reported neighbor lives in
+    the query's coarse cell, and its ADC distance equals the
+    unrestricted PQ-ADC distance for the same (query, vec) pair."""
+    cb = simsearch.pq_codebook(emb, n_codes=8)
+    enc = simsearch.pq_encode(emb, cb, n_sub=4, dim=64, with_cell=True)
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    luts_c = simsearch.pq_query_luts(qs, cb, with_cell=True)
+    top = simsearch.pq_adc_topk(enc, luts_c, n_sub=4, k=3, cell_restrict=True)
+    cells = {r["vec_id"]: r["cell"] for r in enc.select("vec_id", "cell").collect()}
+    rows = top.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert cells[r["vec_id"]] == cells[r["query_id"]], r
+    # exhaustive ADC distances for cross-check
+    luts = simsearch.pq_query_luts(qs, cb)
+    full = {
+        (r["query_id"], r["vec_id"]): r["adc_dist"]
+        for r in simsearch.pq_adc_topk(
+            enc.select("vec_id", "codes"), luts, n_sub=4, k=10**6
+        ).collect()
+    }
+    for r in rows:
+        assert full[(r["query_id"], r["vec_id"])] == r["adc_dist"], r

@@ -3280,6 +3280,82 @@ SELECT query_id, vec_id, adc_dist, rank::INT AS rank FROM r WHERE rank <= 3
 """
 
 
+def q_ivfpq_adc_topk(spark, sf_dir):
+    """IVFADC (Jégou et al. 2011 §III — the FAISS billion-scale index
+    shape): compose the IVF coarse quantizer with PQ asymmetric
+    distance. Each vector gets (cell, codes) in ONE map-only pass —
+    cell = nearest full-vector centroid, codes = nearest sub-centroid
+    per 16-dim subspace, both by integer squared L2 against the
+    deterministic first-8 quantized codebook. The ADC scan touches
+    only same-cell codes (broadcast equi-join on cell, single-probe),
+    so at 100 TB the query cost is |cell| code lookups, not a corpus
+    scan — and the corpus side of the index is 4 ints + 1 cell id per
+    doc. Fully integer after quantization: the DuckDB oracle replays
+    cells, codes, LUTs and ADC hash-exactly."""
+    from .simsearch import pq_adc_topk, pq_codebook, pq_encode, pq_query_luts
+
+    emb = _emb(spark, sf_dir)
+    cb = pq_codebook(emb, n_codes=8)
+    enc = pq_encode(emb, cb, n_sub=4, dim=64, with_cell=True)
+    luts = pq_query_luts(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        cb,
+        n_sub=4,
+        dim=64,
+        with_cell=True,
+    )
+    return pq_adc_topk(enc, luts, n_sub=4, k=3, cell_restrict=True)
+
+
+SQL_IVFPQ_ADC_TOPK = """
+WITH qv AS (
+  SELECT vec_id,
+    list_transform(embedding::DOUBLE[], x -> round(x * 1000)::BIGINT) AS q
+  FROM embeddings),
+cb AS (SELECT vec_id AS cid, q AS cv FROM qv WHERE vec_id < 8),
+dc AS (
+  SELECT v.vec_id, c.cid,
+    list_sum(list_transform(range(1, 65),
+      j -> (v.q[j] - c.cv[j]) * (v.q[j] - c.cv[j])))::BIGINT AS dist
+  FROM qv v CROSS JOIN cb c),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM dc) WHERE rn = 1),
+d AS (
+  SELECT v.vec_id, m.m, c.cid,
+    list_sum(list_transform(range(1, 17),
+      j -> (v.q[m.m * 16 + j] - c.cv[m.m * 16 + j])
+         * (v.q[m.m * 16 + j] - c.cv[m.m * 16 + j])))::BIGINT AS dist
+  FROM qv v CROSS JOIN range(4) m(m) CROSS JOIN cb c),
+codes AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT vec_id, m, cid,
+      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+    FROM d) WHERE rn = 1),
+lut AS (SELECT vec_id AS query_id, m, cid, dist FROM d WHERE vec_id < 5),
+qcells AS (SELECT vec_id AS query_id, cell FROM cells WHERE vec_id < 5),
+cand AS (
+  SELECT qc.query_id, ce.vec_id
+  FROM cells ce JOIN qcells qc ON ce.cell = qc.cell
+  WHERE ce.vec_id <> qc.query_id),
+adc AS (
+  SELECT ca.query_id, ca.vec_id, sum(l.dist)::BIGINT AS adc_dist
+  FROM cand ca
+  JOIN codes c ON c.vec_id = ca.vec_id
+  JOIN lut l ON l.query_id = ca.query_id AND l.m = c.m AND l.cid = c.code
+  GROUP BY ca.query_id, ca.vec_id),
+r AS (
+  SELECT query_id, vec_id, adc_dist,
+    row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+  FROM adc)
+SELECT query_id, vec_id, adc_dist, rank::INT AS rank FROM r WHERE rank <= 3
+"""
+
+
 _MARKOV_ROUNDS = 8
 
 
@@ -5692,6 +5768,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bm25_rank": (q_bm25_rank, SQL_BM25_RANK),
     "zorder_cells": (q_zorder_cells, SQL_ZORDER_CELLS),
     "simsearch_pq_adc": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
+    "simsearch_ivfpq_adc": (q_ivfpq_adc_topk, SQL_IVFPQ_ADC_TOPK),
 }
 
 # The driver oracle-grades exactly the first 50 entries in insertion

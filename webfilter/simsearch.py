@@ -450,6 +450,7 @@ def pq_encode(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_cell: bool = False,
 ) -> DataFrame:
     """PQ encode (Jégou, Douze & Schmid 2011, "Product Quantization
     for Nearest Neighbor Search"): split each dim-D vector into
@@ -457,6 +458,12 @@ def pq_encode(
     nearest sub-codebook centroid per subspace — (id, codes
     array<int>), n_sub small ints replacing dim floats (16x here,
     256x at the paper's D=128/M=8/K=256 shape).
+
+    ``with_cell=True`` additionally emits the IVF coarse cell (the
+    nearest FULL-vector centroid by the same integer squared L2,
+    lowest-cid tie-break) from the same staged frame — one pass
+    produces the complete IVFADC index row (cell, codes) with no
+    codes⋈cells join.
 
     Scale shape: MAP-ONLY — the corpus never shuffles; the one-row
     codebook is broadcast, per-subspace distance arrays are staged as
@@ -482,7 +489,11 @@ def pq_encode(
             for m in range(n_sub)
         ]
     )
-    return df.select(id_col, codes.alias("codes"))
+    if not with_cell:
+        return df.select(id_col, codes.alias("codes"))
+    df = df.withColumn("_dc", _sub_dists(F.col("qv"), F.col("cbook"), 0, dim))
+    cell = (F.array_position(F.col("_dc"), F.array_min(F.col("_dc"))) - 1).cast("int")
+    return df.select(id_col, cell.alias("cell"), codes.alias("codes"))
 
 
 def pq_query_luts(
@@ -492,11 +503,13 @@ def pq_query_luts(
     dim: int = 64,
     id_col: str = "query_id",
     vec_col: str = "embedding",
+    with_cell: bool = False,
 ) -> DataFrame:
     """(query_id, lut array<array<bigint>>): the ADC lookup tables —
     lut[m][cid+1] = integer squared distance from the query's m-th
     subvector to sub-centroid cid. n_queries x n_sub x n_codes
-    numbers total: always the broadcast side."""
+    numbers total: always the broadcast side. ``with_cell=True`` also
+    emits the query's IVF coarse cell (single-probe restriction key)."""
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     sub = dim // n_sub
@@ -507,7 +520,11 @@ def pq_query_luts(
     lut = F.array(
         *[_sub_dists(F.col("qv"), F.col("cbook"), m, sub) for m in range(n_sub)]
     )
-    return df.select(id_col, lut.alias("lut"))
+    if not with_cell:
+        return df.select(id_col, lut.alias("lut"))
+    df = df.withColumn("_dc", _sub_dists(F.col("qv"), F.col("cbook"), 0, dim))
+    cell = (F.array_position(F.col("_dc"), F.array_min(F.col("_dc"))) - 1).cast("int")
+    return df.select(id_col, cell.alias("cell"), lut.alias("lut"))
 
 
 def pq_adc_topk(
@@ -517,6 +534,7 @@ def pq_adc_topk(
     k: int = 3,
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    cell_restrict: bool = False,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: approx dist(q, x) =
     sum_m lut_q[m][code_m(x)] — the corpus side touches only its
@@ -524,10 +542,21 @@ def pq_adc_topk(
     re-read at query time), the tiny LUT frame is broadcast, and the
     scan is map-only until the per-query top-k window. Ascending
     distance, ties by id; self-matches excluded. Integer throughout —
-    hash-exact across engines."""
-    j = codes.crossJoin(F.broadcast(luts)).filter(
-        F.col(id_col) != F.col(query_id_col)
-    )
+    hash-exact across engines.
+
+    ``cell_restrict=True`` is the IVFADC composition (Jégou et al.
+    2011 §III): both frames must carry a ``cell`` column (encode/luts
+    with_cell=True) and the ADC scan touches only codes in the
+    query's coarse cell — a broadcast equi-join on cell instead of
+    the exhaustive scan, the single-probe recall-vs-cost knob."""
+    if cell_restrict:
+        j = codes.join(F.broadcast(luts), "cell").filter(
+            F.col(id_col) != F.col(query_id_col)
+        )
+    else:
+        j = codes.crossJoin(F.broadcast(luts)).filter(
+            F.col(id_col) != F.col(query_id_col)
+        )
     adc = None
     for m in range(n_sub):
         term = F.element_at(
