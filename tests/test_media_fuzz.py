@@ -11,14 +11,17 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from webfilter.kernels.media import (
+    decode_avi_frames,
     decode_gif_pixels,
     decode_jpeg_pixels,
+    make_avi_mjpeg,
     make_jpeg_color,
     decode_png_pixels,
     make_gif,
     make_jpeg,
     make_mp4,
     make_png,
+    parse_avi,
     parse_image,
     parse_mp4,
     parse_wav,
@@ -37,6 +40,8 @@ def _all_parsers(raw: bytes) -> None:
     parse_mp4(raw)
     parse_image(raw)
     parse_wav(raw)
+    parse_avi(raw)
+    decode_avi_frames(raw)
 
 
 @settings(max_examples=200, deadline=None)
@@ -57,7 +62,8 @@ def test_parsers_never_raise_on_corrupted_valid_files(pos, val):
     for raw in (make_gif(9, 5, seed=3), make_png(9, 5, seed=3),
                 make_mp4(4200, 600, seed=3), make_jpeg(9, 5, seed=3)[0],
                 make_jpeg_color(9, 5, seed=3)[0],
-                make_jpeg_color(9, 5, seed=3, subsample=True)[0]):
+                make_jpeg_color(9, 5, seed=3, subsample=True)[0],
+                make_avi_mjpeg(9, 5, 2, seed=3)[0]):
         b = bytearray(raw)
         b[pos % len(b)] = val
         _all_parsers(bytes(b))

@@ -13,11 +13,15 @@ for grayscale, 4:4:4 AND subsampled (4:2:0 family) color frames:
 canonical DHT Huffman,
 byte-unstuffed bit reader, per-component predictors/tables,
 dequantize + de-zigzag + float IDCT + JFIF YCbCr inverse, with
-encode_jpeg_gray/encode_jpeg_color as real-encoder ground truth), and the MP4 container duration
-probe is real (parse_mp4 — ISO-BMFF box walk to mvhd, both version
-layouts). Only video
-codec frames remain a deploy-time library swap, and unknown formats
-surface err='unknown_format' instead of fake values.
+encode_jpeg_gray/encode_jpeg_color as real-encoder ground truth), and
+VIDEO: the MP4 container duration probe is real (parse_mp4 — ISO-BMFF
+box walk to mvhd, both version layouts), the AVI container parse is
+real (parse_avi — RIFF walk to avih/strh), and MJPEG video FRAME
+decode is real (decode_avi_frames — each '##dc' chunk through the
+baseline JPEG decoder, with make_avi_mjpeg as real-encoder ground
+truth). Codecs outside that set (H.26x frames, progressive JPEG,
+compressed audio) remain a deploy-time library swap, and unknown
+formats surface err='unknown_format' instead of fake values.
 """
 
 from __future__ import annotations
@@ -39,6 +43,8 @@ def sniff_format(raw: bytes) -> str:
         return "jpeg"
     if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
         return "wav"
+    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+        return "avi"
     if len(raw) >= 8 and raw[4:8] == b"ftyp":
         return "mp4"
     return "unknown"
@@ -569,6 +575,171 @@ def make_mp4(
         + box(b"moov", mvhd)
         + box(b"mdat", bytes(body))
     )
+
+
+# ----------------------------------------------- avi (mjpeg) container
+#
+# REAL RIFF-AVI container parse + MJPEG frame decode, pure stdlib:
+# RIFF chunk walk (little-endian sizes, word alignment) to the avih
+# main header and the vids strh, then per-frame '##dc' JPEG payloads
+# through decode_jpeg_pixels — actual video-codec frame pixels, not a
+# hash stand-in. MJPEG is the composition that makes this honest:
+# each frame is a complete baseline JPEG, which this module already
+# decodes from scratch.
+
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, body_off, body_end) over a RIFF chunk sequence.
+    Chunk bodies are word-aligned: odd sizes carry one pad byte that
+    is NOT counted in the size field (RIFF spec)."""
+    while pos + 8 <= end:
+        tag = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = pos + 8
+        if body + size > end:
+            return
+        yield tag, body, body + size
+        pos = body + size + (size & 1)
+
+
+def parse_avi(raw: bytes | None) -> dict:
+    """REAL RIFF-AVI probe: walk LIST hdrl -> avih for frame geometry
+    and timing (dwMicroSecPerFrame, dwTotalFrames, dwWidth, dwHeight)
+    and LIST strl -> strh for the video codec fourcc. Returns {width,
+    height, n_frames, us_per_frame, duration_ms, codec, err} — err
+    set (never an exception) on malformed input, the module-wide
+    parser contract."""
+    out = {
+        "width": None, "height": None, "n_frames": None,
+        "us_per_frame": None, "duration_ms": None, "codec": None,
+        "err": None,
+    }
+    if not raw or len(raw) < 12:
+        out["err"] = "short"
+        return out
+    if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        out["err"] = "not_avi"
+        return out
+    try:
+        end = min(len(raw), 8 + struct.unpack("<I", raw[4:8])[0])
+        for tag, off, cend in _riff_chunks(raw, 12, end):
+            if tag != b"LIST" or raw[off : off + 4] != b"hdrl":
+                continue
+            for t2, o2, e2 in _riff_chunks(raw, off + 4, cend):
+                if t2 == b"avih" and e2 - o2 >= 40:
+                    (uspf, _mbps, _pad, _flags, total, _init, _nstr,
+                     _buf, w, h) = struct.unpack("<10I", raw[o2 : o2 + 40])
+                    out["us_per_frame"] = uspf or None
+                    out["n_frames"] = total
+                    out["width"], out["height"] = w, h
+                    if uspf and total:
+                        out["duration_ms"] = total * uspf // 1000
+                elif t2 == b"LIST" and raw[o2 : o2 + 4] == b"strl":
+                    for t3, o3, e3 in _riff_chunks(raw, o2 + 4, e2):
+                        if (
+                            t3 == b"strh"
+                            and e3 - o3 >= 8
+                            and raw[o3 : o3 + 4] == b"vids"
+                        ):
+                            out["codec"] = raw[o3 + 4 : o3 + 8].decode(
+                                "ascii", "replace"
+                            )
+        if out["n_frames"] is None:
+            out["err"] = "no_avih"
+    except (struct.error, IndexError):
+        out["err"] = "malformed"
+    return out
+
+
+def decode_avi_frames(
+    raw: bytes | None, indices: set[int] | None = None
+) -> dict | None:
+    """Decode MJPEG video frames to pixel arrays: walk LIST movi, feed
+    each '##dc' compressed-frame chunk to decode_jpeg_pixels. Returns
+    {frame_idx: ndarray} (only ``indices`` when given — samplers
+    decode just the frames they keep, never the whole clip), or None
+    if the container/codec is unsupported or any requested frame is
+    undecodable. Never raises."""
+    p = parse_avi(raw)
+    if p["err"] or (p["codec"] or "").upper() not in ("MJPG", "MJPEG"):
+        return None
+    try:
+        end = min(len(raw), 8 + struct.unpack("<I", raw[4:8])[0])
+        frames: dict[int, object] = {}
+        fi = 0
+        for tag, off, cend in _riff_chunks(raw, 12, end):
+            if tag != b"LIST" or raw[off : off + 4] != b"movi":
+                continue
+            for t2, o2, e2 in _riff_chunks(raw, off + 4, cend):
+                if t2[2:4] != b"dc":
+                    continue
+                if indices is None or fi in indices:
+                    px = decode_jpeg_pixels(raw[o2:e2])
+                    if px is None:
+                        return None
+                    frames[fi] = px
+                fi += 1
+        return frames or None
+    except (struct.error, IndexError):
+        return None
+
+
+def make_avi_mjpeg(
+    width: int,
+    height: int,
+    n_frames: int,
+    us_per_frame: int = 100_000,
+    seed: int = 0,
+    flat_q: bool = True,
+) -> tuple:
+    """Valid RIFF-AVI with MJPEG '00dc' frames (each a real baseline
+    JPEG from encode_jpeg_gray) + idx1 index — the deterministic
+    ground truth for parse_avi/decode_avi_frames. Returns (avi_bytes,
+    [frame pixel arrays]); flat_q keeps the per-frame round-trip
+    error at rounding-only."""
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    pixels = [_synth_pixels(width, height, seed + 31 * k) for k in range(n_frames)]
+    jpegs = [encode_jpeg_gray(p, flat_q=flat_q) for p in pixels]
+    bufsz = max(map(len, jpegs), default=0)
+    avih = chunk(
+        b"avih",
+        struct.pack(
+            "<10I", us_per_frame, 0, 0, 0x10, n_frames, 0, 1, bufsz, width, height
+        )
+        + b"\x00" * 16,
+    )
+    # AVISTREAMHEADER: fps = dwRate/dwScale; scale=us/frame, rate=1e6
+    strh = chunk(
+        b"strh",
+        b"vids" + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII",
+            0, 0, 0, 0, us_per_frame, 1_000_000, 0, n_frames, bufsz,
+            0xFFFFFFFF, 0,
+        )
+        + struct.pack("<4h", 0, 0, width, height),
+    )
+    strf = chunk(
+        b"strf",
+        struct.pack(
+            "<IiiHH4sIiiII",
+            40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+        ),
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + avih + chunk(b"LIST", b"strl" + strh + strf))
+    movi_body = b"movi"
+    idx = b""
+    for j in jpegs:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        idx += b"00dc" + struct.pack("<III", 0x10, len(movi_body), len(j))
+        movi_body += chunk(b"00dc", j)
+    movi = chunk(b"LIST", movi_body)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body, pixels
 
 
 # ------------------------------------------------- jpeg baseline codec

@@ -3,13 +3,17 @@ columns + typed metadata, processed by Arrow-batched ``mapInPandas``
 stages.
 
 Metadata decode is REAL for header-parseable formats — BMP, PNG, GIF,
-JPEG dimensions, WAV audio parameters, and MP4 container duration
-(ISO-BMFF box walk to mvhd) are parsed from actual bytes by the
+JPEG dimensions, WAV audio parameters, MP4 container duration
+(ISO-BMFF box walk to mvhd) and AVI geometry/timing/codec (RIFF
+chunk walk to avih/strh) are parsed from actual bytes by the
 pure-stdlib kernels in ``kernels/media.py``, and the synthetic media
-table contains genuine BMP/PNG/WAV/MP4 payloads. PIXEL decode is
-real for PNG (zlib inflate + unfilter) and GIF (from-scratch LZW).
-What remains a deploy-time library swap is pixel/sample decode of
-codec-compressed payloads (jpeg entropy data, video codec frames):
+table contains genuine BMP/PNG/WAV/MP4/AVI payloads. PIXEL decode is
+real for PNG (zlib inflate + unfilter), GIF (from-scratch LZW),
+baseline JPEG (from-scratch entropy decode + IDCT; grayscale, 4:4:4
+and 4:2:0) and MJPEG video frames (AVI '##dc' chunks through the
+JPEG decoder — ``sample_frames`` hashes genuinely decoded pixels).
+What remains a deploy-time library swap is decode of codecs outside
+that set (H.26x video, progressive JPEG, compressed audio):
 ``extract_features`` documents its byte-histogram embedding as the
 model stub for those. Unknown formats surface err='unknown_format' —
 never fake values.
@@ -180,13 +184,18 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling stage: 1->N rows per video (the explode
     shape of the reference's chunker, 04_Chunk_Articles_Content.py:100,
     done inside the batch iterator). Duration resolution order:
-    (1) REAL container probe — kernels.media.parse_mp4 walks the
-    ISO-BMFF box chain to mvhd (no longer a stand-in); (2) the
-    carried meta map (how a pipeline ships probe results for formats
-    the in-process probe can't read — codec entropy decode stays a
-    deploy-time library swap); (3) a stable-hash fallback so tests
-    stay deterministic on opaque bytes."""
-    from .kernels.media import parse_mp4
+    (1) REAL AVI probe — for MJPEG payloads the sampled frames are
+    genuinely DECODED (kernels.media.decode_avi_frames feeds each
+    kept '##dc' chunk through the from-scratch baseline JPEG decoder;
+    only sampled frame indices are decoded, never the whole clip) and
+    frame_hash fingerprints the decoded PIXELS; (2) REAL MP4 probe —
+    parse_mp4 walks the ISO-BMFF box chain to mvhd for duration
+    (codec frames of non-MJPEG streams stay a deploy-time library
+    swap, hash over bytes+ts); (3) the carried meta map (how a
+    pipeline ships probe results for formats the in-process probe
+    can't read); (4) a stable-hash fallback so tests stay
+    deterministic on opaque bytes."""
+    from .kernels.media import decode_avi_frames, parse_avi, parse_mp4
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -194,20 +203,41 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             for mid, b, meta in zip(pdf["media_id"], pdf["bytes"], pdf["meta"]):
                 raw = b or b""
                 meta = meta or {}
-                probed = parse_mp4(raw)
-                if probed["duration_ms"] is not None:
-                    duration_ms = int(probed["duration_ms"])
-                elif "duration_ms" in meta:
-                    duration_ms = int(meta["duration_ms"])
+                avi = parse_avi(raw)
+                decoded: dict | None = None
+                src_of_ts = None
+                if avi["err"] is None and avi["duration_ms"]:
+                    duration_ms = int(avi["duration_ms"])
+                    uspf, nfr = avi["us_per_frame"], avi["n_frames"]
+
+                    def src_of_ts(ts, uspf=uspf, nfr=nfr):
+                        return min(nfr - 1, ts * 1000 // uspf)
+
+                    wanted = {
+                        src_of_ts(ts) for ts in range(0, duration_ms, every_ms)
+                    }
+                    decoded = decode_avi_frames(raw, indices=wanted)
                 else:
-                    duration_ms = 1000 + _stable_u32(raw, b"dur") % 30_000
+                    probed = parse_mp4(raw)
+                    if probed["duration_ms"] is not None:
+                        duration_ms = int(probed["duration_ms"])
+                    elif "duration_ms" in meta:
+                        duration_ms = int(meta["duration_ms"])
+                    else:
+                        duration_ms = 1000 + _stable_u32(raw, b"dur") % 30_000
                 for i, ts in enumerate(range(0, duration_ms, every_ms)):
                     out_id.append(mid)
                     out_idx.append(i)
                     out_ts.append(ts)
-                    out_hash.append(
-                        hashlib.md5(raw[:64] + ts.to_bytes(8, "little")).hexdigest()
-                    )
+                    px = decoded.get(src_of_ts(ts)) if decoded else None
+                    if px is not None:
+                        out_hash.append(hashlib.md5(px.tobytes()).hexdigest())
+                    else:
+                        out_hash.append(
+                            hashlib.md5(
+                                raw[:64] + ts.to_bytes(8, "little")
+                            ).hexdigest()
+                        )
             yield pd.DataFrame(
                 {
                     "media_id": np.array(out_id, dtype=np.int64),
@@ -258,6 +288,13 @@ def synth_media(spark, n: int, kind: str = "image") -> DataFrame:
                         raw = digest * (8 + i % 64)
                         meta["codec"] = "fake"
                         meta["duration_ms"] = str(dur)
+                    elif i % 4 == 1:  # real MJPEG AVI: decodable frames
+                        w, h = synth_dims(i)
+                        nfr = (2, 4, 5)[i % 3]  # all divide 1000
+                        raw, _ = mediakernel.make_avi_mjpeg(
+                            w, h, nfr, us_per_frame=dur * 1000 // nfr, seed=i
+                        )
+                        meta["codec"] = "mjpg"
                     else:  # real container: duration probed from mvhd
                         raw = mediakernel.make_mp4(dur, timescale=1000, seed=i)
                         meta["codec"] = "mp4"
