@@ -297,6 +297,8 @@ def main() -> None:
         "bpe_merges",
         "bm25_rank",
         "zorder_cells",
+        "simsearch_pq_adc",
+        "simsearch_ivfpq_adc",
     ]
     for name in bench_queries:
         walls: list[float] = []

@@ -12,6 +12,7 @@ from hypothesis import strategies as st
 
 from webfilter.kernels.media import (
     decode_avi_frames,
+    decode_wav_samples,
     decode_gif_pixels,
     decode_jpeg_pixels,
     make_avi_mjpeg,
@@ -19,6 +20,7 @@ from webfilter.kernels.media import (
     decode_png_pixels,
     make_gif,
     make_jpeg,
+    make_wav_adpcm,
     make_mp4,
     make_png,
     parse_avi,
@@ -29,7 +31,7 @@ from webfilter.kernels.media import (
 
 MAGICS = [
     b"", b"GIF89a", b"GIF87a", b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
-    b"RIFF", b"BM", b"\x00\x00\x00\x18ftyp",
+    b"RIFF", b"BM", b"\x00\x00\x00\x18ftyp", b"RIFF\x10\x00\x00\x00WAVE",
 ]
 
 
@@ -40,6 +42,7 @@ def _all_parsers(raw: bytes) -> None:
     parse_mp4(raw)
     parse_image(raw)
     parse_wav(raw)
+    decode_wav_samples(raw)
     parse_avi(raw)
     decode_avi_frames(raw)
 
@@ -63,7 +66,8 @@ def test_parsers_never_raise_on_corrupted_valid_files(pos, val):
                 make_mp4(4200, 600, seed=3), make_jpeg(9, 5, seed=3)[0],
                 make_jpeg_color(9, 5, seed=3)[0],
                 make_jpeg_color(9, 5, seed=3, subsample=True)[0],
-                make_avi_mjpeg(9, 5, 2, seed=3)[0]):
+                make_avi_mjpeg(9, 5, 2, seed=3)[0],
+                make_wav_adpcm(400, seed=3, block_align=32)[0]):
         b = bytearray(raw)
         b[pos % len(b)] = val
         _all_parsers(bytes(b))

@@ -38,12 +38,17 @@ def test_decode_image_meta_is_real(media):
 def test_decode_audio_meta_is_real(spark):
     audio = multimodal.synth_media(spark, 40, kind="audio")
     rows = multimodal.decode_audio_meta(audio).collect()
+    n_adpcm = 0
     for r in rows:
         assert r["decode_err"] is None
-        assert r["sample_rate"] == 8000 and r["bits"] == 16 and r["n_channels"] == 1
+        adpcm = r["media_id"] % 5 == 2
+        n_adpcm += adpcm
+        assert r["sample_rate"] == 8000 and r["n_channels"] == 1
+        assert r["bits"] == (4 if adpcm else 16)
         expect_frames = 1000 + (r["media_id"] % 64) * 250
-        assert r["n_frames"] == expect_frames
+        assert r["n_frames"] == expect_frames, r
         assert r["duration_ms"] == int(expect_frames * 1000 / 8000)
+    assert n_adpcm == 8
 
 
 def test_unknown_format_surfaces_error(spark):
@@ -488,3 +493,111 @@ def test_sample_frames_decodes_real_avi_pixels(spark):
             assert r["frame_hash"] == want, (i, r["frame_ts_ms"])
             checked += 1
     assert checked >= 15
+
+
+def test_adpcm_codec_roundtrip_exact():
+    """decode_wav_samples reproduces the IMA-ADPCM encoder's own
+    integer reconstruction EXACTLY, and that reconstruction tracks
+    the smooth source tone within one quantizer step (never free
+    running)."""
+    import math
+
+    import numpy as np
+
+    from webfilter.kernels import media as mk
+
+    raw, recon = mk.make_wav_adpcm(5000, 8000, seed=3)
+    got = mk.decode_wav_samples(raw)
+    assert got is not None and got.shape == (5000, 1)
+    assert np.array_equal(got, recon)
+    src = np.array(
+        [
+            int(12000.0 * math.sin(t / 9.0 + 3) + 3000.0 * math.sin(t / 37.0 + 6.0))
+            for t in range(5000)
+        ]
+    )
+    # after the adaptive index warms up, reconstruction error stays
+    # far below full scale (the codec is genuinely decoding, not
+    # replaying bytes)
+    err = np.abs(got[:, 0].astype(np.int64) - src)[100:]
+    assert err.max() < 2048 and err.mean() < 200
+    # header parse agrees with the fact chunk
+    meta = mk.parse_wav(raw)
+    assert meta["err"] is None and meta["format_tag"] == 0x11
+    assert meta["n_frames"] == 5000 and meta["duration_ms"] == 625
+
+
+def test_adpcm_block_arithmetic_fallback():
+    """Without a fact chunk parse_wav falls back to block arithmetic
+    from the fmt extension's samples-per-block."""
+    import struct
+
+    from webfilter.kernels import media as mk
+
+    raw, _ = mk.make_wav_adpcm(2000, 8000, seed=1, block_align=256)
+    # excise the 12-byte fact chunk (fact + size + payload)
+    j = raw.index(b"fact")
+    stripped = raw[:j] + raw[j + 12 :]
+    stripped = b"RIFF" + struct.pack("<I", len(stripped) - 8) + stripped[8:]
+    meta = mk.parse_wav(stripped)
+    assert meta["err"] is None
+    spb = (256 - 4) * 2 + 1
+    n_blocks = -(-2000 // spb)
+    assert meta["n_frames"] == n_blocks * spb  # padded final block
+
+
+def test_decode_wav_samples_pcm16_and_malformed():
+    import struct
+
+    import numpy as np
+
+    from webfilter.kernels import media as mk
+
+    raw = mk.make_wav(300, 8000, seed=9)
+    got = mk.decode_wav_samples(raw)
+    assert got is not None and got.shape == (300, 1)
+    # recompute the generator's LCG stream
+    x = (9 * 2654435761 + 7) & 0xFFFFFFFF
+    want = []
+    for _ in range(300):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+        want.append((x >> 8) % 65536 - 32768)
+    assert got[:, 0].tolist() == want
+    assert mk.decode_wav_samples(b"RIFFxxxxWAVEjunk") is None
+    assert mk.decode_wav_samples(None) is None
+    assert mk.decode_wav_samples(raw[:30]) is None
+    # chunk-size overrun past EOF -> None, not garbage
+    bad = bytearray(raw)
+    struct.pack_into("<I", bad, 40, 10**6)
+    assert mk.decode_wav_samples(bytes(bad)) is None
+
+
+def test_audio_features_use_decoded_samples(spark):
+    """extract_features embeds WAV (PCM16 AND ADPCM) from decoded
+    int16 samples: recompute the expected histogram locally and
+    require exact equality; a byte-histogram of the same blob must
+    differ."""
+    import numpy as np
+
+    from webfilter.kernels import media as mk
+
+    audio = multimodal.synth_media(spark, 15, kind="audio")
+    feats = {r["media_id"]: r["feature"] for r in multimodal.extract_features(audio).collect()}
+    raws = {r["media_id"]: bytes(r["bytes"]) for r in audio.collect()}
+    assert len(feats) == 15
+    for i, raw in raws.items():
+        smp = mk.decode_wav_samples(raw)
+        assert smp is not None, i
+        hist, _ = np.histogram(
+            smp.reshape(-1), bins=multimodal.EMBED_DIM, range=(-32768, 32768)
+        )
+        v = hist.astype(np.float32)
+        want = v / (float(np.linalg.norm(v)) or 1.0)
+        np.testing.assert_allclose(feats[i], want, rtol=1e-6)
+        bhist, _ = np.histogram(
+            np.frombuffer(raw[:4096], dtype=np.uint8),
+            bins=multimodal.EMBED_DIM,
+            range=(0, 256),
+        )
+        bv = bhist.astype(np.float32)
+        assert not np.allclose(feats[i], bv / (float(np.linalg.norm(bv)) or 1.0))

@@ -112,11 +112,14 @@ def _jpeg_dims(raw: bytes) -> tuple[int, int, int]:
 
 
 def parse_wav(raw: bytes | None) -> dict:
-    """(n_channels, sample_rate, bits, n_frames, duration_ms, err)
-    from RIFF/WAVE chunk headers."""
+    """(format_tag, n_channels, sample_rate, bits, n_frames,
+    duration_ms, err) from RIFF/WAVE chunk headers. PCM frame counts
+    come from the data size; compressed formats (IMA-ADPCM tag 0x11)
+    prefer the fact chunk's sample count, falling back to block
+    arithmetic (samples_per_block from the fmt extension)."""
     out = {
-        "n_channels": None, "sample_rate": None, "bits": None,
-        "n_frames": None, "duration_ms": None, "err": None,
+        "format_tag": None, "n_channels": None, "sample_rate": None,
+        "bits": None, "n_frames": None, "duration_ms": None, "err": None,
     }
     raw = raw or b""
     if sniff_format(raw) != "wav":
@@ -124,21 +127,33 @@ def parse_wav(raw: bytes | None) -> dict:
         return out
     try:
         i, n = 12, len(raw)
-        fmt_seen = data_size = None
+        fmt_seen = data_size = fact = spb = block_align = None
         while i + 8 <= n:
             cid, csize = raw[i : i + 4], struct.unpack_from("<I", raw, i + 4)[0]
             if cid == b"fmt ":
-                ch, rate = struct.unpack_from("<HI", raw, i + 10)
-                bits = struct.unpack_from("<H", raw, i + 22)[0]
-                out.update(n_channels=ch, sample_rate=rate, bits=bits)
+                tag, ch, rate = struct.unpack_from("<HHI", raw, i + 8)
+                block_align, bits = struct.unpack_from("<HH", raw, i + 20)
+                out.update(format_tag=tag, n_channels=ch, sample_rate=rate, bits=bits)
+                if csize >= 20:  # extension: samples-per-block
+                    spb = struct.unpack_from("<H", raw, i + 26)[0]
                 fmt_seen = True
             elif cid == b"data":
                 data_size = csize
+            elif cid == b"fact" and csize >= 4:
+                (fact,) = struct.unpack_from("<I", raw, i + 8)
             i += 8 + csize + (csize & 1)
         if not fmt_seen or data_size is None:
             raise ValueError("missing fmt /data chunk")
-        frame = out["n_channels"] * (out["bits"] // 8)
-        out["n_frames"] = data_size // max(frame, 1)
+        if out["format_tag"] == 0x11:
+            if fact is not None:
+                out["n_frames"] = fact
+            elif spb and block_align:
+                out["n_frames"] = (data_size // block_align) * spb
+            else:
+                raise ValueError("adpcm without fact chunk or fmt extension")
+        else:
+            frame = out["n_channels"] * (out["bits"] // 8)
+            out["n_frames"] = data_size // max(frame, 1)
         out["duration_ms"] = int(out["n_frames"] * 1000 / max(out["sample_rate"], 1))
     except Exception as e:
         out["err"] = f"parse_error:{type(e).__name__}"
@@ -259,6 +274,166 @@ def make_wav(n_samples: int, sample_rate: int = 8000, seed: int = 0) -> bytes:
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ------------------------------------------- ima-adpcm audio codec
+#
+# REAL compressed-audio sample decode: IMA/DVI ADPCM (WAVE format tag
+# 0x11), the classic 4-bit differential codec — step/index tables and
+# the nibble recurrence are the public IMA spec constants. Integer
+# throughout: decode(encode(x)) reproduces the encoder's internal
+# reconstruction EXACTLY, which is the testable ground-truth contract
+# (the reconstruction tracks the input within one quantizer step).
+
+_ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_ADPCM_INDEX8 = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_decode_nibble(code: int, pred: int, idx: int) -> tuple[int, int]:
+    step = _ADPCM_STEPS[idx]
+    diff = step >> 3
+    if code & 1:
+        diff += step >> 2
+    if code & 2:
+        diff += step >> 1
+    if code & 4:
+        diff += step
+    pred = pred - diff if code & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _ADPCM_INDEX8[code & 7]))
+    return pred, idx
+
+
+def _adpcm_encode_nibble(sample: int, pred: int, idx: int) -> tuple[int, int, int]:
+    step = _ADPCM_STEPS[idx]
+    diff = sample - pred
+    code = 0
+    if diff < 0:
+        code, diff = 8, -diff
+    if diff >= step:
+        code |= 4
+        diff -= step
+    if diff >= step >> 1:
+        code |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        code |= 1
+    pred, idx = _adpcm_decode_nibble(code, pred, idx)
+    return code, pred, idx
+
+
+def decode_wav_samples(raw: bytes | None):
+    """REAL WAV sample decode, pure stdlib+numpy: PCM16 (format tag
+    1) and mono IMA-ADPCM (tag 0x11 — 4-byte block headers, low
+    nibble first, fact-chunk sample count). Returns int16 ndarray
+    (n_frames, n_channels), or None for unsupported/malformed input
+    (never raises) — the decode_png_pixels contract for audio."""
+    import numpy as np
+
+    raw = raw or b""
+    if sniff_format(raw) != "wav":
+        return None
+    try:
+        i, n = 12, len(raw)
+        tag = ch = block_align = bits = None
+        data = fact = None
+        while i + 8 <= n:
+            cid, csize = raw[i : i + 4], struct.unpack_from("<I", raw, i + 4)[0]
+            if i + 8 + csize > n:
+                return None
+            if cid == b"fmt " and csize >= 16:
+                tag, ch = struct.unpack_from("<HH", raw, i + 8)
+                block_align, bits = struct.unpack_from("<HH", raw, i + 20)
+            elif cid == b"data":
+                data = raw[i + 8 : i + 8 + csize]
+            elif cid == b"fact" and csize >= 4:
+                (fact,) = struct.unpack_from("<I", raw, i + 8)
+            i += 8 + csize + (csize & 1)
+        if data is None or tag is None:
+            return None
+        if tag == 1 and bits == 16 and ch and ch <= 8:
+            arr = np.frombuffer(data[: len(data) - len(data) % (2 * ch)], "<i2")
+            return arr.reshape(-1, ch).copy()
+        if tag == 0x11 and bits == 4 and ch == 1 and block_align and block_align >= 8:
+            out: list[int] = []
+            for b0 in range(0, len(data) - block_align + 1, block_align):
+                pred = struct.unpack_from("<h", data, b0)[0]
+                idx = data[b0 + 2]
+                if idx > 88:
+                    return None
+                out.append(pred)
+                for byte in data[b0 + 4 : b0 + block_align]:
+                    for code in (byte & 0x0F, byte >> 4):
+                        pred, idx = _adpcm_decode_nibble(code, pred, idx)
+                        out.append(pred)
+            if fact is not None:
+                out = out[:fact]
+            return np.array(out, dtype=np.int16).reshape(-1, 1)
+        return None
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def make_wav_adpcm(
+    n_samples: int, sample_rate: int = 8000, seed: int = 0, block_align: int = 256
+) -> tuple:
+    """Valid mono IMA-ADPCM WAV (tag 0x11, fact chunk) carrying a
+    deterministic smooth test tone — a REAL encoder, the ground truth
+    for decode_wav_samples. Returns (wav_bytes, reconstruction):
+    decode must equal ``reconstruction`` EXACTLY (the encoder's own
+    integer decode state), and the reconstruction tracks the source
+    tone within one quantizer step."""
+    import math
+
+    import numpy as np
+
+    spb = (block_align - 4) * 2 + 1  # samples per block
+    src = [
+        int(
+            12000.0 * math.sin(t / 9.0 + seed)
+            + 3000.0 * math.sin(t / 37.0 + 2.0 * seed)
+        )
+        for t in range(n_samples)
+    ]
+    recon: list[int] = []
+    blocks = bytearray()
+    idx = 0  # adaptive step index carries across blocks via the header
+    for b0 in range(0, max(n_samples, 1), spb):
+        chunk = src[b0 : b0 + spb]
+        if not chunk:
+            break
+        chunk = chunk + [chunk[-1]] * (spb - len(chunk))  # pad final block
+        pred = max(-32768, min(32767, chunk[0]))
+        blocks += struct.pack("<hBB", pred, idx, 0)
+        block_recon = [pred]
+        nibbles: list[int] = []
+        for s in chunk[1:]:
+            code, pred, idx = _adpcm_encode_nibble(s, pred, idx)
+            nibbles.append(code)
+            block_recon.append(pred)
+        for j in range(0, len(nibbles), 2):
+            blocks.append(nibbles[j] | (nibbles[j + 1] << 4))
+        recon.extend(block_recon)
+    data = bytes(blocks)
+    byte_rate = sample_rate * block_align // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, n_samples)
+    body += b"data" + struct.pack("<I", len(data)) + data
+    raw = b"RIFF" + struct.pack("<I", len(body)) + body
+    return raw, np.array(recon[:n_samples], dtype=np.int16).reshape(-1, 1)
 
 
 def make_png(width: int, height: int, seed: int = 0) -> bytes:

@@ -138,7 +138,11 @@ def extract_features(df: DataFrame) -> DataFrame:
     decode_png_pixels — stdlib zlib inflate + unfiltering;
     decode_gif_pixels — from-scratch GIF-LZW; decode_jpeg_pixels —
     from-scratch baseline entropy decode + IDCT): an L2-normalized
-    EMBED_DIM-bin pixel histogram. Remaining formats keep the
+    EMBED_DIM-bin pixel histogram. WAV audio (PCM16 and mono
+    IMA-ADPCM) is embedded from REAL decoded int16 samples
+    (kernels.media.decode_wav_samples — from-scratch 4-bit ADPCM
+    nibble recurrence for tag 0x11) as an L2-normalized amplitude
+    histogram over the full int16 range. Remaining formats keep the
     documented byte-histogram stand-in (real impl: a vision model
     over decoded pixels — video codec frames are the deploy-time
     library swap). Batched numpy."""
@@ -146,6 +150,7 @@ def extract_features(df: DataFrame) -> DataFrame:
         decode_gif_pixels,
         decode_jpeg_pixels,
         decode_png_pixels,
+        decode_wav_samples,
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -157,11 +162,16 @@ def extract_features(df: DataFrame) -> DataFrame:
                     px = decode_gif_pixels(b)
                 if px is None:
                     px = decode_jpeg_pixels(b)
+                rng = (0, 256)
+                if px is None:
+                    px = decode_wav_samples(b)
+                    if px is not None:
+                        rng = (-32768, 32768)
                 if px is not None:
                     arr = px.reshape(-1)
                 else:
                     arr = np.frombuffer((b or b"\x00")[:4096], dtype=np.uint8)
-                hist, _ = np.histogram(arr, bins=EMBED_DIM, range=(0, 256))
+                hist, _ = np.histogram(arr, bins=EMBED_DIM, range=rng)
                 v = hist.astype(np.float32)
                 n = float(np.linalg.norm(v)) or 1.0
                 feats.append((v / n).tolist())
@@ -258,7 +268,8 @@ def synth_dims(i: int) -> tuple[int, int]:
 
 def synth_media(spark, n: int, kind: str = "image") -> DataFrame:
     """Deterministic media table with GENUINE payloads: images are
-    valid BMP (every 3rd a valid PNG), audio is valid PCM16 WAV,
+    valid BMP (every 3rd a valid PNG), audio is valid PCM16 WAV
+    (every 5th a real compressed IMA-ADPCM WAV),
     video is a valid ISO-BMFF (MP4) container (every 4th an opaque
     fake whose duration rides in meta — exercising both the REAL
     parse_mp4 probe path and the ships-with-the-blob metadata
@@ -279,8 +290,13 @@ def synth_media(spark, n: int, kind: str = "image") -> DataFrame:
                     else:
                         raw, meta["codec"] = mediakernel.make_bmp(w, h, seed=i), "bmp"
                 elif kind == "audio":
-                    raw = mediakernel.make_wav(1000 + (i % 64) * 250, 8000, seed=i)
-                    meta["codec"] = "wav"
+                    n_smp = 1000 + (i % 64) * 250
+                    if i % 5 == 2:  # real compressed audio: IMA-ADPCM
+                        raw, _ = mediakernel.make_wav_adpcm(n_smp, 8000, seed=i)
+                        meta["codec"] = "adpcm"
+                    else:
+                        raw = mediakernel.make_wav(n_smp, 8000, seed=i)
+                        meta["codec"] = "wav"
                 else:  # video
                     dur = 1000 + (i * 977) % 30_000
                     if i % 4 == 3:  # opaque payload: duration in meta
