@@ -468,3 +468,72 @@ def test_streaming_cms_equals_batch(spark, tmp_path):
     ep0 = catalog.read("cms_cells").filter(F.col("_epoch") == 0)
     catalog.append(ep0, "cms_cells")
     assert merged() == batch
+
+
+_TWS_OK, _TWS_WHY = streaming.tws_available()
+
+
+@pytest.mark.skipif(not _TWS_OK, reason=f"transformWithStateInPandas env-blocked: {_TWS_WHY}")
+def test_tws_url_dedup_across_batches(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas form of the latest-wins
+    dedup (TTL-capable value state, RocksDB store): same contract as
+    the applyInPandasWithState operator across micro-batches."""
+    import shutil
+
+    src = tmp_path / "src"
+    rows1 = [
+        ("http://a/1", "2024-01-01 00:00:00", b"v1", None, "en"),
+        ("http://a/2", "2024-01-01 00:00:00", b"v1", None, "en"),
+    ]
+    rows2 = [
+        ("http://a/1", "2024-01-01 00:00:00", b"v1", None, "en"),  # replay
+        ("http://a/2", "2023-12-01 00:00:00", b"v0", None, "en"),  # stale
+        ("http://a/3", "2024-01-05 00:00:00", b"v1", None, "en"),  # new url
+        ("http://a/1", "2024-02-01 00:00:00", b"v2xx", None, "en"),  # newer
+    ]
+
+    def _write(rows, name):
+        (
+            spark.createDataFrame(
+                rows, "url string, warc_ts string, html binary, text string, lang string"
+            )
+            .withColumn("warc_ts", F.to_timestamp("warc_ts"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(src / name))
+        )
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for name, rows in [("b1", rows1), ("b2", rows2)]:
+        _write(rows, name)
+        for f in (src / name).glob("*.parquet"):
+            shutil.copy(f, flat / f"{name}.parquet")
+
+    streaming.run_tws_dedup_stream(
+        spark, str(flat), "tws_dedup_feed", str(tmp_path / "cp"), max_files=1
+    )
+    feed = spark.sql("SELECT * FROM tws_dedup_feed").collect()
+    per_url = {}
+    for r in feed:
+        per_url.setdefault(r["url"], []).append(r)
+    assert len(per_url["http://a/1"]) == 2
+    ts = sorted(r["warc_ts"] for r in per_url["http://a/1"])
+    assert ts[0] < ts[1]
+    assert len(per_url["http://a/2"]) == 1
+    assert len(per_url["http://a/3"]) == 1
+
+
+def test_tws_operator_constructs_without_protobuf(spark, tmp_path):
+    """Even where the TWS runtime is env-blocked, the operator must
+    CONSTRUCT (plan-time) — the protobuf requirement bites only at
+    query start, and the registry-wide action-free rule applies to
+    streaming builders too."""
+    src = tmp_path / "one"
+    spark.createDataFrame(
+        [("http://a/1", "2024-01-01 00:00:00", b"v", None, "en")],
+        "url string, warc_ts string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts")).write.parquet(str(src))
+    stream = streaming.read_pages_stream(spark, str(src), 1)
+    df = streaming.tws_url_dedup(stream, state_ttl_ms=3_600_000)
+    assert df.isStreaming and set(df.columns) == {"url", "warc_ts", "lang", "n_bytes"}

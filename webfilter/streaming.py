@@ -171,6 +171,126 @@ def run_stateful_dedup_stream(
     return q
 
 
+def tws_available() -> tuple[bool, str]:
+    """Probe for transformWithStateInPandas availability. The Spark 4
+    API's Python state server speaks protobuf, so the `protobuf`
+    package must be importable by the streaming runner worker;
+    without it the query dies at init with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE (observed in this
+    sandbox: `ImportError: cannot import name 'descriptor' from
+    'google.protobuf'` — no pip and no wheel on disk, so the operator
+    below is implemented and test-gated exactly like the
+    jar-blocked Iceberg MERGE)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True, ""
+    except ImportError as e:
+        return False, (
+            "transformWithStateInPandas needs the python protobuf package "
+            f"for its state-server protocol; import failed: {e}"
+        )
+
+
+def tws_url_dedup(pages_stream: DataFrame, state_ttl_ms: int | None = None) -> DataFrame:
+    """`stateful_url_dedup` re-expressed on Spark 4's
+    transformWithStateInPandas — same latest-wins contract, plus the
+    capability applyInPandasWithState cannot offer: NATIVE STATE TTL
+    (``ttlDurationMs`` on the value state). At 10^12 urls the dedup
+    state is unbounded under the old API unless the operator itself
+    emits timeouts; with TTL the state store (RocksDB provider)
+    expires url entries idle longer than the crawl-revisit horizon,
+    capping state at the active-url working set. Requires
+    ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider and the protobuf wheel
+    (`tws_available`)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ttl = state_ttl_ms
+
+    class LatestWins(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.best = handle.getValueState(
+                "best_us", DEDUP_STATE_SCHEMA, ttlDurationMs=ttl
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            best = self.best.get()[0] if self.best.exists() else None
+            out = None
+            for pdf in rows:
+                pdf = pdf.sort_values("warc_ts")
+                row = pdf.iloc[-1]
+                us = int(row["warc_ts"].value // 1_000)  # ns -> us
+                if best is None or us > best:
+                    best = us
+                    out = pd.DataFrame(
+                        {
+                            "url": [row["url"]],
+                            "warc_ts": [row["warc_ts"]],
+                            "lang": [row["lang"]],
+                            "n_bytes": [
+                                len(row["html"]) if row["html"] is not None else 0
+                            ],
+                        }
+                    )
+            if out is not None:
+                self.best.update((best,))
+                yield out
+
+        def close(self) -> None:
+            pass
+
+    return pages_stream.groupBy("url").transformWithStateInPandas(
+        LatestWins(),
+        outputStructType=DEDUP_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
+def run_tws_dedup_stream(
+    spark: SparkSession,
+    src_path: str,
+    out_table: str,
+    checkpoint: str,
+    max_files: int = 1,
+    state_ttl_ms: int | None = None,
+):
+    """Drain the file stream through the TWS dedup into a memory sink
+    (tests). transformWithState mandates the RocksDB state store —
+    set session-wide before the query starts, restored after."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            tws_url_dedup(
+                read_pages_stream(spark, src_path, max_files), state_ttl_ms
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(out_table)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def watermarked_exact_dedup(
     pages_stream: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:
