@@ -157,6 +157,22 @@ def _mem_bw_gbps(mb: int = 192) -> float:
 MEM_BW_CONTENDED = 1.0
 
 
+def divert_if_contended(out: Path, is_contended: bool) -> Path:
+    """A contended run must not clobber an existing CLEAN reference
+    record (BASELINE.md's numbers point at it) — divert the write to a
+    ``*_contended.json`` sidecar instead. A contended record on disk
+    (or none) is fair game to overwrite."""
+    if not (is_contended and out.exists()):
+        return out
+    try:
+        prior = json.loads(out.read_text())
+    except (OSError, ValueError):
+        prior = {}
+    if prior.get("pages_best_contended", True):
+        return out
+    return out.with_name(out.stem + "_contended.json")
+
+
 def main() -> None:
     cores = _pin_and_quiesce(CPUS)
 
@@ -348,6 +364,7 @@ def main() -> None:
         )
         out = Path(__file__).resolve().parent / "BENCH" / name
         out.parent.mkdir(exist_ok=True)
+        out = divert_if_contended(out, contended(best))
         out.write_text(json.dumps(full, indent=1))
     except OSError:
         pass

@@ -62,3 +62,40 @@ def test_merge_manual_without_marker_or_old_file():
 def test_live_baseline_md_has_the_marker():
     md = (Path(__file__).resolve().parents[1] / "BENCH" / "BASELINE.md").read_text()
     assert bench_scaling.MANUAL_MARKER in md
+
+
+# --- bench.py's clean-record protection -------------------------------
+
+_bspec = importlib.util.spec_from_file_location(
+    "bench_mod", Path(__file__).resolve().parents[1] / "bench.py"
+)
+bench_mod = importlib.util.module_from_spec(_bspec)
+sys.modules["bench_mod"] = bench_mod
+_bspec.loader.exec_module(bench_mod)
+
+
+def test_contended_run_diverts_away_from_clean_record(tmp_path):
+    rec = tmp_path / "last_run_full.json"
+    rec.write_text('{"pages_best_contended": false, "value": 39.9}')
+    out = bench_mod.divert_if_contended(rec, is_contended=True)
+    assert out.name == "last_run_full_contended.json"
+    # the clean record is untouched by construction (caller writes to out)
+    assert "39.9" in rec.read_text()
+
+
+def test_contended_run_may_replace_contended_or_missing_record(tmp_path):
+    rec = tmp_path / "last_run_full.json"
+    # no prior record: write in place
+    assert bench_mod.divert_if_contended(rec, True) == rec
+    # prior record itself contended: write in place
+    rec.write_text('{"pages_best_contended": true}')
+    assert bench_mod.divert_if_contended(rec, True) == rec
+    # unparseable prior: treat as contended, write in place
+    rec.write_text("not json")
+    assert bench_mod.divert_if_contended(rec, True) == rec
+
+
+def test_clean_run_always_writes_in_place(tmp_path):
+    rec = tmp_path / "last_run_full.json"
+    rec.write_text('{"pages_best_contended": false}')
+    assert bench_mod.divert_if_contended(rec, False) == rec
