@@ -1,0 +1,114 @@
+"""WARC/WET container round trip (webfilter/warc.py): byte-exact
+serialize/parse identity, member-level independence, deterministic
+container bytes, hostile-input quarantine, and disk ingestion via the
+binaryFile source."""
+
+from __future__ import annotations
+
+import gzip
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from webfilter import warc as W
+
+TRICKY = [
+    # CRLFs, a literal record header inside a body, unicode, empty
+    ("https://a.example/1", "2024-03-01T00:00:01", "plain text"),
+    ("https://a.example/2", "2024-03-01T00:00:02", "line1\r\nline2\nline3"),
+    ("https://a.example/3", "2024-03-01T00:00:03",
+     "WARC/1.0\r\nWARC-Type: conversion\r\n\r\nnot a real record"),
+    ("https://a.example/4", "2024-03-01T00:00:04", "héllo 世界 \U0001f600"),
+    ("https://a.example/5", "2024-03-01T00:00:05", ""),
+]
+
+
+def _records_df(spark):
+    df = spark.createDataFrame(
+        [(u, pd.Timestamp(ts).to_pydatetime(), t) for u, ts, t in TRICKY],
+        "url string, warc_ts timestamp, text string",
+    )
+    return df
+
+
+def test_wet_roundtrip_exact(spark):
+    files = W.wet_files(_records_df(spark), n_shards=3)
+    got = {
+        (r.url, pd.Timestamp(r.warc_ts), r.text, r.length)
+        for r in W.parse_wet(files).collect()
+    }
+    want = {
+        (u, pd.Timestamp(ts), t, len(t.encode("utf-8"))) for u, ts, t in TRICKY
+    }
+    assert got == want
+
+
+def test_members_are_independently_decompressible(spark):
+    rows = W.wet_files(_records_df(spark), n_shards=1).collect()
+    assert len(rows) == 1 and rows[0].n_records == len(TRICKY)
+    members = list(W.iter_members(bytes(rows[0].content)))
+    # warcinfo prologue + one member PER record (the CC layout)
+    assert len(members) == len(TRICKY) + 1
+    assert members[0].startswith(b"WARC/1.0")
+    assert b"WARC-Type: warcinfo" in members[0]
+    # a single member can be inflated in isolation (range-read use)
+    blob = bytes(rows[0].content)
+    off = len(gzip.compress(members[0], compresslevel=6, mtime=0))
+    assert gzip.decompress(blob[off:]).startswith(b"WARC/1.0")
+
+
+def test_container_bytes_deterministic_across_partitioning(spark):
+    df = _records_df(spark)
+    a = {r.file: bytes(r.content) for r in W.wet_files(df, n_shards=2).collect()}
+    b = {
+        r.file: bytes(r.content)
+        for r in W.wet_files(df.repartition(5), n_shards=2).collect()
+    }
+    assert a == b  # sorted-by-url shards + mtime-pinned gzip
+
+
+def test_parse_skips_warcinfo_and_strict_raises_on_garbage(spark):
+    good = W.wet_files(_records_df(spark), n_shards=1).collect()[0]
+    corrupt = bytes(good.content)[: len(good.content) // 2]
+    files = spark.createDataFrame(
+        [("good.wet.gz", bytes(good.content)), ("bad.wet.gz", corrupt)],
+        "file string, content binary",
+    )
+    # quarantine mode: the bad container drops, the good one parses
+    out = W.parse_wet(files, strict=False).collect()
+    assert {r.file for r in out} == {"good.wet.gz"}
+    assert len(out) == len(TRICKY)
+    # strict mode surfaces the corruption instead of hiding it
+    with pytest.raises(Exception):
+        W.parse_wet(files, strict=True).collect()
+    # pure-python framing errors
+    with pytest.raises(ValueError):
+        list(W.iter_members(b"\x00not gzip at all"))
+    assert W.parse_record(b"HTTP/1.1 200 OK\r\n\r\n") is None
+    assert W.parse_record(b"WARC/1.0\r\nContent-Length: 99\r\n\r\nshort") is None
+
+
+def test_read_wet_from_disk_binaryfile(spark, tmp_path):
+    files = W.wet_files(_records_df(spark), n_shards=2).collect()
+    for r in files:
+        (tmp_path / r.file).write_bytes(bytes(r.content))
+    got = W.read_wet(spark, str(tmp_path / "*.warc.wet.gz"))
+    assert got.count() == len(TRICKY)
+    urls = {r.url for r in got.collect()}
+    assert urls == {u for u, _, _ in TRICKY}
+
+
+def test_warc_response_roundtrip_http_split(spark):
+    pages = _records_df(spark).select(
+        "url", "warc_ts", F.encode("text", "utf-8").alias("html")
+    )
+    files = W.warc_files(pages, n_shards=2)
+    out = {r.url: r for r in W.parse_warc(files).collect()}
+    assert len(out) == len(TRICKY)
+    for u, _, t in TRICKY:
+        r = out[u]
+        assert r.status == 200
+        assert r.content_type == "text/html"
+        assert bytes(r.html) == t.encode("utf-8")

@@ -5639,6 +5639,98 @@ FROM z GROUP BY z_cell
 """
 
 
+def _wet_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents lifted to WET record shape (url, warc_ts, text) with
+    cross-engine-derivable url/timestamp so the oracle can reproduce
+    the expected parse output without ever seeing the container."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        F.concat(F.lit("https://synth.example/doc/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias(
+            "warc_ts"
+        ),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+
+
+def q_wet_roundtrip(spark, sf_dir):
+    """WARC/WET container round trip (webfilter/warc.py): documents ->
+    md5-sharded WET containers (applyInPandas sink, one mtime-pinned
+    gzip member per record) -> member-streaming mapInPandas parse.
+    The oracle reproduces the INPUT records from documents alone, so a
+    hash match proves serialize∘parse == identity byte-for-byte
+    (length = utf-8 octet length of the body).
+    Reference precedent: bulk-archive article transport
+    (pmc.py:75-95, 02_Articles_Ingest.py) re-expressed as Common
+    Crawl's WET conversion-record format."""
+    from .warc import parse_wet, wet_files
+
+    files = wet_files(_wet_records(spark, sf_dir), n_shards=8)
+    return parse_wet(files).select("url", "warc_ts", "length", "text")
+
+
+SQL_WET_ROUNDTRIP = """
+SELECT 'https://synth.example/doc/' || doc_id AS url,
+  make_timestamp((1704067200 + doc_id) * 1000000) AS warc_ts,
+  strlen(coalesce(text, ''))::BIGINT AS length,
+  coalesce(text, '') AS text
+FROM documents
+"""
+
+
+def q_wet_shard_files(spark, sf_dir):
+    """WET shard manifest: container name + record count per md5
+    shard — grades the sharding algebra and container naming that
+    wet_files uses as its write-parallelism unit."""
+    from .warc import wet_files
+
+    files = wet_files(_wet_records(spark, sf_dir), n_shards=8)
+    return files.select("file", "n_records")
+
+
+SQL_WET_SHARD_FILES = """
+SELECT 'SYNTH-WET-' || lpad(s::VARCHAR, 5, '0') || '.warc.wet.gz' AS file,
+       count(*)::BIGINT AS n_records
+FROM (
+  SELECT ('0x' || substr(md5('https://synth.example/doc/' || doc_id), 1, 4)
+         )::BIGINT % 8 AS s
+  FROM documents)
+GROUP BY s
+"""
+
+
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC response-record round trip: text encoded as an
+    application/http payload (status line + headers + exact body
+    bytes), parsed back by splitting the HTTP block — status and
+    content-type surface as columns, the body returns byte-identical
+    (decoded for the cross-engine hash)."""
+    from .warc import parse_warc, warc_files
+
+    records = _wet_records(spark, sf_dir).select(
+        "url", "warc_ts", F.encode("text", "utf-8").alias("html")
+    )
+    files = warc_files(records, n_shards=8)
+    return parse_warc(files).select(
+        "url",
+        "warc_ts",
+        "status",
+        "content_type",
+        F.decode("html", "utf-8").alias("text"),
+    )
+
+
+SQL_WARC_ROUNDTRIP = """
+SELECT 'https://synth.example/doc/' || doc_id AS url,
+  make_timestamp((1704067200 + doc_id) * 1000000) AS warc_ts,
+  200 AS status, 'text/html' AS content_type,
+  coalesce(text, '') AS text
+FROM documents
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
@@ -5691,6 +5783,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "chat_messages": (q_chat_messages, SQL_CHAT_MESSAGES),
     "chunk_fixed": (q_chunk_fixed, SQL_CHUNK_FIXED),
     "chunk_paragraph": (q_chunk_paragraph, SQL_CHUNK_PARAGRAPH),
+    "wet_roundtrip": (q_wet_roundtrip, SQL_WET_ROUNDTRIP),
+    "wet_shard_files": (q_wet_shard_files, SQL_WET_SHARD_FILES),
+    "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     # model/hash-based: rows-only driver check, pytest-verified
     "langid_predict": (q_langid, None),
     "perplexity_score": (q_perplexity, None),
