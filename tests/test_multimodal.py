@@ -601,3 +601,84 @@ def test_audio_features_use_decoded_samples(spark):
         )
         bv = bhist.astype(np.float32)
         assert not np.allclose(feats[i], bv / (float(np.linalg.norm(bv)) or 1.0))
+
+
+# ------------------------------------------------- image near-dup dedup
+
+
+def test_bmp_pixel_roundtrip_and_features(spark):
+    """decode_bmp_pixels inverts encode_bmp exactly, and
+    extract_features embeds BMP from REAL pixels now (same histogram
+    as the PNG encoding of the same pixels)."""
+    import numpy as np
+
+    from webfilter.kernels import media as m
+    from webfilter.multimodal import extract_features
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(20, 30, 3), dtype=np.uint8)
+    back = m.decode_bmp_pixels(m.encode_bmp(px))
+    assert back is not None and (back == px).all()
+    # make_bmp output decodes too (bottom-up padded rows)
+    assert m.decode_bmp_pixels(m.make_bmp(17, 9, seed=3)).shape == (9, 17, 3)
+    df = spark.createDataFrame(
+        [(0, m.encode_bmp(px)), (1, m.encode_png(px))],
+        "media_id long, bytes binary",
+    )
+    feats = {r.media_id: r.feature for r in extract_features(df).collect()}
+    assert feats[0] == feats[1]
+
+
+def test_dhash_cross_codec_and_perceptual(spark):
+    import numpy as np
+
+    from webfilter.kernels import media as m
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(24, 36, 3), dtype=np.uint8)
+    h_bmp = m.dhash64(m.decode_bmp_pixels(m.encode_bmp(px)))
+    h_png = m.dhash64(m.decode_png_pixels(m.encode_png(px)))
+    assert h_bmp == h_png  # codec-independent
+    other = rng.integers(0, 256, size=(24, 36, 3), dtype=np.uint8)
+    far = bin(h_bmp ^ m.dhash64(other)).count("1")
+    assert far > 10  # independent fields are far apart
+    # tiny images fall back to nearest sampling, never crash
+    assert isinstance(m.dhash64(np.ones((2, 3), dtype=np.uint8)), int)
+
+
+def test_image_neardup_planted_pairs(spark):
+    """Every planted (base, dup) pair is recovered at hamming <= 6
+    (8-chunk pigeonhole guarantees recall to 7; measured planted
+    edits reach 5) and no cross-base pair appears; the cross-codec
+    PNG re-encodes land at exactly hamming 0."""
+    from webfilter.multimodal import image_neardup_pairs, synth_image_neardup
+
+    media = synth_image_neardup(spark, 60)
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in image_neardup_pairs(media, max_hamming=6,
+                                          n_chunks=8).collect()}
+    for i in range(60):
+        assert (i, 100000 + i) in pairs, f"planted pair {i} missed"
+        if i % 3 == 0:
+            assert pairs[(i, 100000 + i)] == 0
+    cross = [p for p in pairs if p[1] - p[0] != 100000]
+    assert not cross, f"false pairs: {cross}"
+
+
+def test_with_dhash_null_for_undecodable(spark):
+    from webfilter.multimodal import with_dhash
+
+    df = spark.createDataFrame(
+        [(0, b"\x00garbage"), (1, None)], "media_id long, bytes binary"
+    )
+    rows = {r.media_id: r.dhash for r in with_dhash(df).collect()}
+    assert rows == {0: None, 1: None}
+
+
+def test_fp_pigeonhole_guard():
+    import pytest as _pytest
+
+    from webfilter.dedup import fp_pigeonhole_pairs
+
+    with _pytest.raises(ValueError):
+        fp_pigeonhole_pairs(None, max_hamming=4, n_chunks=4)

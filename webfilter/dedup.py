@@ -1083,6 +1083,66 @@ def simhash_near_dup_pairs(
     )
 
 
+def fp_pigeonhole_pairs(
+    fp: DataFrame,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    bits: int = 64,
+) -> DataFrame:
+    """Generic pigeonhole hamming join over any (id, fp) frame — the
+    simhash blocking algebra factored out for other 64-bit perceptual
+    fingerprints (image dHash, audio hashes). Guarantee: every pair
+    within hamming <= n_chunks-1 shares at least one exact
+    ``bits/n_chunks``-bit chunk, so the candidate set is a per-chunk
+    equi-join (one shuffle on chunk value), never all-pairs; exact
+    bit_count(xor) verifies candidates. Same skew note as simhash:
+    a degenerate common chunk value is a hot key — AQE skew-split
+    handles it."""
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"pigeonhole with {n_chunks} chunks only guarantees recall "
+            f"up to hamming {n_chunks - 1}, got max_hamming={max_hamming}"
+        )
+    chunk_bits = bits // n_chunks
+    chunks = fp.select(
+        "id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("fp"), c * chunk_bits).bitwiseAND(
+                        F.lit((1 << chunk_bits) - 1)
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # ------------------------------------------------- connected components
 
 

@@ -1330,6 +1330,25 @@ def q_media_decode_meta(spark, sf_dir):
     return decode_image_meta(synth_media(spark, 200))
 
 
+def q_media_image_neardup(spark, sf_dir):
+    """Image near-dup dedup: real pixel decode (BMP/PNG/GIF/JPEG) ->
+    64-bit dHash -> generic pigeonhole hamming join
+    (dedup.fp_pigeonhole_pairs). Rows-only by design (binary decode
+    is not SQL-expressible) — the planted-pair recall/precision
+    contract is pytest-verified (tests/test_multimodal.py), and the
+    blocking algebra itself is the hash-checked simhash pigeonhole.
+    8 chunks guarantee recall to hamming 7 — perceptual edits land
+    further from the fingerprint than text edits do from simhash
+    (measured: planted pixel edits reach hamming 5; unrelated images
+    sit at 25+), so the image family runs a wider radius than the
+    text default of 3."""
+    from .multimodal import image_neardup_pairs, synth_image_neardup
+
+    return image_neardup_pairs(
+        synth_image_neardup(spark, 60), max_hamming=6, n_chunks=8
+    )
+
+
 def q_media_frame_sample(spark, sf_dir):
     from .multimodal import sample_frames, synth_media
 
@@ -5799,6 +5818,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "media_decode_meta": (q_media_decode_meta, None),
     "media_frame_sample": (q_media_frame_sample, None),
     "media_audio_meta": (q_media_audio_meta, None),
+    "media_image_neardup": (q_media_image_neardup, None),
     "decontaminate_ngrams": (q_decontaminate, SQL_DECONTAMINATE),
     "frequent_terms": (q_frequent_terms, SQL_FREQUENT_TERMS),
     "bloom_anti_frontier": (q_bloom_anti_frontier, SQL_BLOOM_ANTI),

@@ -245,7 +245,128 @@ def decode_png_pixels(raw: bytes | None):
     return out.reshape(h, w, ch)
 
 
+def decode_bmp_pixels(raw: bytes | None):
+    """REAL pixel decode for uncompressed 24bpp BITMAPINFOHEADER
+    BMPs (the make_bmp shape and the dominant real-world BMP
+    variant): 4-byte-padded rows, bottom-up unless height<0,
+    BGR order. Returns (h, w, 3) uint8 RGB or None
+    (other depths / compressed / malformed — same contract as
+    decode_png_pixels)."""
+    import numpy as np
+
+    if not raw or raw[:2] != b"BM" or len(raw) < 54:
+        return None
+    try:
+        off = struct.unpack_from("<I", raw, 10)[0]
+        hdr_size = struct.unpack_from("<I", raw, 14)[0]
+        w, h = struct.unpack_from("<ii", raw, 18)
+        bpp = struct.unpack_from("<H", raw, 28)[0]
+        comp = struct.unpack_from("<I", raw, 30)[0]
+        if hdr_size < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None
+        top_down, h = h < 0, abs(h)
+        row = (w * 3 + 3) & ~3
+        if len(raw) < off + row * h:
+            return None
+        a = np.frombuffer(raw, dtype=np.uint8, count=row * h, offset=off)
+        px = a.reshape(h, row)[:, : w * 3].reshape(h, w, 3)[..., ::-1]
+        return np.ascontiguousarray(px if top_down else px[::-1])
+    except Exception:
+        return None
+
+
+# ------------------------------------------------- perceptual hashing
+
+
+def _grid_mean(g, nr: int, nc: int):
+    """Area-average a 2-D array onto an (nr, nc) grid via an integral
+    image (exact block means for any h>=nr, w>=nc); nearest-neighbor
+    sample when the image is smaller than the grid."""
+    import numpy as np
+
+    h, w = g.shape
+    if h < nr or w < nc:
+        rr = np.minimum((np.arange(nr) * h) // nr, h - 1)
+        cc = np.minimum((np.arange(nc) * w) // nc, w - 1)
+        return g[np.ix_(rr, cc)].astype(np.float64)
+    ri = (np.arange(nr + 1) * h) // nr
+    ci = (np.arange(nc + 1) * w) // nc
+    integral = np.zeros((h + 1, w + 1), dtype=np.float64)
+    integral[1:, 1:] = g.astype(np.float64).cumsum(0).cumsum(1)
+    s = integral[np.ix_(ri, ci)]
+    block = s[1:, 1:] - s[:-1, 1:] - s[1:, :-1] + s[:-1, :-1]
+    area = np.diff(ri)[:, None] * np.diff(ci)[None, :]
+    return block / area
+
+
+def dhash64(px) -> int:
+    """64-bit difference hash: grayscale -> area-average onto an
+    8x9 grid -> bit (i*8+j) set iff grid[i,j+1] > grid[i,j]. A
+    few changed pixels move a few block means -> a few flipped bits,
+    so hamming(dhash) is a perceptual distance; identical pixels give
+    identical hashes regardless of the container codec. Returns a
+    signed 64-bit int (Spark LongType two's complement)."""
+    import numpy as np
+
+    g = px.astype(np.float64)
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    grid = _grid_mean(g, 8, 9)
+    bits = (grid[:, 1:] > grid[:, :-1]).reshape(-1)
+    packed = np.packbits(bits, bitorder="little").tobytes()
+    return int.from_bytes(packed, "little", signed=True)
+
+
 # ---------------------------------------------------------- generators
+
+
+def encode_bmp(px) -> bytes:
+    """Inverse of decode_bmp_pixels: (h, w, 3) uint8 RGB ->
+    uncompressed bottom-up 24bpp BMP bytes (deterministic)."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    row = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return header + dib + data
+
+
+def encode_png(px) -> bytes:
+    """(h, w) or (h, w, 1) gray / (h, w, 3) RGB uint8 -> valid 8-bit
+    PNG (filter 0 rows, one zlib IDAT). Deterministic; round-trips
+    through decode_png_pixels."""
+    import numpy as np
+
+    if px.ndim == 3 and px.shape[2] == 1:
+        px = px[:, :, 0]
+    h, w = px.shape[:2]
+    color_type = 2 if px.ndim == 3 else 0
+    flat = px.reshape(h, -1)
+    rows = np.zeros((h, flat.shape[1] + 1), dtype=np.uint8)
+    rows[:, 1:] = flat
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(rows.tobytes(), 6)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
 
 
 def make_bmp(width: int, height: int, seed: int = 0) -> bytes:

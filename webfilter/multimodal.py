@@ -130,11 +130,29 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _decode_any_pixels(b):
+    """First-successful-decoder pixel chain (uncompressed 24bpp BMP,
+    8-bit non-interlaced PNG, non-interlaced GIF, baseline JPEG) —
+    (h, w, c) uint8 or None. Shared by the embedding and
+    perceptual-hash stages."""
+    for dec in (
+        mediakernel.decode_bmp_pixels,
+        mediakernel.decode_png_pixels,
+        mediakernel.decode_gif_pixels,
+        mediakernel.decode_jpeg_pixels,
+    ):
+        px = dec(b)
+        if px is not None:
+            return px
+    return None
+
+
 def extract_features(df: DataFrame) -> DataFrame:
-    """Feature-extraction stage. For 8-bit non-interlaced PNGs,
-    non-interlaced GIFs AND baseline JPEGs (grayscale, 4:4:4 and
-    4:2:0-family color) the embedding is
+    """Feature-extraction stage. For uncompressed 24bpp BMPs, 8-bit
+    non-interlaced PNGs, non-interlaced GIFs AND baseline JPEGs
+    (grayscale, 4:4:4 and 4:2:0-family color) the embedding is
     computed from REAL decoded pixels (kernels.media:
+    decode_bmp_pixels — padded-row BGR unpack;
     decode_png_pixels — stdlib zlib inflate + unfiltering;
     decode_gif_pixels — from-scratch GIF-LZW; decode_jpeg_pixels —
     from-scratch baseline entropy decode + IDCT): an L2-normalized
@@ -146,22 +164,13 @@ def extract_features(df: DataFrame) -> DataFrame:
     documented byte-histogram stand-in (real impl: a vision model
     over decoded pixels — video codec frames are the deploy-time
     library swap). Batched numpy."""
-    from .kernels.media import (
-        decode_gif_pixels,
-        decode_jpeg_pixels,
-        decode_png_pixels,
-        decode_wav_samples,
-    )
+    from .kernels.media import decode_wav_samples
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for b in pdf["bytes"]:
-                px = decode_png_pixels(b)
-                if px is None:
-                    px = decode_gif_pixels(b)
-                if px is None:
-                    px = decode_jpeg_pixels(b)
+                px = _decode_any_pixels(b)
                 rng = (0, 256)
                 if px is None:
                     px = decode_wav_samples(b)
@@ -320,3 +329,103 @@ def synth_media(spark, n: int, kind: str = "image") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# ------------------------------------------------- image near-dup dedup
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def with_dhash(df: DataFrame) -> DataFrame:
+    """(media_id, dhash) via mapInPandas: decode real pixels
+    (BMP/PNG/GIF/JPEG chain) and take the 64-bit difference hash
+    (kernels.media.dhash64 — 8x9 area-average grid, adjacent-column
+    comparisons). dhash is NULL when no decoder accepts the bytes —
+    undecodable media never fabricates a fingerprint."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for b in pdf["bytes"]:
+                px = _decode_any_pixels(b)
+                hashes.append(mediakernel.dhash64(px) if px is not None else None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def image_neardup_pairs(df: DataFrame, max_hamming: int = 3,
+                        n_chunks: int = 4) -> DataFrame:
+    """Near-duplicate image pairs: dHash fingerprints through the
+    generic pigeonhole hamming join (dedup.fp_pigeonhole_pairs — the
+    simhash blocking algebra over a perceptual fingerprint). One
+    decode pass + one chunk-keyed shuffle; all-pairs is never
+    materialized, so the plan scales exactly like text simhash.
+    Cross-codec by construction: the same pixels hash identically
+    whether they arrived as BMP, PNG, GIF or JPEG(lossless-ish),
+    so re-encoded copies land at hamming 0."""
+    from .dedup import fp_pigeonhole_pairs
+
+    fp = (
+        with_dhash(df)
+        .filter(F.col("dhash").isNotNull())
+        .select(F.col("media_id").alias("id"), F.col("dhash").alias("fp"))
+    )
+    return fp_pigeonhole_pairs(fp, max_hamming=max_hamming, n_chunks=n_chunks)
+
+
+def synth_image_neardup(spark, n_base: int = 60) -> DataFrame:
+    """Deterministic near-dup image corpus: for base id i, a
+    (h, w, 3) pixel field from a seeded RNG encoded as BMP; id
+    100000+i is the SAME pixel field re-encoded as PNG when i%3==0
+    (planted hamming-0 cross-codec dup), or perturbed in (i%4)*2+1
+    pixel blocks and re-encoded as BMP otherwise (planted small-
+    hamming near-dup). Distinct bases are independent fields —
+    far apart in dhash space with overwhelming probability."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(20240800 + i)
+                h, w = 24 + i % 8, 32 + i % 12
+                px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                rows.append(
+                    {
+                        "media_id": i,
+                        "kind": "image",
+                        "bytes": mediakernel.encode_bmp(px),
+                        "meta": {"role": "base"},
+                    }
+                )
+                if i % 3 == 0:
+                    dup = mediakernel.encode_png(px)
+                else:
+                    px2 = px.copy()
+                    for k in range((i % 4) * 2 + 1):
+                        r = (k * 7) % h
+                        c = (k * 11) % w
+                        px2[r, c] = 255 - px2[r, c]
+                    dup = mediakernel.encode_bmp(px2)
+                rows.append(
+                    {
+                        "media_id": 100000 + i,
+                        "kind": "image",
+                        "bytes": dup,
+                        "meta": {"role": "dup"},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n_base).mapInPandas(gen, schema=MEDIA_SCHEMA)
