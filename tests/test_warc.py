@@ -112,3 +112,46 @@ def test_warc_response_roundtrip_http_split(spark):
         assert r.status == 200
         assert r.content_type == "text/html"
         assert bytes(r.html) == t.encode("utf-8")
+
+
+def test_stream_wet_incremental_discovery(spark, tmp_path):
+    """stream_wet is the Auto-Loader-shaped S1 source over WET
+    containers: first availableNow trigger lands all existing
+    segments; a later trigger picks up ONLY segments that appeared
+    since the checkpoint (nothing reprocessed — counts prove it)."""
+    src = tmp_path / "wet"
+    src.mkdir()
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def drop(df, shards, prefix):
+        for r in W.wet_files(df, n_shards=shards, prefix=prefix).collect():
+            (src / r.file).write_bytes(bytes(r.content))
+
+    def run_trigger():
+        q = (
+            W.stream_wet(spark, str(src), max_files=2)
+            .writeStream.trigger(availableNow=True)
+            .format("parquet")
+            .option("checkpointLocation", ck)
+            .option("path", out)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drop(_records_df(spark), 2, "SEG-A")
+    run_trigger()
+    first = spark.read.parquet(out).count()
+    assert first == len(TRICKY)
+
+    more = spark.createDataFrame(
+        [("https://b.example/9", pd.Timestamp("2024-04-01").to_pydatetime(),
+          "late segment")],
+        "url string, warc_ts timestamp, text string",
+    )
+    drop(more, 1, "SEG-B")
+    run_trigger()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == first + 1  # only the new segment was parsed
+    assert {r.url for r in rows} == {u for u, _, _ in TRICKY} | {
+        "https://b.example/9"
+    }

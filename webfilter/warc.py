@@ -352,3 +352,35 @@ def read_wet(spark: SparkSession, path_glob: str,
         .select(F.col("path").alias("file"), "content")
     )
     return parse_wet(files, strict=strict)
+
+
+#: binaryFile's fixed schema — streaming file sources require it
+#: spelled out (no inference on an unbounded directory)
+_BINARY_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def stream_wet(spark: SparkSession, path: str, max_files: int = 16,
+               strict: bool = True) -> DataFrame:
+    """Incremental WET ingestion: the checkpointed file-discovery
+    stream (the Auto Loader analog, streaming.read_pages_stream's S1
+    shape) over .wet.gz containers — each trigger picks up only the
+    crawl segments that appeared since the last checkpoint, caps
+    per-trigger work at ``max_files`` containers, and parses them
+    with the same member-streaming mapInPandas as the batch path.
+    This is exactly how a daily Common Crawl drop lands: new segment
+    files in a prefix, nothing reprocessed."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .load(path)
+        .select(F.col("path").alias("file"), "content")
+    )
+    return parse_wet(files, strict=strict)
