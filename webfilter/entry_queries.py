@@ -5750,6 +5750,164 @@ FROM documents
 """
 
 
+def _robots_frames(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    from .robots import synth_robots_text
+
+    hosts = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "h", F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+        )
+    )
+    robots = hosts.filter(F.col("h") % 4 != 0).select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        synth_robots_text(F.col("source"), F.col("h")).alias("robots_txt"),
+    )
+    d = F.col("doc_id")
+    upath = (
+        F.when(d % 5 == 0, F.concat(F.lit("/private/s"), (d % 3).cast("string")))
+        .when(d % 5 == 1, F.concat(F.lit("/private/ok/page"), (d % 4).cast("string")))
+        .when(d % 5 == 2, F.concat(F.lit("/p/1"), (d % 3).cast("string")))
+        .when(d % 5 == 3, F.lit("/"))
+        .otherwise(F.concat(F.lit("/public/"), (d % 10).cast("string")))
+    )
+    urls = (
+        docs.select(
+            F.concat("source", F.lit(".example.com")).alias("host"),
+            upath.alias("upath"),
+        )
+        .distinct()
+        .withColumn("url", F.concat(F.lit("https://"), "host", "upath"))
+    )
+    return robots, urls
+
+
+def q_robots_parse(spark, sf_dir):
+    """robots.txt parser (webfilter/robots.py) as pure window/Column
+    algebra: posexplode lines, strip comments, tag directives
+    case-insensitively, lag+running-sum group boundaries (consecutive
+    User-agent lines share a group), drop empty-Disallow no-ops, join
+    agents x rules per group. The synthetic corpus exercises every
+    branch; DuckDB replays the identical algebra over the identical
+    concat-built text."""
+    from .robots import parse_robots
+
+    robots, _ = _robots_frames(spark, sf_dir)
+    return parse_robots(robots)
+
+
+_SQL_ROBOTS_COMMON = """
+hosts AS (
+  SELECT DISTINCT source,
+         CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS h
+  FROM documents),
+r AS (
+  SELECT source || '.example.com' AS host,
+         '# robots for ' || source || chr(10) ||
+         'User-agent: *' || chr(10) ||
+         'Disallow: /private' || chr(10) ||
+         'Allow: /private/ok' || chr(10) ||
+         'Crawl-delay: 5' || chr(10) ||
+         '' || chr(10) ||
+         'User-agent: crawler' || (h % 3) || chr(10) ||
+         'User-agent: extra' || h || chr(10) ||
+         'Disallow: /p/1' || chr(10) ||
+         'Allow: /p/12' || chr(10) ||
+         'Disallow:' || chr(10) ||
+         'user-AGENT: blocked' || chr(10) ||
+         'disallow: /' AS txt
+  FROM hosts WHERE h % 4 <> 0),
+lines AS (
+  SELECT host, u.pos,
+         trim(regexp_replace(u.line, '#.*$', '')) AS line
+  FROM (
+    SELECT host, list_transform(str_split(txt, chr(10)),
+        (x, i) -> struct_pack(pos := i - 1, line := x)) AS z
+    FROM r), UNNEST(z) AS t(u)),
+tagged AS (
+  SELECT host, pos,
+    CASE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
+      WHEN 'user-agent' THEN 'ua'
+      WHEN 'allow' THEN 'allow'
+      WHEN 'disallow' THEN 'disallow' END AS directive,
+    trim(regexp_extract(line, '^[A-Za-z-]+\\s*:(.*)$', 1)) AS value
+  FROM lines
+  WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
+        IN ('user-agent', 'allow', 'disallow')),
+lagged AS (
+  SELECT *, lag(directive) OVER (PARTITION BY host ORDER BY pos) AS prev
+  FROM tagged),
+grp AS (
+  SELECT *, CAST(sum(CASE WHEN directive = 'ua'
+                           AND (prev IS NULL OR prev <> 'ua')
+                          THEN 1 ELSE 0 END)
+    OVER (PARTITION BY host ORDER BY pos
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS group_id
+  FROM lagged),
+agents AS (
+  SELECT host, group_id, lower(value) AS agent
+  FROM grp WHERE directive = 'ua'),
+rules AS (
+  SELECT host, group_id, value AS path, directive = 'allow' AS allow
+  FROM grp WHERE directive <> 'ua' AND value <> '')
+"""
+
+SQL_ROBOTS_PARSE = (
+    "WITH " + _SQL_ROBOTS_COMMON + """
+SELECT a.host, a.group_id, a.agent, ru.path, ru.allow
+FROM agents a JOIN rules ru USING (host, group_id)
+"""
+)
+
+
+def q_robots_allow(spark, sf_dir):
+    """Crawl-allow decisions for agent 'crawler1' (RFC 9309
+    precedence): per host only the most specific matching group-set
+    applies, longest prefix wins, allow beats disallow on ties,
+    no robots / no match defaults to allowed. Rules are a broadcast
+    dimension — the page side never shuffles for the join (the
+    100 TB-side invariant)."""
+    from .robots import parse_robots, robots_decisions
+
+    robots, urls = _robots_frames(spark, sf_dir)
+    return robots_decisions(urls, parse_robots(robots), "crawler1")
+
+
+SQL_ROBOTS_ALLOW = (
+    "WITH " + _SQL_ROBOTS_COMMON + """,
+eff AS (
+  SELECT DISTINCT host, path AS rule_path, allow FROM (
+    SELECT ru.host, ru.path, ru.allow,
+           CAST(a.agent = 'crawler1' AS INT) AS spec,
+           max(CAST(a.agent = 'crawler1' AS INT))
+             OVER (PARTITION BY ru.host) AS mx
+    FROM agents a JOIN rules ru USING (host, group_id)
+    WHERE a.agent IN ('crawler1', '*'))
+  WHERE spec = mx),
+urls AS (
+  SELECT DISTINCT source || '.example.com' AS host,
+    CASE doc_id % 5
+      WHEN 0 THEN '/private/s' || (doc_id % 3)
+      WHEN 1 THEN '/private/ok/page' || (doc_id % 4)
+      WHEN 2 THEN '/p/1' || (doc_id % 3)
+      WHEN 3 THEN '/'
+      ELSE '/public/' || (doc_id % 10) END AS upath
+  FROM documents),
+u2 AS (SELECT *, 'https://' || host || upath AS url FROM urls),
+m AS (
+  SELECT u.url, e.allow, e.rule_path,
+         row_number() OVER (PARTITION BY u.url
+           ORDER BY length(e.rule_path) DESC, e.allow DESC, e.rule_path) AS rn
+  FROM u2 u JOIN eff e
+    ON u.host = e.host AND starts_with(u.upath, e.rule_path))
+SELECT u.url, coalesce(m.allow, TRUE) AS allowed, m.rule_path
+FROM u2 u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (url)
+"""
+)
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
@@ -5802,6 +5960,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "chat_messages": (q_chat_messages, SQL_CHAT_MESSAGES),
     "chunk_fixed": (q_chunk_fixed, SQL_CHUNK_FIXED),
     "chunk_paragraph": (q_chunk_paragraph, SQL_CHUNK_PARAGRAPH),
+    "robots_parse": (q_robots_parse, SQL_ROBOTS_PARSE),
+    "robots_allow": (q_robots_allow, SQL_ROBOTS_ALLOW),
     "wet_roundtrip": (q_wet_roundtrip, SQL_WET_ROUNDTRIP),
     "wet_shard_files": (q_wet_shard_files, SQL_WET_SHARD_FILES),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),

@@ -1,0 +1,158 @@
+"""robots.txt parsing + crawl-allow filtering (RFC 9309, simplified)
+as pure Column/window algebra — no UDFs, fully DuckDB-replayable.
+
+A web-scale curation pipeline must know which captures were
+crawl-compliant; the reference's analog gate is membership filtering
+of its article workset before processing (03_Curate_Articles.py
+anti-join frontier). Here the gate is the real protocol:
+
+* ``parse_robots`` turns (host, robots_txt) into grouped
+  (host, group_id, agent, path, allow) rules: lines are exploded
+  with position, comments stripped, directives case-insensitively
+  tagged, and **group boundaries are a running sum over a lag
+  window** (a User-agent line opens a new group unless the previous
+  directive line was also User-agent — consecutive UA lines share
+  their group, per the RFC). Empty Disallow values are the
+  spec-defined no-op and drop out.
+* ``robots_decisions`` applies the rules to (url, host, path) rows:
+  per host only the MOST SPECIFIC matching group-set applies (groups
+  naming the agent exactly if any exist, else the ``*`` groups);
+  within it, longest-prefix match wins and allow beats disallow on
+  ties; hosts without robots (or with no matching rule) default to
+  allowed.
+
+Simplifications vs full RFC 9309, documented on purpose: no ``*``
+wildcards or ``$`` anchors inside paths (plain prefix match — the
+dominant case), and no crawl-delay/sitemap handling (unknown
+directives are ignored, as the spec requires).
+
+Scale: parsing shuffles once on host (robots files are KB-sized and
+one-per-host — uniform keys); the rules frame is a small dimension
+(rules ∝ hosts, not pages) and is broadcast into the page-side join,
+so the 100 TB page table never moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+RULES_COLS = ["host", "group_id", "agent", "path", "allow"]
+
+
+def parse_robots(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) -> (host, group_id, agent, path, allow).
+    One window shuffle on host; everything else is JVM Column ops."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+    ).withColumn("line", F.trim(F.regexp_replace("raw", "#.*$", "")))
+    directive = F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1))
+    value = F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1))
+    tagged = (
+        lines.select(
+            "host",
+            "pos",
+            F.when(directive == "user-agent", F.lit("ua"))
+            .when(directive == "allow", F.lit("allow"))
+            .when(directive == "disallow", F.lit("disallow"))
+            .alias("directive"),
+            value.alias("value"),
+        )
+        # unknown directives (crawl-delay, sitemap, ...) are ignored
+        .filter(F.col("directive").isNotNull())
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    grp = (
+        tagged.withColumn("prev", F.lag("directive").over(w))
+        .withColumn(
+            "new_group",
+            (
+                (F.col("directive") == "ua")
+                & (F.col("prev").isNull() | (F.col("prev") != "ua"))
+            ).cast("int"),
+        )
+        .withColumn("group_id", F.sum("new_group").over(w))
+    )
+    agents = grp.filter(F.col("directive") == "ua").select(
+        "host", "group_id", F.lower("value").alias("agent")
+    )
+    rules = grp.filter(
+        (F.col("directive") != "ua") & (F.col("value") != "")
+    ).select(
+        "host",
+        "group_id",
+        F.col("value").alias("path"),
+        (F.col("directive") == "allow").alias("allow"),
+    )
+    return agents.join(rules, ["host", "group_id"]).select(*RULES_COLS)
+
+
+def effective_rules(rules: DataFrame, agent: str) -> DataFrame:
+    """Per host, the rule set of the most specific matching group-set
+    for ``agent``: groups naming it exactly when any exist, else the
+    ``*`` groups. Non-matching specific groups never apply."""
+    agent = agent.lower()
+    sel = rules.filter(
+        (F.col("agent") == agent) | (F.col("agent") == "*")
+    ).withColumn("spec", (F.col("agent") == agent).cast("int"))
+    wh = Window.partitionBy("host")
+    return (
+        sel.withColumn("max_spec", F.max("spec").over(wh))
+        .filter(F.col("spec") == F.col("max_spec"))
+        .select("host", F.col("path").alias("rule_path"), "allow")
+        .distinct()
+    )
+
+
+def robots_decisions(
+    urls: DataFrame, rules: DataFrame, agent: str
+) -> DataFrame:
+    """urls(url, host, upath) x parse_robots rules -> one row per url:
+    (url, allowed, rule_path). Longest matching prefix wins, allow
+    wins length ties (RFC 9309 precedence), no match or no robots ->
+    allowed with NULL rule_path. The rules side is broadcast — the
+    page side never shuffles."""
+    eff = effective_rules(rules, agent)
+    matches = urls.join(F.broadcast(eff), "host").filter(
+        F.col("upath").startswith(F.col("rule_path"))
+    )
+    wu = Window.partitionBy("url").orderBy(
+        F.length("rule_path").desc(), F.col("allow").desc(), F.col("rule_path")
+    )
+    best = (
+        matches.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") == 1)
+        .select("url", "allow", "rule_path")
+    )
+    return urls.join(best, "url", "left").select(
+        "url",
+        F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
+        "rule_path",
+    )
+
+
+def synth_robots_text(source: Column, h: Column) -> Column:
+    """Deterministic robots.txt body for a synthetic host (oracle
+    replays the identical concat): comments, case-variant directives,
+    an ignored Crawl-delay, a blank line, a two-User-agent group,
+    a spec-no-op empty Disallow, and a non-matching 'blocked'
+    group — every parser branch exercised."""
+    return F.concat_ws(
+        "\n",
+        F.concat(F.lit("# robots for "), source),
+        F.lit("User-agent: *"),
+        F.lit("Disallow: /private"),
+        F.lit("Allow: /private/ok"),
+        F.lit("Crawl-delay: 5"),
+        F.lit(""),
+        F.concat(F.lit("User-agent: crawler"), (h % 3).cast("string")),
+        F.concat(F.lit("User-agent: extra"), h.cast("string")),
+        F.lit("Disallow: /p/1"),
+        F.lit("Allow: /p/12"),
+        F.lit("Disallow:"),
+        F.lit("user-AGENT: blocked"),
+        F.lit("disallow: /"),
+    )
