@@ -315,6 +315,9 @@ def main() -> None:
         "zorder_cells",
         "simsearch_pq_adc",
         "simsearch_ivfpq_adc",
+        "wet_roundtrip",
+        "robots_allow",
+        "media_image_neardup",
     ]
     for name in bench_queries:
         walls: list[float] = []
