@@ -63,6 +63,21 @@ def main(argv: list[str] | None = None) -> int:
         "is below this (hosts absent from the link graph fail)",
     )
     ap.add_argument(
+        "--robots", default=None, metavar="PATH",
+        help="(host, robots_txt) parquet: record crawl-compliance as "
+        "the robots_allowed lineage column (broadcast rules dim, "
+        "map-only on the page side)",
+    )
+    ap.add_argument(
+        "--obey-robots", action="store_true",
+        help="with --robots: also gate — disallowed urls drop with "
+        "reason 'robots'",
+    )
+    ap.add_argument(
+        "--robots-agent", default="webfilter",
+        help="User-agent the robots rules are evaluated for",
+    )
+    ap.add_argument(
         "--canonical-dedup", action="store_true",
         help="collapse recrawl URL variants (utm/fragment/case/slash) "
         "to the newest capture per canonical URL before extraction",
@@ -98,11 +113,18 @@ def main(argv: list[str] | None = None) -> int:
 
     from webfilter import pipeline, rules
 
+    if args.obey_robots and not args.robots:
+        ap.error("--obey-robots requires --robots PATH")
     cfg = rules.DEFAULT_RULES
-    if args.min_quality_prob is not None or args.min_host_rank is not None:
+    if (
+        args.min_quality_prob is not None
+        or args.min_host_rank is not None
+        or args.obey_robots
+    ):
         cfg = rules.RuleConfig(
             min_quality_prob=args.min_quality_prob,
             min_host_rank=args.min_host_rank,
+            obey_robots=args.obey_robots,
         )
 
     if args.warmup:
@@ -121,6 +143,7 @@ def main(argv: list[str] | None = None) -> int:
         spark, pages_path, args.out, n_buckets=args.buckets, run_id=args.run_id,
         cfg=cfg, canonical=args.canonical_dedup, host_prior=args.host_prior,
         layout_sort=args.layout_sort.split(",") if args.layout_sort else None,
+        robots_path=args.robots, robots_agent=args.robots_agent,
     )
     res["wall_s"] = round(time.time() - t0, 2)
     res["docs_per_s"] = round(res["docs"] / max(res["wall_s"], 1e-9), 1)

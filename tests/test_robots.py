@@ -104,3 +104,109 @@ def test_rules_join_is_broadcast(spark):
     urls = _urls(spark, [("u1", "h1.example", "/a/x")])
     plan = robots_decisions(urls, rules, "bot")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------- pipeline integration
+
+
+def test_pipeline_robots_lineage_and_gate(spark, synth_dir, tmp_path):
+    """robots wiring in the filter pipeline: lineage mode populates
+    robots_allowed without changing keep vs golden; obey mode drops
+    exactly the disallowed urls with reason 'robots' and leaves
+    compliant hosts' decisions untouched."""
+    from webfilter import pipeline, rules
+    from webfilter.urls import host_col
+
+    pages = spark.read.parquet(f"{synth_dir}/pages.parquet")
+    hosts = [
+        r.h
+        for r in pages.select(host_col(F.col("url")).alias("h"))
+        .distinct().sort("h").limit(2).collect()
+    ]
+    blocked, open_host = hosts
+    robots_pq = str(tmp_path / "robots.parquet")
+    spark.createDataFrame(
+        [
+            (blocked, "User-agent: *\nDisallow: /"),
+            (open_host, "User-agent: *\nDisallow: /never-matches"),
+        ],
+        "host string, robots_txt string",
+    ).write.parquet(robots_pq)
+
+    # lineage mode: column populated, keep identical to golden
+    out1 = str(tmp_path / "out_lineage")
+    pipeline.run_filter(
+        spark, f"{synth_dir}/pages.parquet", out1, n_buckets=8,
+        run_id="r1", robots_path=robots_pq,
+    )
+    dec = spark.read.parquet(f"{out1}/decisions.parquet")
+    golden = spark.read.parquet(f"{synth_dir}/golden.parquet").select(
+        "url", F.col("keep").alias("gkeep")
+    )
+    joined = dec.join(golden, "url")
+    assert joined.filter(F.col("keep") != F.col("gkeep")).count() == 0
+    got_hosts = {
+        r.h: r.allowed
+        for r in dec.select(
+            host_col(F.col("url")).alias("h"),
+            F.col("robots_allowed").alias("allowed"),
+        ).distinct().collect()
+        if r.h in hosts
+    }
+    assert got_hosts[blocked] is False and got_hosts[open_host] is True
+    # hosts without robots default to allowed, never NULL
+    assert dec.filter(F.col("robots_allowed").isNull()).count() == 0
+
+    # obey mode: blocked host drops with reason 'robots'; everything
+    # else keeps its golden label
+    out2 = str(tmp_path / "out_obey")
+    cfg = rules.RuleConfig(obey_robots=True)
+    pipeline.run_filter(
+        spark, f"{synth_dir}/pages.parquet", out2, n_buckets=8,
+        run_id="r2", cfg=cfg, robots_path=robots_pq,
+    )
+    dec2 = spark.read.parquet(f"{out2}/decisions.parquet").withColumn(
+        "h", host_col(F.col("url"))
+    )
+    on_blocked = dec2.filter(F.col("h") == blocked)
+    assert on_blocked.count() > 0
+    assert on_blocked.filter(F.col("keep")).count() == 0
+    assert (
+        on_blocked.filter(~F.array_contains("drop_reasons", "robots")).count()
+        == 0
+    )
+    rest = dec2.filter(F.col("h") != blocked).join(golden, "url")
+    assert rest.filter(F.col("keep") != F.col("gkeep")).count() == 0
+
+
+def test_pipeline_robots_join_is_broadcast(spark, synth_dir):
+    """The page-side robots join must be broadcast (rules dim is tiny)
+    and the decision pure HOFs — obey mode adds BroadcastHashJoins but
+    ZERO extra page-side shuffles vs the default plan."""
+    from webfilter import pipeline
+
+    pages = spark.read.parquet(f"{synth_dir}/pages.parquet")
+    robots = spark.createDataFrame(
+        [("h.example", "User-agent: *\nDisallow: /x")],
+        "host string, robots_txt string",
+    )
+    base = pipeline.filtered_frame(pages)
+    withr = pipeline.filtered_frame(pages, robots=robots)
+    p0 = base._jdf.queryExecution().executedPlan().toString()
+    p1 = withr._jdf.queryExecution().executedPlan().toString()
+    assert p1.count("BroadcastHashJoin") == p0.count("BroadcastHashJoin") + 1
+    # the robots SIDE contributes its own tiny host-window exchanges;
+    # they are bounded (rules ∝ hosts) — assert the growth is exactly
+    # that subplan, not a page-side reshuffle: page side still has the
+    # same number of url-window sorts
+    assert p1.count("Exchange rangepartitioning") == p0.count(
+        "Exchange rangepartitioning"
+    )
+
+
+def test_obey_robots_without_frame_raises(spark, synth_dir):
+    from webfilter import pipeline, rules
+
+    pages = spark.read.parquet(f"{synth_dir}/pages.parquet")
+    with __import__("pytest").raises(ValueError):
+        pipeline.filtered_frame(pages, cfg=rules.RuleConfig(obey_robots=True))

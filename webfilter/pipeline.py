@@ -37,6 +37,7 @@ from .tables import ParquetCatalog, latest_per_url
 DECISION_COLS = [
     "url", "bucket_id", "warc_ts", "text", "title", "extract_err",
     "langid", "langid_conf", "perplexity", "quality_prob", "host_rank",
+    "robots_allowed",
     "n_words", "n_chars",
     "keep", "drop_reasons", "scrubbed_text", "pii_found", "run_id",
 ]
@@ -49,6 +50,8 @@ def filtered_frame(
     host_prior: bool = False,
     prior_pages: DataFrame | None = None,
     bucket_clustered: bool = False,
+    robots: DataFrame | None = None,
+    robots_agent: str = "webfilter",
 ) -> DataFrame:
     """The pure transformation: pages -> decision rows (no writes).
 
@@ -112,6 +115,34 @@ def filtered_frame(
         )
     else:
         df = df.withColumn("host_rank", F.lit(None).cast("double"))
+    if robots is not None:
+        # crawl-compliance lineage/gate (webfilter/robots.py): the
+        # per-host effective rules collapse to ONE broadcast row per
+        # host (rules ∝ hosts, not pages) and the decision is pure
+        # Column HOFs — map-only on the page side, no window, no
+        # shuffle. cfg.obey_robots turns the column into a drop rule.
+        from .robots import allowed_expr, parse_robots, rules_dim, url_path
+        from .urls import host_col as url_host
+
+        dim = rules_dim(parse_robots(robots), robots_agent).withColumnRenamed(
+            "host", "_wf_rhost"
+        )
+        df = (
+            df.withColumn("_wf_rhost", url_host(F.col("url")))
+            .join(F.broadcast(dim), "_wf_rhost", "left")
+            .withColumn(
+                "robots_allowed",
+                allowed_expr(url_path(F.col("url")), F.col("rules")),
+            )
+            .drop("_wf_rhost", "rules")
+        )
+    elif cfg.obey_robots:
+        raise ValueError(
+            "cfg.obey_robots=True requires a robots frame "
+            "(host, robots_txt) — pass robots= to filtered_frame/run_filter"
+        )
+    else:
+        df = df.withColumn("robots_allowed", F.lit(None).cast("boolean"))
     df = rules.with_heuristics(df, cfg=cfg)
     df = rules.model_rule_columns(df, cfg)
     df = rules.with_decision(df, rules.rule_names_for(cfg))
@@ -130,9 +161,16 @@ def run_filter(
     canonical: bool = False,
     host_prior: bool = False,
     layout_sort: list[str] | None = None,
+    robots_path: str | None = None,
+    robots_agent: str = "webfilter",
 ) -> dict:
     """Resumable filter run. ``only_buckets`` limits this invocation
     (used by the kill/resume tests to simulate a mid-run crash).
+
+    ``robots_path``: optional (host, robots_txt) parquet — populates
+    the robots_allowed lineage column via a broadcast rules dimension
+    (map-only on the page side); with cfg.obey_robots it also gates
+    (drop_reasons gains 'robots').
 
     ``layout_sort``: optional columns to sort by WITHIN each bucket
     before the write (sortWithinPartitions — a per-partition SortExec,
@@ -189,9 +227,13 @@ def run_filter(
     if not canonical:
         pages = pages.repartition(2 * len(pending), "bucket_id")
 
+    robots = (
+        spark.read.parquet(robots_path) if robots_path is not None else None
+    )
     out = filtered_frame(
         pages, cfg, canonical=canonical, host_prior=host_prior,
         prior_pages=pages_all, bucket_clustered=not canonical,
+        robots=robots, robots_agent=robots_agent,
     ).withColumn("run_id", F.lit(run_id))
     out = out.select(*DECISION_COLS)
     if canonical:

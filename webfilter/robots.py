@@ -134,6 +134,47 @@ def robots_decisions(
     )
 
 
+def url_path(url: Column) -> Column:
+    """Path component of an absolute URL, query/fragment stripped;
+    empty path normalizes to '/' (the robots match subject)."""
+    p = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def rules_dim(rules: DataFrame, agent: str) -> DataFrame:
+    """(host, rules array<struct<path,allow>>) — the per-host
+    effective rule set for ``agent`` collapsed to ONE broadcastable
+    row per host. This is the shuffle-free deployment shape: the big
+    page side joins it broadcast and decides per row with HOFs
+    (``allowed_expr``) — no window, no exchange on the 100 TB side
+    (robots_decisions' per-url window is the small-frame/oracle
+    form)."""
+    eff = effective_rules(rules, agent)
+    return eff.groupBy("host").agg(
+        F.collect_list(
+            F.struct(F.col("rule_path").alias("path"), F.col("allow"))
+        ).alias("rules")
+    )
+
+
+def allowed_expr(upath: Column, rules_col: Column) -> Column:
+    """Pure-Column RFC 9309 precedence over a rules array: filter to
+    matching prefixes, array_max a (length, allow) struct — longest
+    match wins, allow beats disallow on equal length (struct
+    comparison is field-ordered; true > false) — and no match (or no
+    robots for the host: NULL array) means allowed."""
+    matches = F.filter(rules_col, lambda r: upath.startswith(r["path"]))
+    best = F.array_max(
+        F.transform(
+            matches,
+            lambda r: F.struct(
+                F.length(r["path"]).alias("l"), r["allow"].alias("allow")
+            ),
+        )
+    )
+    return F.coalesce(best["allow"], F.lit(True))
+
+
 def synth_robots_text(source: Column, h: Column) -> Column:
     """Deterministic robots.txt body for a synthetic host (oracle
     replays the identical concat): comments, case-variant directives,

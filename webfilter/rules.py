@@ -52,6 +52,13 @@ class RuleConfig:
     # in pipeline.filtered_frame. None (default) records host_rank
     # as lineage only (or NULL when the join is off).
     min_host_rank: float | None = None
+    # optional crawl-compliance gate (webfilter/robots.py): drop docs
+    # whose url a robots.txt disallows for the pipeline's agent.
+    # Requires the robots_allowed column, populated by passing a
+    # (host, robots_txt) frame to pipeline.filtered_frame/run_filter.
+    # False (default): robots_allowed is lineage-only (or NULL when
+    # no robots frame is given) and golden labels are unchanged.
+    obey_robots: bool = False
 
 
 DEFAULT_RULES = RuleConfig()
@@ -209,6 +216,8 @@ def model_rule_columns(df: DataFrame, cfg: RuleConfig = DEFAULT_RULES) -> DataFr
         cols["rule_quality_prob"] = F.col("quality_prob") >= cfg.min_quality_prob
     if cfg.min_host_rank is not None:
         cols["rule_host_rank"] = F.col("host_rank") >= cfg.min_host_rank
+    if cfg.obey_robots:
+        cols["rule_robots"] = F.col("robots_allowed")
     return df.withColumns(cols)
 
 
@@ -219,6 +228,8 @@ def rule_names_for(cfg: RuleConfig) -> tuple[str, ...]:
         names = names + ("quality_prob",)
     if cfg.min_host_rank is not None:
         names = names + ("host_rank",)
+    if cfg.obey_robots:
+        names = names + ("robots",)
     return names
 
 
