@@ -682,3 +682,57 @@ def test_fp_pigeonhole_guard():
 
     with _pytest.raises(ValueError):
         fp_pigeonhole_pairs(None, max_hamming=4, n_chunks=4)
+
+
+# ------------------------------------------------- audio near-dup dedup
+
+
+def test_audio_fp_cross_codec_and_roundtrip(spark):
+    """encode_wav_pcm16/encode_wav_adpcm round-trip arbitrary samples
+    through decode_wav_samples, and the envelope hash is codec-robust
+    (ADPCM re-encode within a few bits) but separates unrelated
+    signals."""
+    import numpy as np
+
+    from webfilter.kernels import media as m
+
+    t = np.arange(8000)
+    sig = (
+        (9000 * np.sin(t / 11 + 1.3) + 2500 * np.sin(t / 41 + 0.7))
+        * (0.55 + 0.45 * np.sin(t / 401.0))
+    ).astype(np.int16)
+    assert (m.decode_wav_samples(m.encode_wav_pcm16(sig)).reshape(-1) == sig).all()
+    ad, rec = m.encode_wav_adpcm(sig)
+    assert (m.decode_wav_samples(ad) == rec).all()
+    d = bin(m.audio_fp64(sig) ^ m.audio_fp64(rec)).count("1")
+    assert d <= 3
+    other = (9000 * np.sin(t / 13 + 4.0)).astype(np.int16)
+    assert bin(m.audio_fp64(sig) ^ m.audio_fp64(other)).count("1") > 6
+    assert m.audio_fp64(np.array([], dtype=np.int16)) == 0
+
+
+def test_audio_neardup_planted_pairs(spark):
+    """Every planted (base, dup) audio pair — ADPCM re-encodes and
+    noisy PCM copies — is recovered at hamming <= 3 and no cross-base
+    pair appears (measured corpus structure: planted <= 2,
+    cross-base >= 4)."""
+    from webfilter.multimodal import audio_neardup_pairs, synth_audio_neardup
+
+    media = synth_audio_neardup(spark, 50)
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in audio_neardup_pairs(media, max_hamming=3,
+                                          n_chunks=4).collect()}
+    for i in range(50):
+        assert (i, 100000 + i) in pairs, f"planted audio pair {i} missed"
+    cross = [p for p in pairs if p[1] - p[0] != 100000]
+    assert not cross, f"false audio pairs: {cross}"
+
+
+def test_with_audio_fp_null_for_undecodable(spark):
+    from webfilter.multimodal import with_audio_fp
+
+    df = spark.createDataFrame(
+        [(0, b"\x00junk"), (1, None)], "media_id long, bytes binary"
+    )
+    rows = {r.media_id: r.audio_fp for r in with_audio_fp(df).collect()}
+    assert rows == {0: None, 1: None}

@@ -1349,6 +1349,19 @@ def q_media_image_neardup(spark, sf_dir):
     )
 
 
+def q_media_audio_neardup(spark, sf_dir):
+    """Audio near-dup dedup: real WAV sample decode (PCM16 +
+    IMA-ADPCM) -> 64-bit envelope hash -> the generic pigeonhole
+    hamming join (the image-dHash path's twin). Rows-only by design;
+    planted recall (cross-codec ADPCM re-encodes and noisy PCM copies,
+    measured hamming <= 2 vs >= 4 cross-base) is pytest-verified."""
+    from .multimodal import audio_neardup_pairs, synth_audio_neardup
+
+    return audio_neardup_pairs(
+        synth_audio_neardup(spark, 50), max_hamming=3, n_chunks=4
+    )
+
+
 def q_media_frame_sample(spark, sf_dir):
     from .multimodal import sample_frames, synth_media
 
@@ -5979,6 +5992,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "media_frame_sample": (q_media_frame_sample, None),
     "media_audio_meta": (q_media_audio_meta, None),
     "media_image_neardup": (q_media_image_neardup, None),
+    "media_audio_neardup": (q_media_audio_neardup, None),
     "decontaminate_ngrams": (q_decontaminate, SQL_DECONTAMINATE),
     "frequent_terms": (q_frequent_terms, SQL_FREQUENT_TERMS),
     "bloom_anti_frontier": (q_bloom_anti_frontier, SQL_BLOOM_ANTI),

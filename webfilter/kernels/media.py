@@ -505,27 +505,20 @@ def decode_wav_samples(raw: bytes | None):
         return None
 
 
-def make_wav_adpcm(
-    n_samples: int, sample_rate: int = 8000, seed: int = 0, block_align: int = 256
+def encode_wav_adpcm(
+    samples, sample_rate: int = 8000, block_align: int = 256
 ) -> tuple:
-    """Valid mono IMA-ADPCM WAV (tag 0x11, fact chunk) carrying a
-    deterministic smooth test tone — a REAL encoder, the ground truth
-    for decode_wav_samples. Returns (wav_bytes, reconstruction):
-    decode must equal ``reconstruction`` EXACTLY (the encoder's own
-    integer decode state), and the reconstruction tracks the source
-    tone within one quantizer step."""
-    import math
-
+    """Arbitrary int16 samples -> valid mono IMA-ADPCM WAV (tag 0x11,
+    fact chunk) — a REAL encoder, the ground truth for
+    decode_wav_samples. Returns (wav_bytes, reconstruction): decode
+    must equal ``reconstruction`` EXACTLY (the encoder's own integer
+    decode state), and the reconstruction tracks the source within
+    one quantizer step."""
     import numpy as np
 
     spb = (block_align - 4) * 2 + 1  # samples per block
-    src = [
-        int(
-            12000.0 * math.sin(t / 9.0 + seed)
-            + 3000.0 * math.sin(t / 37.0 + 2.0 * seed)
-        )
-        for t in range(n_samples)
-    ]
+    src = [int(s) for s in np.asarray(samples).reshape(-1)]
+    n_samples = len(src)
     recon: list[int] = []
     blocks = bytearray()
     idx = 0  # adaptive step index carries across blocks via the header
@@ -555,6 +548,55 @@ def make_wav_adpcm(
     body += b"data" + struct.pack("<I", len(data)) + data
     raw = b"RIFF" + struct.pack("<I", len(body)) + body
     return raw, np.array(recon[:n_samples], dtype=np.int16).reshape(-1, 1)
+
+
+def make_wav_adpcm(
+    n_samples: int, sample_rate: int = 8000, seed: int = 0, block_align: int = 256
+) -> tuple:
+    """Deterministic smooth test tone through encode_wav_adpcm (the
+    synth_media fixture shape; see encode_wav_adpcm for the decode
+    ground-truth contract)."""
+    import math
+
+    src = [
+        int(
+            12000.0 * math.sin(t / 9.0 + seed)
+            + 3000.0 * math.sin(t / 37.0 + 2.0 * seed)
+        )
+        for t in range(n_samples)
+    ]
+    return encode_wav_adpcm(src, sample_rate, block_align)
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
+    """Arbitrary int16 samples -> valid mono PCM16 WAV bytes
+    (deterministic; the encode twin of decode_wav_samples' PCM
+    path)."""
+    import numpy as np
+
+    data = np.asarray(samples, dtype=np.int16).reshape(-1).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def audio_fp64(samples) -> int:
+    """64-bit audio envelope hash — the dHash idea on the amplitude
+    envelope: mean |amplitude| over 65 equal windows, bit i set iff
+    env[i+1] > env[i]. Codec-robust by the ADPCM contract: the
+    reconstruction stays within one quantizer step of the source, so
+    window means barely move and a re-encoded copy lands a few bits
+    away; unrelated signals differ in ~half the bits."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.float64).reshape(-1)
+    if s.size == 0:
+        return 0
+    env = _grid_mean(np.abs(s).reshape(1, -1), 1, 65)[0]
+    bits = env[1:] > env[:-1]
+    packed = np.packbits(bits, bitorder="little").tobytes()
+    return int.from_bytes(packed, "little", signed=True)
 
 
 def make_png(width: int, height: int, seed: int = 0) -> bytes:

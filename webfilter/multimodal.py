@@ -429,3 +429,109 @@ def synth_image_neardup(spark, n_base: int = 60) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return spark.range(n_base).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# ------------------------------------------------- audio near-dup dedup
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("audio_fp", T.LongType()),
+    ]
+)
+
+
+def with_audio_fp(df: DataFrame) -> DataFrame:
+    """(media_id, audio_fp) via mapInPandas: decode real WAV samples
+    (PCM16 / IMA-ADPCM, kernels.media.decode_wav_samples) and take
+    the 64-bit envelope hash (audio_fp64). NULL when the bytes are
+    not decodable audio."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for b in pdf["bytes"]:
+                smp = mediakernel.decode_wav_samples(b)
+                fps.append(
+                    mediakernel.audio_fp64(smp) if smp is not None else None
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "audio_fp": pd.array(fps, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_neardup_pairs(df: DataFrame, max_hamming: int = 6,
+                        n_chunks: int = 8) -> DataFrame:
+    """Near-duplicate audio pairs: envelope fingerprints through the
+    generic pigeonhole hamming join (the image-dHash path's twin —
+    one decode pass + one chunk-keyed shuffle, never all-pairs).
+    Cross-codec by the ADPCM quantizer-step contract: a re-encode of
+    the same samples lands within a few bits."""
+    from .dedup import fp_pigeonhole_pairs
+
+    fp = (
+        with_audio_fp(df)
+        .filter(F.col("audio_fp").isNotNull())
+        .select(F.col("media_id").alias("id"), F.col("audio_fp").alias("fp"))
+    )
+    return fp_pigeonhole_pairs(fp, max_hamming=max_hamming, n_chunks=n_chunks)
+
+
+def synth_audio_neardup(spark, n_base: int = 50) -> DataFrame:
+    """Deterministic near-dup audio corpus: base id i is a PCM16 WAV
+    of a seeded two-tone signal; id 100000+i is the SAME signal
+    re-encoded as IMA-ADPCM when i%3==0 (planted cross-codec dup) or
+    PCM16 with small seeded noise otherwise (planted near-dup).
+    The carrier is AMPLITUDE-MODULATED by a seeded slow envelope —
+    a flat envelope makes adjacent window means near-ties that tiny
+    noise can flip en masse (measured: hamming spikes to 51 without
+    AM, <=2 with); real audio is AM-rich, so the fixture should be
+    too. Distinct bases use different periods/phases — far apart in
+    envelope-hash space (measured >=4 at n_base=50)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(20240900 + i)
+                t = np.arange(6000 + (i % 5) * 500)
+                carrier = 9000.0 * np.sin(t / (9 + i % 7) + i * 0.7) + (
+                    2600.0 * np.sin(t / (31 + i % 11) + i * 1.3)
+                )
+                am = 0.55 + 0.45 * np.sin(
+                    t / (380.0 + 23.0 * (i % 9)) + i * 2.1
+                )
+                sig = (carrier * am).astype(np.int16)
+                rows.append(
+                    {
+                        "media_id": i,
+                        "kind": "audio",
+                        "bytes": mediakernel.encode_wav_pcm16(sig),
+                        "meta": {"role": "base"},
+                    }
+                )
+                if i % 3 == 0:
+                    dup, _ = mediakernel.encode_wav_adpcm(sig)
+                else:
+                    noisy = (
+                        sig.astype(np.int32)
+                        + rng.integers(-150, 151, size=sig.size)
+                    ).clip(-32768, 32767).astype(np.int16)
+                    dup = mediakernel.encode_wav_pcm16(noisy)
+                rows.append(
+                    {
+                        "media_id": 100000 + i,
+                        "kind": "audio",
+                        "bytes": dup,
+                        "meta": {"role": "dup"},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n_base).mapInPandas(gen, schema=MEDIA_SCHEMA)
