@@ -210,3 +210,42 @@ def test_obey_robots_without_frame_raises(spark, synth_dir):
     pages = spark.read.parquet(f"{synth_dir}/pages.parquet")
     with __import__("pytest").raises(ValueError):
         pipeline.filtered_frame(pages, cfg=rules.RuleConfig(obey_robots=True))
+
+
+# ------------------------------------------------- sitemap ingestion
+
+
+def test_parse_sitemaps_per_entry_binding_and_quarantine(spark):
+    """from_xml binds fields PER <url> entry — a missing <lastmod>
+    yields NULL there without misaligning later entries — and
+    malformed / NULL XML degrades to zero rows instead of a task
+    crash (xpath's failure mode on real-web garbage)."""
+    from webfilter.robots import parse_sitemaps
+
+    df = spark.createDataFrame(
+        [
+            (
+                "h1",
+                "<urlset>"
+                "<url><loc>https://h1/a</loc><lastmod>2024-01-02</lastmod>"
+                "<priority>0.5</priority></url>"
+                "<url><loc>https://h1/b</loc><priority>0.8</priority></url>"
+                "<url><loc>https://h1/c</loc><lastmod>2024-01-04</lastmod>"
+                "<priority>0.9</priority></url>"
+                "</urlset>",
+            ),
+            ("h2", "utter garbage <<< not xml"),
+            ("h3", None),
+        ],
+        "host string, sitemap_xml string",
+    )
+    rows = {r.loc: r for r in parse_sitemaps(df).collect()}
+    assert set(rows) == {"https://h1/a", "https://h1/b", "https://h1/c"}
+    assert rows["https://h1/b"].lastmod is None
+    assert rows["https://h1/b"].priority == 0.8
+    # the entry AFTER the short one keeps its own lastmod (no shift)
+    import pandas as pd
+
+    assert pd.Timestamp(rows["https://h1/c"].lastmod) == pd.Timestamp(
+        "2024-01-04"
+    )

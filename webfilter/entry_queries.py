@@ -5687,6 +5687,78 @@ def _wet_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_entries(spark, sf_dir):
+    """Sitemap ingestion (robots.parse_sitemaps): Spark parses REAL
+    XML with the JVM xpath expression (document-order arrays zipped
+    positionally); the DuckDB oracle re-derives the same entries with
+    regex extraction over the identically concat-built XML — two
+    independent implementations of the same spec must agree
+    byte-for-byte, including the date and priority casts."""
+    from .robots import parse_sitemaps
+
+    docs = _docs(spark, sf_dir)
+    hosts = (
+        docs.select("source")
+        .distinct()
+        .withColumn("h", F.regexp_extract("source", r"src(\d+)", 1).cast("int"))
+    )
+    h = F.col("h")
+    # xml built with a k-dependent entry via explode-free transform
+    # (sequence 0..K-1, K = 3 + h%4)
+    xml = F.concat(
+        F.lit("<urlset>"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), (h % 4) + 2),
+                lambda kk: F.concat(
+                    F.lit("<url><loc>https://"),
+                    F.col("source"),
+                    F.lit(".example.com/p/"),
+                    kk.cast("string"),
+                    F.lit("</loc><lastmod>2024-02-"),
+                    F.lpad(((h + kk) % 27 + 1).cast("string"), 2, "0"),
+                    F.lit("</lastmod><priority>0."),
+                    ((h + 2 * kk) % 10).cast("string"),
+                    F.lit("</priority></url>"),
+                ),
+            ),
+            "",
+        ),
+        F.lit("</urlset>"),
+    )
+    frames = hosts.select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        xml.alias("sitemap_xml"),
+    )
+    return parse_sitemaps(frames)
+
+
+SQL_SITEMAP_ENTRIES = """
+WITH hosts AS (
+  SELECT DISTINCT source,
+         CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS h
+  FROM documents),
+sm AS (
+  SELECT source || '.example.com' AS host,
+    '<urlset>' || array_to_string(
+      list_transform(generate_series(0, (h % 4) + 2), k ->
+        '<url><loc>https://' || source || '.example.com/p/' || k ||
+        '</loc><lastmod>2024-02-' ||
+        lpad(((h + k) % 27 + 1)::VARCHAR, 2, '0') ||
+        '</lastmod><priority>0.' || ((h + 2 * k) % 10) ||
+        '</priority></url>'), '') || '</urlset>' AS txt
+  FROM hosts)
+SELECT host, u[1] AS loc, CAST(u[2] AS TIMESTAMP) AS lastmod,
+       CAST(u[3] AS DOUBLE) AS priority
+FROM (
+  SELECT host, list_zip(
+    regexp_extract_all(txt, '<loc>([^<]*)</loc>', 1),
+    regexp_extract_all(txt, '<lastmod>([^<]*)</lastmod>', 1),
+    regexp_extract_all(txt, '<priority>([^<]*)</priority>', 1)) AS z
+  FROM sm), UNNEST(z) AS t(u)
+"""
+
+
 def q_wet_roundtrip(spark, sf_dir):
     """WARC/WET container round trip (webfilter/warc.py): documents ->
     md5-sharded WET containers (applyInPandas sink, one mtime-pinned
@@ -5975,6 +6047,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "chunk_paragraph": (q_chunk_paragraph, SQL_CHUNK_PARAGRAPH),
     "robots_parse": (q_robots_parse, SQL_ROBOTS_PARSE),
     "robots_allow": (q_robots_allow, SQL_ROBOTS_ALLOW),
+    "sitemap_entries": (q_sitemap_entries, SQL_SITEMAP_ENTRIES),
     "wet_roundtrip": (q_wet_roundtrip, SQL_WET_ROUNDTRIP),
     "wet_shard_files": (q_wet_shard_files, SQL_WET_SHARD_FILES),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),

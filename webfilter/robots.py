@@ -175,6 +175,54 @@ def allowed_expr(upath: Column, rules_col: Column) -> Column:
     return F.coalesce(best["allow"], F.lit(True))
 
 
+def parse_sitemaps(
+    df: DataFrame, host_col: str = "host", xml_col: str = "sitemap_xml"
+) -> DataFrame:
+    """Sitemap ingestion — the crawl-discovery companion to robots:
+    (host, sitemap_xml) -> one row per <url> entry with
+    (host, loc, lastmod timestamp, priority double). Uses Spark's
+    native XML parser (``from_xml``, PERMISSIVE): fields bind
+    PER ENTRY — a <url> missing <lastmod> yields NULL there instead
+    of misaligning later entries (the failure mode of positional
+    xpath-array zipping) — and malformed XML degrades to NULL rows
+    that are filtered, never a task crash (``xpath`` raises on real-
+    web garbage; measured). Map-only Column expression — no UDF, no
+    shuffle; at 100 TB sitemaps are a per-host metadata scan."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(
+                "url",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("loc", T.StringType()),
+                            T.StructField("lastmod", T.StringType()),
+                            T.StructField("priority", T.StringType()),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    return (
+        df.select(
+            F.col(host_col).alias("host"),
+            F.explode_outer(
+                F.from_xml(F.col(xml_col), schema)["url"]
+            ).alias("u"),
+        )
+        .filter(F.col("u.loc").isNotNull())
+        .select(
+            "host",
+            F.col("u.loc").alias("loc"),
+            F.to_date("u.lastmod").cast("timestamp").alias("lastmod"),
+            F.col("u.priority").cast("double").alias("priority"),
+        )
+    )
+
+
 def synth_robots_text(source: Column, h: Column) -> Column:
     """Deterministic robots.txt body for a synthetic host (oracle
     replays the identical concat): comments, case-variant directives,
