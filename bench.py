@@ -157,20 +157,40 @@ def _mem_bw_gbps(mb: int = 192) -> float:
 MEM_BW_CONTENDED = 1.0
 
 
-def divert_if_contended(out: Path, is_contended: bool) -> Path:
-    """A contended run must not clobber an existing CLEAN reference
-    record (BASELINE.md's numbers point at it) — divert the write to a
-    ``*_contended.json`` sidecar instead. A contended record on disk
-    (or none) is fair game to overwrite."""
-    if not (is_contended and out.exists()):
+#: a best-run bandwidth under this is a visibly throttled window even
+#: when it clears the hard MEM_BW_CONTENDED floor (healthy ~5 GB/s)
+HEALTHY_BW_GBPS = 2.0
+
+
+def divert_record(out: Path, full: dict) -> Path:
+    """Protect an existing CLEAN reference record (BASELINE.md's
+    numbers point at it) from measurement-window artifacts: divert the
+    write to a ``*_contended.json`` sidecar when the new run is
+    (a) flagged contended, or (b) SLOWER than the prior record while
+    its best run sat in a sub-healthy bandwidth window (< 2 GB/s —
+    the slowdown is explained by the window, not the code; measured
+    2026-08-19: a 1.19 GB/s window passed the 1.0 floor yet ran the
+    suite 2.2x slower than the 5 GB/s record). A contended/missing
+    prior is fair game to overwrite."""
+    if not out.exists():
         return out
     try:
         prior = json.loads(out.read_text())
     except (OSError, ValueError):
-        prior = {}
+        return out
     if prior.get("pages_best_contended", True):
         return out
-    return out.with_name(out.stem + "_contended.json")
+    if full.get("pages_best_contended", False):
+        return out.with_name(out.stem + "_contended.json")
+    stats = full.get("pages_run_stats") or []
+    best = min(stats, key=lambda s: s.get("wall_s", 1e18), default={})
+    bw = best.get("mem_bw_gbps")
+    slower = full.get("pages_docs_per_s", 0.0) < prior.get(
+        "pages_docs_per_s", 0.0
+    )
+    if slower and bw is not None and bw < HEALTHY_BW_GBPS:
+        return out.with_name(out.stem + "_contended.json")
+    return out
 
 
 def main() -> None:
@@ -367,7 +387,7 @@ def main() -> None:
         )
         out = Path(__file__).resolve().parent / "BENCH" / name
         out.parent.mkdir(exist_ok=True)
-        out = divert_if_contended(out, contended(best))
+        out = divert_record(out, full)
         out.write_text(json.dumps(full, indent=1))
     except OSError:
         pass

@@ -74,28 +74,51 @@ sys.modules["bench_mod"] = bench_mod
 _bspec.loader.exec_module(bench_mod)
 
 
+CLEAN_PRIOR = '{"pages_best_contended": false, "pages_docs_per_s": 15706.8}'
+
+
+def _full(contended=False, dps=9000.0, bw=1.2):
+    return {
+        "pages_best_contended": contended,
+        "pages_docs_per_s": dps,
+        "pages_run_stats": [{"wall_s": 30.0, "mem_bw_gbps": bw}],
+    }
+
+
 def test_contended_run_diverts_away_from_clean_record(tmp_path):
     rec = tmp_path / "last_run_full.json"
-    rec.write_text('{"pages_best_contended": false, "value": 39.9}')
-    out = bench_mod.divert_if_contended(rec, is_contended=True)
+    rec.write_text(CLEAN_PRIOR)
+    out = bench_mod.divert_record(rec, _full(contended=True))
     assert out.name == "last_run_full_contended.json"
     # the clean record is untouched by construction (caller writes to out)
-    assert "39.9" in rec.read_text()
+    assert "15706.8" in rec.read_text()
 
 
-def test_contended_run_may_replace_contended_or_missing_record(tmp_path):
+def test_slower_run_in_subhealthy_window_diverts(tmp_path):
+    """The 2026-08-19 artifact: bw 1.19 passed the 1.0 floor yet the
+    suite ran 2.2x slower — slower + sub-healthy window must divert."""
+    rec = tmp_path / "last_run_full.json"
+    rec.write_text(CLEAN_PRIOR)
+    out = bench_mod.divert_record(rec, _full(dps=8805.4, bw=1.19))
+    assert out.name == "last_run_full_contended.json"
+
+
+def test_faster_or_healthy_clean_run_writes_in_place(tmp_path):
+    rec = tmp_path / "last_run_full.json"
+    rec.write_text(CLEAN_PRIOR)
+    # faster: legitimate new record even in a mediocre window
+    assert bench_mod.divert_record(rec, _full(dps=16000.0, bw=1.5)) == rec
+    # slower but HEALTHY window: a real (code) slowdown must surface
+    assert bench_mod.divert_record(rec, _full(dps=14000.0, bw=4.8)) == rec
+
+
+def test_contended_or_missing_prior_is_overwritable(tmp_path):
     rec = tmp_path / "last_run_full.json"
     # no prior record: write in place
-    assert bench_mod.divert_if_contended(rec, True) == rec
+    assert bench_mod.divert_record(rec, _full(contended=True)) == rec
     # prior record itself contended: write in place
     rec.write_text('{"pages_best_contended": true}')
-    assert bench_mod.divert_if_contended(rec, True) == rec
-    # unparseable prior: treat as contended, write in place
+    assert bench_mod.divert_record(rec, _full(contended=True)) == rec
+    # unparseable prior: write in place
     rec.write_text("not json")
-    assert bench_mod.divert_if_contended(rec, True) == rec
-
-
-def test_clean_run_always_writes_in_place(tmp_path):
-    rec = tmp_path / "last_run_full.json"
-    rec.write_text('{"pages_best_contended": false}')
-    assert bench_mod.divert_if_contended(rec, False) == rec
+    assert bench_mod.divert_record(rec, _full(contended=True)) == rec
