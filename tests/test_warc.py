@@ -155,3 +155,48 @@ def test_stream_wet_incremental_discovery(spark, tmp_path):
     assert {r.url for r in rows} == {u for u, _, _ in TRICKY} | {
         "https://b.example/9"
     }
+
+
+# ------------------------------------------------------------- CDX index
+
+
+def test_cdx_roundtrip_and_surt(spark):
+    """CDXJ serialize∘parse is the identity on typed captures, and
+    the SURT key makes same-domain urls lexicographic neighbors
+    regardless of subdomain order."""
+    caps = spark.createDataFrame(
+        [
+            ("https://News.Example.COM/a?x=1", "2024-03-01 00:00:01",
+             "text/html", 200, "d1", 100),
+            ("https://example.com/b", "2024-03-01 00:00:02",
+             "text/plain", 404, "d2", 50),
+            ("https://other.org/z", "2024-03-01 00:00:03",
+             "application/pdf", 301, "d3", 9),
+        ],
+        "url string, warc_ts string, mime string, status int, "
+        "digest string, length long",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    out = {r.url: r for r in W.parse_cdx(W.cdx_lines(caps)).collect()}
+    assert len(out) == 3
+    r = out["https://News.Example.COM/a?x=1"]
+    assert r.surt == "com,example,news)/a?x=1"  # lowercased, reversed
+    assert r.status == 200 and r.length == 100 and r.mime == "text/html"
+    assert pd.Timestamp(r.capture_ts) == pd.Timestamp("2024-03-01 00:00:01")
+    assert out["https://example.com/b"].surt == "com,example)/b"
+    # same-domain neighbors under the surt sort
+    surts = sorted(v.surt for v in out.values())
+    assert surts[0].startswith("com,example") and surts[1].startswith(
+        "com,example"
+    )
+
+
+def test_cdx_parse_tolerates_malformed_json(spark):
+    lines = spark.createDataFrame(
+        [("com,x)/a 20240101000000 {not json",),
+         ("com,x)/b 20240101000001 " + '{"url": "https://x.com/b"}',)],
+        "line string",
+    )
+    rows = {r.surt: r for r in W.parse_cdx(lines).collect()}
+    assert rows["com,x)/a"].url is None  # PERMISSIVE null, no crash
+    assert rows["com,x)/b"].url == "https://x.com/b"
+    assert rows["com,x)/b"].status is None  # absent field -> NULL

@@ -5759,6 +5759,64 @@ FROM (
 """
 
 
+def q_cdx_roundtrip(spark, sf_dir):
+    """CDX URL-index round trip (webfilter/warc.py cdx_lines /
+    parse_cdx): captures serialize to Common Crawl's CDXJ line format
+    (``<surt> <ts14> <json>``) and parse back with split(limit=3) +
+    from_json — the oracle reproduces the expected typed captures
+    (including the SURT sort key's reversed-host algebra) from
+    documents alone, so the hash match proves serialize∘parse ==
+    identity across the string round trip of every field."""
+    from .warc import cdx_lines, parse_cdx
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    captures = docs.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".Example.COM/p/"),
+            d.cast("string"),
+            F.when(d % 4 == 0, F.lit("?q=1")).otherwise(F.lit("")),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + d).alias("warc_ts"),
+        F.when(d % 3 == 0, F.lit("text/html"))
+        .when(d % 3 == 1, F.lit("text/plain"))
+        .otherwise(F.lit("application/pdf"))
+        .alias("mime"),
+        F.when(d % 5 == 0, F.lit(301))
+        .when(d % 5 == 1, F.lit(404))
+        .otherwise(F.lit(200))
+        .alias("status"),
+        F.md5(F.coalesce("text", F.lit(""))).alias("digest"),
+        F.col("n_chars").alias("length"),
+    )
+    return parse_cdx(cdx_lines(captures))
+
+
+SQL_CDX_ROUNDTRIP = """
+WITH cap AS (
+  SELECT
+    'https://' || source || '.Example.COM/p/' || doc_id ||
+      CASE WHEN doc_id % 4 = 0 THEN '?q=1' ELSE '' END AS url,
+    make_timestamp((1704067200 + doc_id) * 1000000) AS capture_ts,
+    CASE doc_id % 3 WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/plain'
+         ELSE 'application/pdf' END AS mime,
+    CASE doc_id % 5 WHEN 0 THEN 301 WHEN 1 THEN 404 ELSE 200 END AS status,
+    md5(coalesce(text, '')) AS digest,
+    n_chars AS length,
+    lower(source || '.example.com') AS host,
+    '/p/' || doc_id ||
+      CASE WHEN doc_id % 4 = 0 THEN '?q=1' ELSE '' END AS rest
+  FROM documents)
+SELECT
+  array_to_string(list_reverse(str_split(host, '.')), ',') || ')' || rest
+    AS surt,
+  capture_ts, url, mime, status, digest, length
+FROM cap
+"""
+
+
 def q_wet_roundtrip(spark, sf_dir):
     """WARC/WET container round trip (webfilter/warc.py): documents ->
     md5-sharded WET containers (applyInPandas sink, one mtime-pinned
@@ -6050,6 +6108,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sitemap_entries": (q_sitemap_entries, SQL_SITEMAP_ENTRIES),
     "wet_roundtrip": (q_wet_roundtrip, SQL_WET_ROUNDTRIP),
     "wet_shard_files": (q_wet_shard_files, SQL_WET_SHARD_FILES),
+    "cdx_roundtrip": (q_cdx_roundtrip, SQL_CDX_ROUNDTRIP),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     # model/hash-based: rows-only driver check, pytest-verified
     "langid_predict": (q_langid, None),

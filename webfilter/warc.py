@@ -384,3 +384,82 @@ def stream_wet(spark: SparkSession, path: str, max_files: int = 16,
         .select(F.col("path").alias("file"), "content")
     )
     return parse_wet(files, strict=strict)
+
+
+# ------------------------------------------------------------------ CDX index
+
+CDX_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("length", T.StringType()),
+    ]
+)
+
+CDX_SCHEMA = T.StructType(
+    [
+        T.StructField("surt", T.StringType()),
+        T.StructField("capture_ts", T.TimestampType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("length", T.LongType()),
+    ]
+)
+
+
+def cdx_surt(url):
+    """SURT key (Sort-friendly URI Reordering Transform, simplified:
+    lowercased reversed-host comma-join + ')' + path+query; no www
+    folding or scheme rules): the sort key Common Crawl's URL index
+    shards and range-scans by — same-domain captures are
+    lexicographic neighbors."""
+    host = F.regexp_extract(url, r"^[a-zA-Z][\w+.-]*://([^/?#]*)", 1)
+    rest = F.regexp_extract(url, r"^[a-zA-Z][\w+.-]*://[^/?#]*([^#]*)", 1)
+    return F.concat(
+        F.array_join(F.reverse(F.split(F.lower(host), r"\.")), ","),
+        F.lit(")"),
+        rest,
+    )
+
+
+def cdx_lines(captures: DataFrame) -> DataFrame:
+    """captures(url, warc_ts, mime, status, digest, length) -> one
+    CDXJ index line per capture: ``<surt> <ts14> <json>`` (the
+    Common Crawl cdx-*.gz layout). Pure Column ops — to_json, no
+    UDF."""
+    ts14 = F.date_format("warc_ts", "yyyyMMddHHmmss")
+    js = F.to_json(
+        F.struct(
+            F.col("url"),
+            F.col("mime"),
+            F.col("status").cast("string").alias("status"),
+            F.col("digest"),
+            F.col("length").cast("string").alias("length"),
+        )
+    )
+    return captures.select(
+        F.concat(cdx_surt(F.col("url")), F.lit(" "), ts14, F.lit(" "), js)
+        .alias("line")
+    )
+
+
+def parse_cdx(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """CDXJ lines -> typed capture rows. split(limit=3) isolates the
+    JSON block (which itself contains spaces), from_json binds the
+    string fields, casts type them. Map-only; a 100 TB index parses
+    as a pure scan."""
+    parts = F.split(F.col(line_col), " ", 3)
+    j = F.from_json(parts[2], CDX_JSON_SCHEMA)
+    return lines.select(
+        parts[0].alias("surt"),
+        F.to_timestamp(parts[1], "yyyyMMddHHmmss").alias("capture_ts"),
+        j["url"].alias("url"),
+        j["mime"].alias("mime"),
+        j["status"].cast("int").alias("status"),
+        j["digest"].alias("digest"),
+        j["length"].cast("long").alias("length"),
+    )
