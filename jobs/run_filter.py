@@ -63,6 +63,12 @@ def main(argv: list[str] | None = None) -> int:
         "is below this (hosts absent from the link graph fail)",
     )
     ap.add_argument(
+        "--wet", action="store_true",
+        help="treat --pages as a glob of *.warc.wet.gz containers "
+        "(Common Crawl WET): parse conversion records and run the "
+        "score/rules/scrub stages over their pre-extracted text",
+    )
+    ap.add_argument(
         "--robots", default=None, metavar="PATH",
         help="(host, robots_txt) parquet: record crawl-compliance as "
         "the robots_allowed lineage column (broadcast rules dim, "
@@ -144,6 +150,7 @@ def main(argv: list[str] | None = None) -> int:
         cfg=cfg, canonical=args.canonical_dedup, host_prior=args.host_prior,
         layout_sort=args.layout_sort.split(",") if args.layout_sort else None,
         robots_path=args.robots, robots_agent=args.robots_agent,
+        input_format="wet" if args.wet else "pages",
     )
     res["wall_s"] = round(time.time() - t0, 2)
     res["docs_per_s"] = round(res["docs"] / max(res["wall_s"], 1e-9), 1)

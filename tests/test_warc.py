@@ -200,3 +200,62 @@ def test_cdx_parse_tolerates_malformed_json(spark):
     assert rows["com,x)/a"].url is None  # PERMISSIVE null, no crash
     assert rows["com,x)/b"].url == "https://x.com/b"
     assert rows["com,x)/b"].status is None  # absent field -> NULL
+
+
+def test_wet_pipeline_equals_html_pipeline(spark, synth_dir, tmp_path):
+    """The 'Common Crawl drop -> decisions' path: serialize the
+    golden EXPECTED text as WET containers, run the filter with
+    input_format='wet', and every decision (keep label AND scrubbed
+    text) must byte-match the html-path golden labels — identical
+    text through the same score kernels yields identical decisions."""
+    from webfilter import pipeline
+
+    golden = spark.read.parquet(f"{synth_dir}/golden.parquet")
+    pages = spark.read.parquet(f"{synth_dir}/pages.parquet").select(
+        "url", "warc_ts"
+    )
+    records = pages.join(
+        golden.select("url", F.col("expected_text").alias("text")), "url"
+    ).select("url", "warc_ts", "text")
+    wet_dir = tmp_path / "wet"
+    wet_dir.mkdir()
+    for r in W.wet_files(records, n_shards=4).collect():
+        (wet_dir / r.file).write_bytes(bytes(r.content))
+
+    out = str(tmp_path / "out")
+    res = pipeline.run_filter(
+        spark, str(wet_dir / "*.warc.wet.gz"), out, n_buckets=8,
+        run_id="wetrun", input_format="wet",
+    )
+    n_urls = records.select("url").distinct().count()
+    # synth pages contain recrawl duplicates of some urls; the
+    # latest-per-url stage collapses them exactly as in the html path
+    assert res["docs"] == n_urls
+    dec = spark.read.parquet(f"{out}/decisions.parquet")
+    j = dec.join(
+        golden.select(
+            "url",
+            F.col("keep").alias("gkeep"),
+            F.col("expected_scrubbed").alias("gscrub"),
+        ),
+        "url",
+    )
+    assert j.count() == n_urls
+    assert j.filter(F.col("keep") != F.col("gkeep")).count() == 0
+    assert j.filter(F.col("scrubbed_text") != F.col("gscrub")).count() == 0
+    assert dec.filter(F.col("extract_err") != "pre_extracted").count() == 0
+
+
+def test_wet_input_rejects_host_prior(spark, tmp_path):
+    from webfilter import pipeline, rules
+
+    with pytest.raises(ValueError):
+        pipeline.run_filter(
+            spark, str(tmp_path / "*.wet.gz"), str(tmp_path / "o"),
+            n_buckets=4, input_format="wet", host_prior=True,
+        )
+    with pytest.raises(ValueError):
+        pipeline.run_filter(
+            spark, str(tmp_path / "*.wet.gz"), str(tmp_path / "o2"),
+            n_buckets=4, input_format="nope",
+        )

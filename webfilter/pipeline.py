@@ -52,6 +52,7 @@ def filtered_frame(
     bucket_clustered: bool = False,
     robots: DataFrame | None = None,
     robots_agent: str = "webfilter",
+    pre_extracted: bool = False,
 ) -> DataFrame:
     """The pure transformation: pages -> decision rows (no writes).
 
@@ -95,7 +96,18 @@ def filtered_frame(
     df = latest_per_url(
         pages, cluster_col="bucket_id" if bucket_clustered and not canonical else None
     )
-    df = scoring.with_extract_and_scores(df)
+    if pre_extracted:
+        # WET-style input: text is already extracted (conversion
+        # records carry no html), so run the SAME fused score kernels
+        # over the given text — one Arrow pass, no extraction. Given
+        # identical text, decisions are identical to the html path
+        # (test-proved against the golden labels).
+        df = scoring.with_scores(df, "text")
+        df = df.withColumn("title", F.lit(None).cast("string")).withColumn(
+            "extract_err", F.lit("pre_extracted")
+        )
+    else:
+        df = scoring.with_extract_and_scores(df)
     if host_prior or cfg.min_host_rank is not None:
         from .graph import host_pagerank_from_pages
         from .urls import host_col as url_host
@@ -163,6 +175,7 @@ def run_filter(
     layout_sort: list[str] | None = None,
     robots_path: str | None = None,
     robots_agent: str = "webfilter",
+    input_format: str = "pages",
 ) -> dict:
     """Resumable filter run. ``only_buckets`` limits this invocation
     (used by the kill/resume tests to simulate a mid-run crash).
@@ -171,6 +184,13 @@ def run_filter(
     the robots_allowed lineage column via a broadcast rules dimension
     (map-only on the page side); with cfg.obey_robots it also gates
     (drop_reasons gains 'robots').
+
+    ``input_format="wet"``: ``pages_path`` is a glob of
+    ``*.warc.wet.gz`` containers (warc.read_wet) — conversion records
+    carry extracted text, so the extract stage is skipped and the
+    same fused score kernels run over the given text; decisions are
+    identical to the html path for identical text (test-proved).
+    host_prior is unavailable (no html to mine outlinks from).
 
     ``layout_sort``: optional columns to sort by WITHIN each bucket
     before the write (sortWithinPartitions — a per-partition SortExec,
@@ -201,7 +221,26 @@ def run_filter(
     if not pending:
         return {"run_id": run_id, "buckets": 0, "docs": 0}
 
-    pages_all = with_bucket(spark.read.parquet(pages_path), n_buckets)
+    if input_format == "wet":
+        if host_prior or cfg.min_host_rank is not None:
+            raise ValueError(
+                "host_prior mines outlinks from html; WET records carry "
+                "extracted text only"
+            )
+        from .warc import read_wet
+
+        raw = read_wet(spark, pages_path).select(
+            "url",
+            "warc_ts",
+            F.lit(None).cast("binary").alias("html"),
+            "text",
+            F.lit(None).cast("string").alias("lang"),
+        )
+        pages_all = with_bucket(raw, n_buckets)
+    elif input_format == "pages":
+        pages_all = with_bucket(spark.read.parquet(pages_path), n_buckets)
+    else:
+        raise ValueError(f"unknown input_format {input_format!r}")
     pages = pages_all
     if len(pending) < n_buckets:
         # pushed-down IN-filter == partition pruning on the bucket spec
@@ -234,6 +273,7 @@ def run_filter(
         pages, cfg, canonical=canonical, host_prior=host_prior,
         prior_pages=pages_all, bucket_clustered=not canonical,
         robots=robots, robots_agent=robots_agent,
+        pre_extracted=input_format == "wet",
     ).withColumn("run_id", F.lit(run_id))
     out = out.select(*DECISION_COLS)
     if canonical:
