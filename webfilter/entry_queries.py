@@ -5759,6 +5759,56 @@ FROM (
 """
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Crawl-frontier prioritization — the composition the crawl-side
+    operators exist for: sitemap entries (loc, lastmod, priority) x
+    empirical-Bayes host reputation -> frontier score
+    ``priority * shrunk_rate * exp(-age_days/30)``, ranked per host.
+    The reputation dim (rows ∝ hosts) broadcasts; the frontier side
+    shuffles once for the per-host ranking window. Fixed reference
+    date (2024-03-01) keeps recency deterministic and
+    engine-replayable; 6-dp rounding makes rank boundaries
+    float-noise-proof (the bm25_rank device)."""
+    sm = q_sitemap_entries(spark, sf_dir)
+    rep = q_host_reputation(spark, sf_dir).select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        "shrunk_rate",
+    )
+    age = F.datediff(
+        F.to_date(F.lit("2024-03-01")), F.to_date("lastmod")
+    ).cast("double")
+    score = r6(
+        F.col("priority") * F.col("shrunk_rate") * F.exp(-age / F.lit(30.0))
+    )
+    w = Window.partitionBy("host").orderBy(F.col("score").desc(), "loc")
+    return (
+        sm.join(F.broadcast(rep), "host")
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .select("host", "loc", "score", "rank")
+    )
+
+
+SQL_CRAWL_FRONTIER = """
+WITH sm AS ({SITEMAP}),
+rep AS ({REPUTATION})
+SELECT host, loc, score, rank::INT AS rank FROM (
+  SELECT sm.host, sm.loc,
+    round(sm.priority * rep.shrunk_rate *
+          exp(-date_diff('day', CAST(sm.lastmod AS DATE),
+                          DATE '2024-03-01') / 30.0), 6) AS score,
+    row_number() OVER (PARTITION BY sm.host ORDER BY
+      round(sm.priority * rep.shrunk_rate *
+            exp(-date_diff('day', CAST(sm.lastmod AS DATE),
+                            DATE '2024-03-01') / 30.0), 6) DESC,
+      sm.loc) AS rank
+  FROM sm JOIN rep
+    ON sm.host = rep.source || '.example.com')
+""".replace("{SITEMAP}", SQL_SITEMAP_ENTRIES).replace(
+    "{REPUTATION}", SQL_HOST_REPUTATION
+)
+
+
 def q_cdx_roundtrip(spark, sf_dir):
     """CDX URL-index round trip (webfilter/warc.py cdx_lines /
     parse_cdx): captures serialize to Common Crawl's CDXJ line format
@@ -6109,6 +6159,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "wet_roundtrip": (q_wet_roundtrip, SQL_WET_ROUNDTRIP),
     "wet_shard_files": (q_wet_shard_files, SQL_WET_SHARD_FILES),
     "cdx_roundtrip": (q_cdx_roundtrip, SQL_CDX_ROUNDTRIP),
+    "crawl_frontier": (q_crawl_frontier, SQL_CRAWL_FRONTIER),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     # model/hash-based: rows-only driver check, pytest-verified
     "langid_predict": (q_langid, None),
