@@ -338,6 +338,10 @@ def main() -> None:
         "wet_roundtrip",
         "robots_allow",
         "media_image_neardup",
+        "cdx_roundtrip",
+        "sitemap_entries",
+        "crawl_frontier",
+        "media_audio_neardup",
     ]
     for name in bench_queries:
         walls: list[float] = []

@@ -370,3 +370,24 @@ def test_zorder_key_is_map_only_over_the_scan(spark):
     n_exchanges = (body.count("Exchange") - body.count("BroadcastExchange")) // 2
     n_scalar = body.count("Arguments: SinglePartition")
     assert n_exchanges == n_scalar == 1, plan
+
+
+def test_crawl_frontier_broadcasts_reputation(spark):
+    """crawl_frontier: the host-reputation dim must broadcast into
+    the sitemap side (rows ∝ hosts — never a shuffled join), and no
+    cartesian product may appear anywhere in the composition."""
+    from webfilter.entry_queries import q_crawl_frontier
+
+    plan = _plan(q_crawl_frontier(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cdx_roundtrip_is_shuffle_free(spark):
+    """CDXJ serialize + parse is pure map-side Column work: a 100 TB
+    index round-trips as a scan with ZERO exchanges of any kind."""
+    from webfilter.entry_queries import q_cdx_roundtrip
+
+    plan = _plan(q_cdx_roundtrip(spark, SF))
+    body = plan.split("== Physical Plan ==")[1]
+    assert "Exchange" not in body, plan
