@@ -249,3 +249,42 @@ def test_parse_sitemaps_per_entry_binding_and_quarantine(spark):
     assert pd.Timestamp(rows["https://h1/c"].lastmod) == pd.Timestamp(
         "2024-01-04"
     )
+
+
+def test_robots_harvested_from_warc_archive(spark):
+    """The compliance loop closes from a crawl archive alone: robots
+    responses inside a WARC yield (host, robots_txt) — newest capture
+    per host — and the parsed rules gate urls exactly as if the
+    robots had arrived as a table."""
+    from webfilter import warc as W
+    from webfilter.robots import parse_robots, robots_decisions, robots_from_warc
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/robots.txt", "2024-03-01 00:00:01",
+             b"User-agent: *\nDisallow: /old"),
+            # newer capture supersedes: /x becomes the disallowed path
+            ("https://a.example/robots.txt", "2024-03-02 00:00:01",
+             b"User-agent: *\nDisallow: /x"),
+            ("https://a.example/page1", "2024-03-01 00:00:02",
+             b"<html>not robots</html>"),
+            ("https://b.example/robots.txt", "2024-03-01 00:00:03",
+             b"User-agent: *\nDisallow:"),
+        ],
+        "url string, warc_ts string, html binary",
+    ).select("url", F.to_timestamp("warc_ts").alias("warc_ts"), "html")
+    files = W.warc_files(pages, n_shards=2)
+    robots = robots_from_warc(files)
+    got = {r.host: r.robots_txt for r in robots.collect()}
+    assert got == {
+        "a.example": "User-agent: *\nDisallow: /x",
+        "b.example": "User-agent: *\nDisallow:",
+    }
+    urls = spark.createDataFrame(
+        [("u1", "a.example", "/x/1"), ("u2", "a.example", "/old/1"),
+         ("u3", "b.example", "/anything")],
+        "url string, host string, upath string",
+    )
+    dec = {r.url: r.allowed
+           for r in robots_decisions(urls, parse_robots(robots), "bot").collect()}
+    assert dec == {"u1": False, "u2": True, "u3": True}

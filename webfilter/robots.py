@@ -175,6 +175,32 @@ def allowed_expr(upath: Column, rules_col: Column) -> Column:
     return F.coalesce(best["allow"], F.lit(True))
 
 
+def robots_from_warc(files: DataFrame, strict: bool = True) -> DataFrame:
+    """Harvest (host, robots_txt) straight out of a WARC crawl
+    archive: parse response records, keep the ``/robots.txt``
+    captures, decode their body bytes. Closes the compliance loop —
+    a crawl archive alone yields the gate that judges it (compose
+    with ``parse_robots`` + ``rules_dim``). Newest capture wins per
+    host (one tiny window over robots rows only)."""
+    from .warc import parse_warc
+
+    resp = parse_warc(files, strict=strict).filter(
+        F.col("url").rlike(r"^[a-zA-Z][\w+.-]*://[^/?#]+/robots\.txt$")
+    )
+    host = F.lower(F.regexp_extract("url", r"^[a-zA-Z][\w+.-]*://([^/?#]+)", 1))
+    w = Window.partitionBy("host").orderBy(F.col("warc_ts").desc())
+    return (
+        resp.select(
+            host.alias("host"),
+            F.col("warc_ts"),
+            F.decode(F.col("html"), "utf-8").alias("robots_txt"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("host", "robots_txt")
+    )
+
+
 def parse_sitemaps(
     df: DataFrame, host_col: str = "host", xml_col: str = "sitemap_xml"
 ) -> DataFrame:
