@@ -239,8 +239,13 @@ of it — layout work done once at write time, paid back on every read.
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=120_000)
-    ap.add_argument("--n", type=int, default=8, help="small level N (big = 4N)")
+    # defaults reproduce the PRIMARY protocol table (N=2 vs 4N=8,
+    # 600k docs) — a bare `python bench_scaling.py` must regenerate
+    # the same table BASELINE.md documents, not the supplementary
+    # wide pair (8v32 saturates the host's memory bandwidth and
+    # measures the HOST, not the job; that run takes --n 8 --sidecar)
+    ap.add_argument("--docs", type=int, default=600_000)
+    ap.add_argument("--n", type=int, default=2, help="small level N (big = 4N)")
     # work dir on tmpfs: the sandbox's single virtual disk would
     # otherwise serialize table I/O across parallelism levels
     ap.add_argument(
