@@ -5,7 +5,8 @@ spam-like (keyword stuffing, symbol/digit noise).
 Web-curation pipelines gate or weight documents with exactly this
 shape of model (a linear classifier over hashed n-gram features —
 CCNet / LLaMA-style "looks like a reference page" scorers); here the
-model is trained deterministically at import time from the embedded
+model is trained deterministically on first scoring call (lazily,
+cached per process — ADVICE r3) from the embedded
 corpora (positives: the per-language natural-prose training texts;
 negatives: the keyword-stuffed spam text) with full-batch gradient
 descent from a zero init — no external model files, no randomness.
