@@ -352,6 +352,20 @@ def test_bm25_topk_plan_shape(spark):
     assert plan.count("BroadcastExchange") >= 2, plan
 
 
+def test_pmi_topk_plan_shape(spark):
+    """PMI collocations: the two single-row totals must reach the
+    candidate set as a broadcast (never a shuffled join), and the
+    global top-20 must be TakeOrderedAndProject (per-partition top-k)
+    — a full corpus-wide Sort would serialize the vocabulary through
+    one task at 100 TB."""
+    from webfilter.entry_queries import q_pmi_collocations
+
+    plan = _plan(q_pmi_collocations(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 1, plan
+
+
 def test_zorder_key_is_map_only_over_the_scan(spark):
     """with_zorder: the big side gets the key via a broadcast of the
     one-row min/max agg — no shuffle may touch the scan side (at

@@ -4591,6 +4591,90 @@ SELECT w1, w2, count(*)::BIGINT AS n FROM b GROUP BY w1, w2 HAVING count(*) >= 3
 """
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """Top-20 collocations by pointwise mutual information — the
+    corpus-analysis step that surfaces multiword units ("new york",
+    "machine learning") worth protecting from tokenizer splits.
+    PMI = ln(P(a,b) / (P(a)P(b))) with P(a,b) = n_ab/N_bigrams and
+    P(a) = n_a/N_tokens.
+
+    Cross-engine exactness: the RANKING key is the probability ratio
+    n_ab*N_tok^2 / (N_big*n_a*n_b) computed as ONE IEEE division of
+    exactly-representable integer products (< 2^53 at test scale), so
+    Spark and DuckDB order identically; only the displayed pmi column
+    goes through ln (round-6, the zipf_slope precedent). At 100-TB
+    scale the integer products overflow and the ranking moves to
+    log-space (ln is monotone — same order, ulp-boundary risk only).
+
+    Scale shape: one explode feeding two count shuffles (bigrams,
+    unigrams), two single-row total aggs broadcast via crossJoin, two
+    equi-joins against the unigram dim, then global top-k as
+    TakeOrderedAndProject (sort+limit, never a full global sort —
+    the bm25_rank precedent). The n_ab >= 5 support cutoff bounds the
+    candidate set BEFORE the joins."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col(F.lower(F.col("text")))
+    m = F.size(toks) - 1
+    pairs = F.when(m < 1, F.array().cast("array<struct<w1:string,w2:string>>")).otherwise(
+        F.arrays_zip(
+            F.slice(toks, 1, m).alias("w1"), F.slice(toks, 2, m).alias("w2")
+        ).cast("array<struct<w1:string,w2:string>>")
+    )
+    tokens = docs.select(F.explode(toks).alias("t"))
+    uni = tokens.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    bg = docs.select(F.explode(pairs).alias("bg")).select("bg.w1", "bg.w2")
+    bn = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    totals = bg.agg(F.count(F.lit(1)).cast("bigint").alias("n_big")).crossJoin(
+        tokens.agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"))
+    )
+    ua = uni.select(F.col("t").alias("w1"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("t").alias("w2"), F.col("n").alias("n_b"))
+    ratio = (
+        (F.col("n_ab") * F.col("n_tok") * F.col("n_tok")).cast("double")
+        / (F.col("n_big") * F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    return (
+        bn.join(ua, "w1").join(ub, "w2").crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", "n_ab", "n_a", "n_b",
+            r6(F.log(ratio)).alias("pmi"),
+            ratio.alias("_r"),
+        )
+        .orderBy(F.col("_r").desc(), "w1", "w2")
+        .limit(20)
+        .drop("_r")
+    )
+
+
+SQL_PMI_COLLOCATIONS = f"""
+WITH t AS (SELECT doc_id, {_TOKS_LOWER} AS tk FROM documents),
+b AS (
+  SELECT tk[u.i] AS w1, tk[u.i + 1] AS w2
+  FROM t, UNNEST(range(1, greatest(len(tk), 1)::BIGINT)) AS u(i)
+  WHERE len(tk) >= 2),
+bn AS (SELECT w1, w2, count(*)::BIGINT AS n_ab FROM b
+       GROUP BY w1, w2 HAVING count(*) >= 5),
+un AS (SELECT tok AS t, count(*)::BIGINT AS n
+       FROM (SELECT unnest(tk) AS tok FROM t) GROUP BY tok),
+tot AS (SELECT (SELECT count(*) FROM b)::BIGINT AS n_big,
+               (SELECT sum(n) FROM un)::BIGINT AS n_tok)
+SELECT w1, w2, n_ab, a.n AS n_a, c.n AS n_b,
+  round(ln((n_ab * n_tok * n_tok)::DOUBLE
+           / (n_big * a.n * c.n)::DOUBLE), 6) AS pmi
+FROM bn
+JOIN un a ON bn.w1 = a.t
+JOIN un c ON bn.w2 = c.t
+CROSS JOIN tot
+ORDER BY (n_ab * n_tok * n_tok)::DOUBLE / (n_big * a.n * c.n)::DOUBLE DESC,
+         w1, w2
+LIMIT 20
+"""
+
+
 def q_psi_drift(spark, sf_dir):
     """Population-stability-index drift between two corpus snapshots
     (the 'new' one derived deterministically: every 3rd doc dropped,
@@ -6218,6 +6302,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
     "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
     "bigram_counts": (q_bigram_counts, SQL_BIGRAM_COUNTS),
+    "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "tfidf_sampled": (q_tfidf_sampled, SQL_TFIDF_SAMPLED),
     "bm25_scores": (q_bm25_scores, SQL_BM25_SCORES),
