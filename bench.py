@@ -342,6 +342,9 @@ def main() -> None:
         "sitemap_entries",
         "crawl_frontier",
         "media_audio_neardup",
+        "pmi_collocations",
+        "script_profile",
+        "char_entropy",
     ]
     for name in bench_queries:
         walls: list[float] = []

@@ -366,6 +366,32 @@ def test_pmi_topk_plan_shape(spark):
     assert plan.count("BroadcastExchange") >= 1, plan
 
 
+def test_script_profile_is_map_only(spark):
+    """script_profile: pure Column regexp counts over the scan — any
+    Exchange would mean a 100-TB corpus shuffles for a per-row
+    projection."""
+    from webfilter.entry_queries import q_script_profile
+
+    plan = _plan(q_script_profile(spark, SF))
+    body = plan.split("== Physical Plan ==")[1]
+    assert "Exchange" not in body, plan
+    assert "pythonUDF" not in body.lower(), plan
+
+
+def test_char_entropy_two_uniform_shuffles(spark):
+    """char_entropy: exactly the (doc_id, ch) count shuffle and the
+    doc_id re-agg — both partial-aggregated map-side; the 512-cp
+    prefix bound keeps the explode amplification constant."""
+    from webfilter.entry_queries import q_char_entropy
+
+    plan = _plan(q_char_entropy(spark, SF))
+    body = plan.split("== Physical Plan ==")[1]
+    # formatted explain names each node twice (tree + detail section)
+    n_exchanges = (body.count("Exchange") - body.count("BroadcastExchange")) // 2
+    assert n_exchanges == 2, plan
+    assert body.count("HashAggregate") // 2 == 4, plan  # 2 aggs x partial+final
+
+
 def test_zorder_key_is_map_only_over_the_scan(spark):
     """with_zorder: the big side gets the key via a broadcast of the
     one-row min/max agg — no shuffle may touch the scan side (at

@@ -4675,6 +4675,123 @@ LIMIT 20
 """
 
 
+def q_script_profile(spark, sf_dir):
+    """Unicode-script character profile per document — the CCNet-style
+    wrong-script / mixed-script spam signal (a page claiming to be
+    English that is 60% Cyrillic is either mislabeled or keyword-spam).
+    Counts Latin / Cyrillic / Han codepoints with script property
+    classes, plus digits/whitespace, and derives the dominant script
+    with a fixed-precedence tiebreak both engines replay exactly.
+
+    Whitespace is the EXPLICIT class [ \\t\\n\\r\\f] — Java's \\s
+    includes \\x0B where RE2's does not, so the shorthand would
+    silently diverge between Spark and the DuckDB oracle.
+
+    Scale shape: map-only over the scan (five regexp_count passes,
+    no shuffle, no UDF) — survives any corpus size; the fused Arrow
+    kernel (kernels/langid.py) is the single-pass alternative when
+    regex throughput matters."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    n = F.length(t).cast("bigint")
+
+    def cnt(pat):
+        return F.regexp_count(t, F.lit(pat)).cast("bigint")
+
+    n_latin, n_cyr, n_han = cnt(r"\p{IsLatin}"), cnt(r"\p{IsCyrillic}"), cnt(r"\p{IsHan}")
+    n_digit, n_space = cnt("[0-9]"), cnt("[ \t\n\r\f]")
+    n_other = n - (n_latin + n_cyr + n_han + n_digit + n_space)
+    frac = lambda c: F.when(n == 0, F.lit(0.0)).otherwise(r6(c / n))  # noqa: E731
+    dominant = (
+        F.when((n_latin == 0) & (n_cyr == 0) & (n_han == 0), "none")
+        .when((n_latin >= n_cyr) & (n_latin >= n_han), "latin")
+        .when(n_cyr >= n_han, "cyrillic")
+        .otherwise("han")
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_cp"),
+        frac(n_latin).alias("frac_latin"),
+        frac(n_cyr).alias("frac_cyrillic"),
+        frac(n_han).alias("frac_han"),
+        frac(n_digit).alias("frac_digit"),
+        frac(n_other).alias("frac_other"),
+        dominant.alias("dominant_script"),
+    )
+
+
+SQL_SCRIPT_PROFILE = r"""
+WITH c AS (
+  SELECT doc_id, length(text)::BIGINT AS n,
+    len(regexp_extract_all(text, '\p{Latin}'))::BIGINT AS n_latin,
+    len(regexp_extract_all(text, '\p{Cyrillic}'))::BIGINT AS n_cyr,
+    len(regexp_extract_all(text, '\p{Han}'))::BIGINT AS n_han,
+    len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digit,
+    len(regexp_extract_all(text, '[ ' || chr(9) || chr(10) || chr(13)
+        || chr(12) || ']'))::BIGINT AS n_space
+  FROM documents)
+SELECT doc_id, n AS n_cp,
+  CASE WHEN n = 0 THEN 0.0 ELSE round(n_latin / n::DOUBLE, 6) END AS frac_latin,
+  CASE WHEN n = 0 THEN 0.0 ELSE round(n_cyr / n::DOUBLE, 6) END AS frac_cyrillic,
+  CASE WHEN n = 0 THEN 0.0 ELSE round(n_han / n::DOUBLE, 6) END AS frac_han,
+  CASE WHEN n = 0 THEN 0.0 ELSE round(n_digit / n::DOUBLE, 6) END AS frac_digit,
+  CASE WHEN n = 0 THEN 0.0 ELSE round(
+    (n - n_latin - n_cyr - n_han - n_digit - n_space) / n::DOUBLE, 6) END
+    AS frac_other,
+  CASE WHEN n_latin = 0 AND n_cyr = 0 AND n_han = 0 THEN 'none'
+       WHEN n_latin >= n_cyr AND n_latin >= n_han THEN 'latin'
+       WHEN n_cyr >= n_han THEN 'cyrillic'
+       ELSE 'han' END AS dominant_script
+FROM c
+"""
+
+
+def q_char_entropy(spark, sf_dir):
+    """Shannon character entropy over each document's first 512
+    codepoints — the gibberish detector quality filters run ahead of
+    the LM stage (base64 blobs and minified JS score high, stuck-key
+    repetition scores near zero; natural prose sits in between).
+    H = ln(n) - Σ c·ln(c)/n over per-char counts of the prefix.
+
+    The 512-codepoint prefix BOUNDS the explode amplification to a
+    constant per document (a full-text per-char explode would emit
+    10^14 rows at 100 TB — never acceptable); after the bound the
+    shape is the token-count idiom: one explode, one (doc_id, ch)
+    count shuffle with map-side partial aggregation (chars repeat
+    heavily, so the combine collapses ~512 rows to ≤ alphabet size),
+    one doc_id re-agg. Empty docs drop out of BOTH engines
+    symmetrically (split('') yields [''] on each, filtered here)."""
+    docs = _docs(spark, sf_dir)
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.substring("text", 1, 512), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n = F.sum("c").cast("double")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_cp"),
+            r6(F.log(n) - F.sum(F.col("c") * F.log("c")) / n).alias("entropy"),
+        )
+    )
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, u.ch
+  FROM (SELECT doc_id, regexp_split_to_array(substr(text, 1, 512), '') AS a
+        FROM documents) t, UNNEST(t.a) AS u(ch)
+  WHERE u.ch <> ''),
+c AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM ch GROUP BY doc_id, ch)
+SELECT doc_id, sum(c)::BIGINT AS n_cp,
+  round(ln(sum(c)::DOUBLE) - sum(c * ln(c::DOUBLE)) / sum(c)::DOUBLE, 6)
+    AS entropy
+FROM c GROUP BY doc_id
+"""
+
+
 def q_psi_drift(spark, sf_dir):
     """Population-stability-index drift between two corpus snapshots
     (the 'new' one derived deterministically: every 3rd doc dropped,
@@ -6303,6 +6420,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
     "bigram_counts": (q_bigram_counts, SQL_BIGRAM_COUNTS),
     "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
+    "script_profile": (q_script_profile, SQL_SCRIPT_PROFILE),
+    "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "tfidf_sampled": (q_tfidf_sampled, SQL_TFIDF_SAMPLED),
     "bm25_scores": (q_bm25_scores, SQL_BM25_SCORES),
