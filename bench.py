@@ -345,6 +345,8 @@ def main() -> None:
         "pmi_collocations",
         "script_profile",
         "char_entropy",
+        "url_templates",
+        "host_lang_outliers",
     ]
     for name in bench_queries:
         walls: list[float] = []

@@ -392,6 +392,38 @@ def test_char_entropy_two_uniform_shuffles(spark):
     assert body.count("HashAggregate") // 2 == 4, plan  # 2 aggs x partial+final
 
 
+def test_url_templates_single_count_pipeline(spark):
+    """url_templates: skeletonization is map-side; the only shuffles
+    are countDistinct's two-phase (host, skeleton, path) ->
+    (host, skeleton) cascade, both partial-aggregated. The scan must
+    prune to the two columns the synth needs."""
+    from webfilter.entry_queries import q_url_templates
+
+    plan = _plan(q_url_templates(spark, SF))
+    body = plan.split("== Physical Plan ==")[1]
+    n_exchanges = (body.count("Exchange") - body.count("BroadcastExchange")) // 2
+    assert n_exchanges == 2, plan
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in body, plan
+
+
+def test_host_lang_outliers_one_corpus_pass(spark):
+    """host_lang_outliers: the corpus must be scanned exactly twice
+    (probe side + ONE dim build — host totals come from a window over
+    the aggregated dim, never a second corpus groupBy), and the probe
+    side must reach the join without an Exchange (broadcast dim)."""
+    from webfilter.entry_queries import q_host_lang_outliers
+
+    plan = _plan(q_host_lang_outliers(spark, SF))
+    body = plan.split("== Physical Plan ==")[1]
+    assert body.count("Scan parquet") // 2 == 2, plan
+    assert "BroadcastHashJoin" in body, plan
+    # only the dim build shuffles: the (source, lang) count exchange
+    # plus the window's (source) re-key of the ALREADY-AGGREGATED dim
+    # — both move host-cardinality rows, never corpus rows
+    n_exchanges = (body.count("Exchange") - body.count("BroadcastExchange")) // 2
+    assert n_exchanges == 2, plan
+
+
 def test_zorder_key_is_map_only_over_the_scan(spark):
     """with_zorder: the big side gets the key via a broadcast of the
     one-row min/max agg — no shuffle may touch the scan side (at

@@ -4792,6 +4792,135 @@ FROM c GROUP BY doc_id
 """
 
 
+def q_url_templates(spark, sf_dir):
+    """URL-template mining — the crawler-trap detector: collapse each
+    path's digit runs to '{n}' and count distinct URLs per (host,
+    skeleton). A calendar/pagination trap shows up as ONE skeleton
+    with unbounded numeric variants (/cal/{n}/{n}/day/{n}), which a
+    frontier should budget or blocklist; real curation stacks
+    (e.g. Common Crawl's URL frontier hygiene) do exactly this.
+
+    URLs are synthesized deterministically from doc_id (three path
+    families: enumerable articles, a 3-level calendar trap, a small
+    static tag set — the canonical_url_dedup precedent). Scale shape:
+    map-only skeletonization (one regexp_replace) + ONE (host,
+    skeleton) count shuffle with map-side partials; the trap flag is
+    a pure post-agg column. No join, no window, no UDF."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    path = (
+        F.when(d % 3 == 0, F.concat(F.lit("/article/"), (d % 500).cast("string")))
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit("/cal/"), (2000 + d % 25).cast("string"),
+                F.lit("/"), (1 + d % 12).cast("string"),
+                F.lit("/day/"), (1 + d % 28).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("/tag/"), F.lit("abcdefgh").substr((d % 8 + 1).cast("int"), F.lit(1)))
+        )
+    )
+    skel = F.regexp_replace(path, "[0-9]+", "{n}")
+    return (
+        docs.select(host.alias("host"), path.alias("path"), skel.alias("skeleton"))
+        .groupBy("host", "skeleton")
+        .agg(
+            F.countDistinct("path").cast("bigint").alias("n_urls"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+        )
+        # a trap is DEEP numeric nesting (>= 2 '{n}' segments — the
+        # calendar/pagination shape) with many distinct variants; a
+        # flat /article/{n} enumeration is legitimate content
+        .withColumn(
+            "trap",
+            (F.regexp_count(F.col("skeleton"), F.lit(r"\{n\}")) >= 2)
+            & (F.col("n_urls") >= 8),
+        )
+    )
+
+
+SQL_URL_TEMPLATES = """
+WITH u AS (
+  SELECT source || '.example.com' AS host,
+    CASE
+      WHEN doc_id % 3 = 0 THEN '/article/' || (doc_id % 500)::VARCHAR
+      WHEN doc_id % 3 = 1 THEN '/cal/' || (2000 + doc_id % 25)::VARCHAR
+        || '/' || (1 + doc_id % 12)::VARCHAR
+        || '/day/' || (1 + doc_id % 28)::VARCHAR
+      ELSE '/tag/' || substr('abcdefgh', (doc_id % 8 + 1)::INT, 1)
+    END AS path
+  FROM documents)
+SELECT host, skeleton,
+  count(DISTINCT path)::BIGINT AS n_urls, count(*)::BIGINT AS n_pages,
+  len(regexp_extract_all(skeleton, '\{n\}')) >= 2
+    AND count(DISTINCT path) >= 8 AS trap
+FROM (SELECT host, path, regexp_replace(path, '[0-9]+', '{n}', 'g') AS skeleton
+      FROM u)
+GROUP BY host, skeleton
+"""
+
+
+def q_host_lang_outliers(spark, sf_dir):
+    """Host-majority language check — CCNet's 'a host is usually
+    monolingual' prior: compute each host's dominant language and its
+    share, then flag documents whose own langid disagrees with a
+    >= 60%-confident host majority (likely mislabels, spam injections
+    or boilerplate-bleed — reviewed before the langid gate drops
+    them).
+
+    Scale shape: ONE (host, lang) count shuffle collapses the corpus
+    to a host×lang dim; the host total and the majority pick are both
+    windows over that TINY dim (NOT a second corpus aggregation — a
+    naive host_tot = docs.groupBy(host) re-scans 100 TB twice); the
+    corpus side then joins the result back on host — broadcast-able
+    while the host dim fits (10^8 hosts ~ a few GB: at that point AQE
+    picks a shuffle join keyed by host, still one corpus shuffle
+    total). Plan-gated to exactly two FileScans (probe + dim)."""
+    docs = _docs(spark, sf_dir).na.drop(subset=["lang", "source"])
+    hl = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("lang"))
+    major = (
+        hl.withColumn("n_host", F.sum("n").over(Window.partitionBy("source")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        # filter on the UNROUNDED ratio (the oracle does too) — a
+        # 0.5999996 that rounds to 0.6 must not pass on one engine only
+        .filter(F.col("n") / F.col("n_host") >= 0.6)
+        .select(
+            "source",
+            F.col("lang").alias("host_lang"),
+            r6(F.col("n") / F.col("n_host")).alias("host_frac"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(major), "source")
+        .filter(F.col("lang") != F.col("host_lang"))
+        .select("doc_id", "source", "lang", "host_lang", "host_frac")
+    )
+
+
+SQL_HOST_LANG_OUTLIERS = """
+WITH d AS (SELECT * FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
+hl AS (SELECT source, lang, count(*)::BIGINT AS n FROM d GROUP BY source, lang),
+tot AS (SELECT source, sum(n)::BIGINT AS n_host FROM hl GROUP BY source),
+major AS (
+  SELECT source, lang AS host_lang, round(n / n_host::DOUBLE, 6) AS host_frac
+  FROM (SELECT hl.*, n_host,
+          row_number() OVER (PARTITION BY hl.source
+                             ORDER BY n DESC, lang) AS rk
+        FROM hl JOIN tot USING (source))
+  WHERE rk = 1 AND n / n_host::DOUBLE >= 0.6)
+SELECT doc_id, source, lang, host_lang, host_frac
+FROM d JOIN major USING (source)
+WHERE d.lang <> major.host_lang
+"""
+
+
 def q_psi_drift(spark, sf_dir):
     """Population-stability-index drift between two corpus snapshots
     (the 'new' one derived deterministically: every 3rd doc dropped,
@@ -6422,6 +6551,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "script_profile": (q_script_profile, SQL_SCRIPT_PROFILE),
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
+    "url_templates": (q_url_templates, SQL_URL_TEMPLATES),
+    "host_lang_outliers": (q_host_lang_outliers, SQL_HOST_LANG_OUTLIERS),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "tfidf_sampled": (q_tfidf_sampled, SQL_TFIDF_SAMPLED),
     "bm25_scores": (q_bm25_scores, SQL_BM25_SCORES),
