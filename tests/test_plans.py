@@ -406,6 +406,29 @@ def test_url_templates_single_count_pipeline(spark):
     assert "ReadSchema: struct<doc_id:bigint,source:string>" in body, plan
 
 
+def test_runtime_shuffle_audit_measures_broadcast_claim(spark):
+    """jobs/audit_shuffle.py harvests SQLMetrics from the executed
+    plan. Beyond exercising the traversal (AQE stages, broadcast
+    wrappers), assert the RUNTIME counterpart of the
+    host_lang_outliers plan gate: the corpus rows reach the result
+    through a broadcast join, so shuffle records (dim only) stay far
+    below scanned rows."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from audit_shuffle import audit_query
+
+    from webfilter.entry_queries import q_host_lang_outliers
+
+    acc = audit_query(q_host_lang_outliers(spark, SF))
+    assert acc["scan_rows"] > 0
+    assert acc["n_broadcasts"] >= 1
+    # dim-only shuffle: (source, lang) pairs, not corpus rows
+    assert acc["shuffle_records"] < acc["scan_rows"] / 2, acc
+    assert acc["shuffle_amplification"] < 0.5, acc
+
+
 def test_host_lang_outliers_one_corpus_pass(spark):
     """host_lang_outliers: the corpus must be scanned exactly twice
     (probe side + ONE dim build — host totals come from a window over
