@@ -1,0 +1,116 @@
+"""Differential fuzzing of the Spark-vs-DuckDB oracle pairs on
+adversarial inputs.
+
+The driver's correctness gate replays every oracle on the FIXED
+synthetic tables; this module replays a documents-only subset on a
+hand-built adversarial corpus — empty/whitespace-only docs, NULs,
+astral-plane emoji, decomposed vs composed diacritics, RTL scripts,
+unspaced CJK, regex metacharacters, the canonicalizer's own \\x1f
+separator, PII-shaped strings — the byte shapes a real crawl throws
+at a filter. Any engine disagreement here is a real portability bug
+in the operator (codepoint vs byte semantics, regex dialect drift,
+empty-array edge cases), exactly the class ADVICE r3 #1 flagged for
+zero-token docs.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from test_entry_contract import _value_multiset
+
+# documents-only oracle queries whose semantics are text-sensitive
+FUZZ_QUERIES = [
+    "quality_stats",
+    "quality_rules",
+    "quality_score",
+    "token_counts",
+    "scrub_pii",
+    "content_fingerprint",
+    "posexplode_lines",
+    "null_coalesce",
+    "hash_sample",
+    "chunk_fixed",
+    "chunk_paragraph",
+    "c4_line_filter",
+    "text_normalize",
+    "char_entropy",
+    "script_profile",
+    "dup_ngram_fraction",
+    "readability",
+    "lexical_diversity",
+    "winnow_fingerprints",
+    "bigram_counts",
+    "pmi_collocations",
+    "url_templates",
+    "host_lang_outliers",
+]
+
+ADVERSARIAL_TEXTS = [
+    "",  # empty (the ADVICE r3 #1 class)
+    " ",  # single space
+    "\n\n\n",  # newlines only
+    " \t \n \t ",  # mixed whitespace
+    "x",  # single char
+    "a\x00b nul embedded",  # NUL byte
+    "🙂🙂 astral 𝕊𝕡𝕒𝕣𝕜 plane 🚀 test",  # non-BMP codepoints
+    "étude café composed vs decomposed",  # NFC/NFD mix
+    "مرحبا שלום rtl text",
+    "中文没有空格的长句子",  # CJK
+    "Привет мир",  # Cyrillic
+    "zero​width‍joined⁠words",
+    "repeat " * 60,  # long + internally duplicated
+    "a.b*c?(d)[e]{2}|f\\g^h$i",  # regex metachars
+    "col1\x1fcol2\x1fcol3",  # the value-canon separator itself
+    "reach me at bob@example.com or 555-12-3456 today",  # PII shapes
+    "Line one.\n\nPara two! Is it? Yes.\n\n\nPara three…",
+    "UPPER lower MiXeD 123 456 789 0",
+    "   nbsp and en/em spaces here",
+    "ends with newline\n",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(spark, tmp_path_factory):
+    """Adversarial documents.parquet with the standard table schema;
+    doc_ids chosen so every synthesized-url family (doc_id % 3) and
+    hash-sample bucket appears."""
+    d = tmp_path_factory.mktemp("fuzz")
+    rows = [
+        (i, t, ["en", "de", "ru", "zh"][i % 4], f"src{i % 5}", len(t))
+        for i, t in enumerate(ADVERSARIAL_TEXTS)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def fuzz_duck(fuzz_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{fuzz_dir}/documents.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", FUZZ_QUERIES)
+def test_fuzz_oracle_match(spark, fuzz_duck, fuzz_dir, name):
+    spark_pdf = entry_mod.queries()[name](spark, fuzz_dir).toPandas()
+    duck_pdf = fuzz_duck.execute(entry_mod.oracle_sql()[name]).df()
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: rows {len(spark_pdf)} vs {len(duck_pdf)}"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), f"{name}: columns"
+    ms, md = _value_multiset(spark_pdf), _value_multiset(duck_pdf)
+    if ms != md:
+        only_s = [k for k in ms if ms[k] != md.get(k, 0)][:3]
+        only_d = [k for k in md if md[k] != ms.get(k, 0)][:3]
+        pytest.fail(
+            f"{name}: value mismatch on adversarial corpus\n"
+            f" spark-only: {only_s}\n duck-only: {only_d}"
+        )

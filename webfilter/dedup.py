@@ -25,6 +25,8 @@ import warnings
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .rules import tokens_col
+
 # Frames persisted by the operators below (signature/fingerprint
 # tables consumed twice by their self-joins). They are registered here
 # so long-lived sessions (benchmarks, notebooks, chained pipeline
@@ -96,7 +98,7 @@ def shingles_col(text: Column, k: int = 3) -> Column:
     transform lambda — Catalyst does no CSE inside HOF lambdas, so
     the captured form re-evaluates the split per element and goes
     O(n_tokens^2) per row (same fix as shingle_hashes_col below)."""
-    toks = F.split(F.trim(text), r"\s+")
+    toks = tokens_col(text)
     n = F.size(toks)
     m = n - k + 1
     z = F.arrays_zip(*[F.slice(toks, j + 1, m).alias(f"t{j}") for j in range(k)])
@@ -127,7 +129,7 @@ def shingle_hashes_col(text: Column, k: int = 3) -> Column:
     expression re-evaluates the whole split+hash subtree per element
     (measured O(n_tokens^2) per row: 9.5s -> 1s at sf0.1).
     """
-    th = F.transform(F.split(F.trim(text), r"\s+"), lambda t: F.xxhash64(t))
+    th = F.transform(tokens_col(text), lambda t: F.xxhash64(t))
     n = F.size(th)
     m = n - k + 1
     z = F.arrays_zip(*[F.slice(th, j + 1, m).alias(f"t{j}") for j in range(k)])
@@ -665,7 +667,7 @@ def remove_duplicate_spans(
 
     Output: id_col, clean_text, n_removed.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = tokens_col(F.col(text_col))
     ex = (
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
@@ -751,7 +753,7 @@ def remove_duplicate_windows(
     w = int(window)
     if w < 2:
         raise ValueError("window must be >= 2 tokens")
-    base = df.withColumn("_toks", F.split(F.trim(F.col(text_col)), r"\s+")).withColumn(
+    base = df.withColumn("_toks", tokens_col(F.col(text_col))).withColumn(
         "_toks",
         F.when(F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")).otherwise(
             F.col("_toks")
@@ -803,7 +805,7 @@ def token_hashes_col(text: Column) -> Column:
     """xxhash64 per whitespace token (lowercased) — the JVM half of
     the SimHash kernel. Shared by both implementations so the numpy
     path is bit-identical to the Column-algebra path."""
-    return F.transform(F.split(F.trim(F.lower(text)), r"\s+"), lambda t: F.xxhash64(t))
+    return F.transform(tokens_col(F.lower(text)), lambda t: F.xxhash64(t))
 
 
 def _simhash_kernel(hash_lists) -> "np.ndarray":  # noqa: F821
@@ -884,7 +886,7 @@ def simhash_col(text: Column, bits: int = 64, hash_fn=None) -> Column:
     hash-agnostic). Pair with bits <= 60 so every fingerprint bit
     reads real hash entropy (a 15-hex md5 prefix is 60 bits).
     """
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    toks = tokens_col(F.lower(text))
     hfn = hash_fn if hash_fn is not None else F.xxhash64
     hashes = F.transform(toks, lambda t: hfn(t))
     # acc: array of `bits` counters; bit positions are unrolled in

@@ -37,16 +37,28 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 # oracles spell the class out instead of using \s.
 _WS = r"[ \t\n\v\f\r]"
 
-# DuckDB token expr for trimmed-\s+ tokens with empty -> []
-_TOKS = (
-    "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
-    f"ELSE regexp_split_to_array(trim(text), '{_WS}+') END"
-)
+# Spark's trim strips EXACTLY the space character (0x20) from string
+# edges — measured: trim(' \t x \n ') = '\t x \n', trim('\xa0x') =
+# '\xa0x'. DuckDB's bare trim() instead strips Unicode space
+# separators (NBSP, en/em spaces, ...) — divergent in both directions
+# on exotic edge whitespace (found by tests/test_differential_fuzz).
+# Every oracle site that mirrors F.trim uses the 2-arg space-only
+# form so both engines agree on any input.
+_TRIMCHARS = "' '"
+
+
+def _sqltrim(expr: str) -> str:
+    return f"trim({expr}, {_TRIMCHARS})"
+
+
+# DuckDB token expr mirroring rules.tokens_col: maximal runs of
+# non-(ASCII-)whitespace — split the RAW text, drop empty fragments.
+# (split of '' yields [''] on both engines; the filter removes it.)
+_TOKS = f"list_filter(regexp_split_to_array(text, '{_WS}+'), x -> x <> '')"
 
 # Lowercased variant (retrieval ops tokenize case-folded text)
 _TOKS_LOWER = (
-    "CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[] "
-    f"ELSE regexp_split_to_array(trim(lower(text)), '{_WS}+') END"
+    f"list_filter(regexp_split_to_array(lower(text), '{_WS}+'), x -> x <> '')"
 )
 
 
@@ -228,7 +240,7 @@ def q_content_fingerprint(spark, sf_dir):
 
 SQL_CONTENT_FP = f"""
 SELECT doc_id,
-  md5(regexp_replace(lower(trim(text)), '{_WS}+', ' ', 'g')) AS content_fp
+  md5(regexp_replace(lower(trim(text, ' ')), '{_WS}+', ' ', 'g')) AS content_fp
 FROM documents
 """
 
@@ -361,7 +373,7 @@ def q_minhash_md5(spark, sf_dir):
 SQL_MINHASH_MD5 = f"""
 WITH tt AS (
   SELECT doc_id, {_TOKS} AS toks FROM documents
-  WHERE length(trim(text)) > 0),
+  WHERE length(trim(text, ' ')) > 0),
 t AS (
   SELECT doc_id,
     CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -416,8 +428,8 @@ def q_simhash_md5(spark, sf_dir):
 SQL_SIMHASH_MD5 = f"""
 WITH e AS (
   SELECT doc_id,
-    unnest(regexp_split_to_array(trim(lower(text)), '{_WS}+')) AS tok
-  FROM documents WHERE length(trim(text)) > 0),
+    unnest(list_filter(regexp_split_to_array(lower(text), '{_WS}+'), x -> x <> '')) AS tok
+  FROM documents WHERE length(trim(text, ' ')) > 0),
 h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM e),
 votes AS (
   SELECT doc_id, b,
@@ -911,7 +923,7 @@ def q_null_coalesce(spark, sf_dir):
 
 SQL_NULL_COALESCE = """
 SELECT doc_id,
-  coalesce(nullif(trim(text), ''), '<EMPTY>') AS text_or_default,
+  coalesce(nullif(trim(text, ' '), ''), '<EMPTY>') AS text_or_default,
   CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END AS size_class
 FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
 """
@@ -1498,27 +1510,31 @@ def q_winnow_fingerprints(spark, sf_dir):
         return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
 
     fps = winnowing_fingerprints_col(F.col("text"), hash_fn=md5_hash)
+    # F.get, not getItem/element_at: a token-less doc has fps = []
+    # and must yield NULL min/max (getItem(0) raises on empty arrays)
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.size(fps).alias("n_fps"),
-        fps.getItem(0).alias("min_fp"),
-        F.element_at(fps, -1).alias("max_fp"),
+        F.get(fps, 0).alias("min_fp"),
+        F.get(fps, F.size(fps) - 1).alias("max_fp"),
     )
 
 
 # DuckDB replay of the winnowing selection: same tokenization
-# (trim/lower/split on whitespace), same k=5-gram md5-prefix hash,
-# same window=4 sliding min, same distinct+sort. List slices in
+# (raw \\s+ split, empties dropped), same k=5-gram md5-prefix hash,
+# same window=4 sliding min, same distinct+sort; a token-less doc
+# yields NO fingerprints on either engine. List slices in
 # DuckDB are 1-based END-INCLUSIVE, so toks[i:i+4] is 5 tokens.
 SQL_WINNOW_FINGERPRINTS = f"""
 WITH t AS (
   SELECT doc_id,
-    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-         ELSE regexp_split_to_array(trim(lower(text)), '{_WS}+') END AS toks
+    list_filter(regexp_split_to_array(lower(text), '{_WS}+'),
+                x -> x <> '') AS toks
   FROM documents
 ), kg AS (
   SELECT doc_id,
-    CASE WHEN len(toks) < 5 THEN
+    CASE WHEN len(toks) = 0 THEN []::BIGINT[]
+    WHEN len(toks) < 5 THEN
       [('0x' || substr(md5(array_to_string(toks, ' ')), 1, 8))::BIGINT]
     ELSE
       list_transform(range(1, len(toks) - 3),
@@ -1528,7 +1544,8 @@ WITH t AS (
 ), w AS (
   SELECT doc_id,
     list_sort(list_distinct(
-      CASE WHEN len(kh) < 4 THEN [list_min(kh)]
+      CASE WHEN len(kh) = 0 THEN []::BIGINT[]
+      WHEN len(kh) < 4 THEN [list_min(kh)]
       ELSE list_transform(range(1, len(kh) - 2),
         i -> least(kh[i], kh[i+1], kh[i+2], kh[i+3]))
       END)) AS fps
@@ -1545,8 +1562,7 @@ SELECT doc_id, len(fps) AS n_fps, fps[1] AS min_fp, fps[-1] AS max_fp FROM w
 
 # lowercased token-array expr for DuckDB oracles (parallel to _TOKS)
 _TOKS_LOWER = (
-    "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
-    f"ELSE regexp_split_to_array(trim(lower(text)), '{_WS}+') END"
+    f"list_filter(regexp_split_to_array(lower(text), '{_WS}+'), x -> x <> '')"
 )
 
 
@@ -1897,7 +1913,7 @@ def q_hll_distinct_terms(spark, sf_dir):
 SQL_HLL_DISTINCT_TERMS = f"""
 WITH tt AS (
   SELECT lang, {_TOKS_LOWER} AS toks FROM documents
-  WHERE length(trim(text)) > 0),
+  WHERE length(trim(text, ' ')) > 0),
 e AS (
   SELECT lang, unnest({_SQL_SHINGLES3}) AS tok FROM tt),
 t AS (
@@ -1981,7 +1997,7 @@ def q_cms_term_counts(spark, sf_dir):
 SQL_CMS_TERM_COUNTS = f"""
 WITH tt AS (
   SELECT {_TOKS_LOWER} AS toks FROM documents
-  WHERE length(trim(text)) > 0),
+  WHERE length(trim(text, ' ')) > 0),
 e AS (SELECT unnest({_SQL_SHINGLES3}) AS tok FROM tt),
 rc AS (
   SELECT tok, r,
@@ -2253,9 +2269,13 @@ def q_readability(spark, sf_dir):
     and multi-syllable words coexist; review finding). Map-only — no
     shuffle at any scale; the three divisions are IEEE-deterministic,
     hash-checked vs DuckDB."""
-    docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
+    # gate on HAVING TOKENS, not trimmed length: a '\n\n\n' doc passes
+    # the length check with zero words and divides by zero (ANSI)
+    docs = _docs(spark, sf_dir).filter(
+        F.size(tokens_col(F.col("text"))) > 0
+    )
     t = F.lower(F.col("text"))
-    toks_l = F.split(F.trim(t), r"\s+")
+    toks_l = tokens_col(t)
     words = F.size(toks_l)
     sentences = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
     syllables = F.aggregate(
@@ -2283,7 +2303,7 @@ def q_readability(spark, sf_dir):
 SQL_READABILITY = f"""
 WITH t AS (
   SELECT doc_id, lower(text) AS lt, {_TOKS_LOWER} AS toks FROM documents
-  WHERE length(trim(text)) > 0),
+  WHERE len({_TOKS}) > 0),
 s AS (
   SELECT doc_id,
     len(toks)::BIGINT AS n_words,
@@ -2589,7 +2609,7 @@ def q_bpe_tokenize(spark, sf_dir):
     wsyms = state.select("word", F.size(sym).cast("bigint").alias("n_syms"))
     e = docs.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("word"),
     )
     return (
         e.join(F.broadcast(wsyms), "word")
@@ -2613,7 +2633,7 @@ def _bpe_train_chain(docs):
     greedy merge chain used by q_bpe_merges and q_bpe_tokenize."""
     vocab = (
         docs.select(
-            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("word")
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -2682,8 +2702,8 @@ def _bpe_sql(tail: str | None = None) -> str:
     parts = [
         f"""WITH vocab AS (
   SELECT word, count(*)::BIGINT AS freq FROM (
-    SELECT unnest(regexp_split_to_array(trim(lower(text)), '{_WS}+')) AS word
-    FROM documents WHERE length(trim(text)) > 0)
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '{_WS}+'), x -> x <> '')) AS word
+    FROM documents WHERE length(trim(text, ' ')) > 0)
   GROUP BY word),
 r0 AS (
   SELECT word, freq,
@@ -2727,8 +2747,8 @@ wsyms AS (
   FROM r{_BPE_ROUNDS}),
 docw AS (
   SELECT doc_id,
-    unnest(regexp_split_to_array(trim(lower(text)), '{_WS}+')) AS word
-  FROM documents WHERE length(trim(text)) > 0)
+    unnest(list_filter(regexp_split_to_array(lower(text), '{_WS}+'), x -> x <> '')) AS word
+  FROM documents WHERE length(trim(text, ' ')) > 0)
 SELECT doc_id, count(*)::BIGINT AS n_words,
   sum(n_syms)::BIGINT AS n_bpe_tokens,
   sum(length(word))::BIGINT AS n_chars,
@@ -2825,7 +2845,7 @@ def q_inverted_index(spark, sf_dir):
     term is the partition key, lists build map-side per split and
     merge by concatenation."""
     docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = tokens_col(F.lower(F.col("text")))
     e = docs.select(
         "doc_id", F.posexplode(toks).alias("pos", "term")
     )
@@ -2853,7 +2873,7 @@ def q_inverted_index(spark, sf_dir):
 SQL_INVERTED_INDEX = f"""
 WITH t AS (
   SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents
-  WHERE length(trim(text)) > 0),
+  WHERE length(trim(text, ' ')) > 0),
 e AS (
   SELECT doc_id, (u.i - 1)::INT AS pos, toks[u.i] AS term
   FROM t, UNNEST(range(1, len(toks) + 1)) u(i)),
@@ -3111,7 +3131,7 @@ def q_lexical_diversity(spark, sf_dir):
     docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
     e = docs.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
     )
     tf = e.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     return (
@@ -3147,8 +3167,8 @@ def q_lexical_diversity(spark, sf_dir):
 SQL_LEXICAL_DIVERSITY = f"""
 WITH e AS (
   SELECT doc_id,
-    unnest(regexp_split_to_array(trim(lower(text)), '{_WS}+')) AS tok
-  FROM documents WHERE length(trim(text)) > 0),
+    unnest(list_filter(regexp_split_to_array(lower(text), '{_WS}+'), x -> x <> '')) AS tok
+  FROM documents WHERE length(trim(text, ' ')) > 0),
 tf AS (SELECT doc_id, tok, count(*) AS c FROM e GROUP BY doc_id, tok),
 s AS (
   SELECT doc_id,
@@ -3574,7 +3594,7 @@ def q_containment_pairs(spark, sf_dir):
 SQL_CONTAINMENT_PAIRS = f"""
 WITH tt AS (
   SELECT doc_id, source, {_TOKS} AS toks FROM documents
-  WHERE length(trim(text)) > 0),
+  WHERE length(trim(text, ' ')) > 0),
 s AS (
   SELECT doc_id, source,
     CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -3603,7 +3623,7 @@ def q_cdc_chunk_dedup(spark, sf_dir):
     counts — the dedup-unit table a CDC store would keep. Pure
     Column/HOF boundary algebra + one fingerprint-keyed shuffle."""
     docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = tokens_col(F.lower(F.col("text")))
     n = F.size(toks)
     m = n - 2
     z = F.arrays_zip(
@@ -3659,7 +3679,7 @@ def q_cdc_chunk_dedup(spark, sf_dir):
 SQL_CDC_CHUNK_DEDUP = f"""
 WITH tt AS (
   SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents
-  WHERE length(trim(text)) > 0),
+  WHERE length(trim(text, ' ')) > 0),
 g AS (
   SELECT doc_id, toks,
     CASE WHEN len(toks) < 3 THEN [0, len(toks)]
@@ -4466,7 +4486,15 @@ def q_text_normalize(spark, sf_dir):
     def nfc_udf(s: pd.Series) -> pd.Series:
         import unicodedata
 
-        return s.map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)
+        # NUL is stripped BEFORE normalizing: web mojibake, and
+        # DuckDB's nfc_normalize C-truncates at \x00 whenever the
+        # string needs any rewrite (fuzz-found), so the oracle
+        # replays replace(raw, chr(0), '') for the same result
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t.replace("\x00", ""))
+            if t is not None
+            else None
+        )
 
     docs = _docs(spark, sf_dir)
     d = F.col("doc_id")
@@ -4489,7 +4517,7 @@ def q_text_normalize(spark, sf_dir):
     )
 
 
-SQL_TEXT_NORMALIZE = """
+SQL_TEXT_NORMALIZE = f"""
 WITH staged AS (
   SELECT doc_id,
     (CASE WHEN doc_id % 2 = 0 THEN 'caf' || chr(233)
@@ -4497,9 +4525,13 @@ WITH staged AS (
     || '  Mixed   CASE' || chr(9) || text AS raw
   FROM documents),
 n AS (
+  -- replace(chr(0)) mirrors the Spark UDF's NUL strip AND dodges a
+  -- DuckDB bug: nfc_normalize truncates at \\x00 when the string
+  -- needs any normalization work; 2-arg trim = Spark trim semantics
   SELECT doc_id,
-    trim(regexp_replace(lower(nfc_normalize(raw)),
-                        '[ \\t\\n\\v\\f\\r]+', ' ', 'g')) AS norm_text
+    trim(regexp_replace(lower(nfc_normalize(replace(raw, chr(0), ''))),
+                        '[ \\t\\n\\v\\f\\r]+', ' ', 'g'),
+         {_TRIMCHARS}) AS norm_text
   FROM staged)
 SELECT doc_id, norm_text, length(norm_text)::BIGINT AS n_chars_norm FROM n
 """
@@ -4581,7 +4613,7 @@ def q_bigram_counts(spark, sf_dir):
 
 
 SQL_BIGRAM_COUNTS = f"""
-WITH t AS (SELECT doc_id, {_TOKS.replace("trim(text)", "trim(lower(text))")} AS tk
+WITH t AS (SELECT doc_id, {_TOKS_LOWER} AS tk
            FROM documents),
 b AS (
   SELECT tk[u.i] AS w1, tk[u.i + 1] AS w2
@@ -5335,7 +5367,7 @@ def q_bigram_lm_score(spark, sf_dir):
 
 
 SQL_BIGRAM_LM_SCORE = f"""
-WITH t AS (SELECT doc_id, {_TOKS.replace("trim(text)", "trim(lower(text))")} AS tk
+WITH t AS (SELECT doc_id, {_TOKS_LOWER} AS tk
            FROM documents),
 bg AS (
   SELECT doc_id, tk[u.i] AS w1, tk[u.i + 1] AS w2
@@ -5420,7 +5452,7 @@ def q_kneser_ney_lm_score(spark, sf_dir):
 
 
 SQL_KNESER_NEY_LM = f"""
-WITH t AS (SELECT doc_id, {_TOKS.replace("trim(text)", "trim(lower(text))")} AS tk
+WITH t AS (SELECT doc_id, {_TOKS_LOWER} AS tk
            FROM documents),
 bg AS (
   SELECT doc_id, tk[u.i] AS w1, tk[u.i + 1] AS w2
@@ -5868,7 +5900,7 @@ def q_bm25_rank(spark, sf_dir):
     is the lexical-ranking analog done relationally."""
     k1, b = 1.2, 0.75
     docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = tokens_col(F.lower(F.col("text")))
     e = docs.select("doc_id", F.explode(toks).alias("term"))
     tf = e.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -5918,7 +5950,7 @@ def q_bm25_rank(spark, sf_dir):
 SQL_BM25_RANK = f"""
 WITH t AS (
   SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents
-  WHERE length(trim(text)) > 0),
+  WHERE length(trim(text, ' ')) > 0),
 e AS (SELECT doc_id, u.term FROM t, UNNEST(toks) AS u(term)),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM e GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM e GROUP BY doc_id),

@@ -23,8 +23,12 @@ _STOPSET = frozenset(EN_STOPWORDS)
 
 
 def stats(text: str) -> dict[str, float]:
-    stripped = text.strip()
-    toks = WS_RE.split(stripped) if stripped else []
+    # maximal non-whitespace runs of the RAW text (empties dropped) —
+    # in lock-step with rules.tokens_col and the DuckDB oracle _TOKS;
+    # the previous str.strip() was Unicode-aware (strips NBSP etc.)
+    # where the JVM/RE2 engines are not, so the three-way parity held
+    # only on whitespace-clean fixtures
+    toks = [t for t in WS_RE.split(text) if t]
     n_words = len(toks)
     n_chars = len(text)
     mean_wl = (sum(len(t) for t in toks) / n_words) if n_words else 0.0

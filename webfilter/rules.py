@@ -79,10 +79,16 @@ ALL_RULE_NAMES: tuple[str, ...] = HEURISTIC_RULE_NAMES + MODEL_RULE_NAMES
 
 
 def tokens_col(text: Column) -> Column:
-    t = F.trim(text)
-    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    """Tokens = maximal runs of non-(ASCII-)whitespace in the RAW
+    text: split on \\s+ and drop empty fragments. The previous
+    trim-then-split form leaked empty edge tokens for text bordered
+    by \\t or \\n (Spark's trim strips ONLY the space character —
+    measured), inflating n_words and diverging from both the Python
+    golden mirror and the DuckDB oracles on adversarial inputs
+    (tests/test_differential_fuzz.py). Filtering empties makes all
+    three engines agree on ANY input, including empty text
+    (split('') -> [''] -> [])."""
+    return F.filter(F.split(text, r"\s+"), lambda x: x != F.lit(""))
 
 
 def heuristic_columns(text: Column, cfg: RuleConfig = DEFAULT_RULES) -> dict[str, Column]:

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .rules import tokens_col
+
 #: register count (p=8 -> m=256) — the documented estimate error is
 #: ~1.04/sqrt(m) = 6.5%
 HLL_M = 256
@@ -34,7 +36,7 @@ def shingles3_lower(text_col: Column) -> Column:
     """Word 3-grams over lowercase whitespace tokens as array<string>
     (shifted-slice arrays_zip construction — no captured-array HOF
     re-evaluation)."""
-    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    toks = tokens_col(F.lower(text_col))
     n = F.size(toks)
     m = n - 2
     z = F.arrays_zip(

@@ -74,7 +74,9 @@ def dup_ngram_fraction_col(text: Column, k: int = 2) -> Column:
     """
     toks = tokens_col(text)
     n = F.size(toks)
-    m = n - k + 1
+    # slice() raises on negative length (docs with < k tokens — e.g.
+    # an empty doc has n=0, m=-1); clamp to 0 so they yield [] grams
+    m = F.greatest(F.lit(0), n - k + 1)
     z = F.arrays_zip(*[F.slice(toks, j + 1, m).alias(f"t{j}") for j in range(k)])
     grams = F.transform(z, lambda s: F.concat_ws(" ", *[s[f"t{j}"] for j in range(k)]))
     total = F.size(grams)
@@ -120,9 +122,13 @@ def winnowing_fingerprints_col(
     """
     if hash_fn is None:
         hash_fn = F.xxhash64
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    # tokens_col, not a raw split: split('', '\s+') yields [''] so an
+    # empty/whitespace-only doc would fingerprint the empty string —
+    # a doc with no tokens must emit NO fingerprints (fuzz-found: the
+    # DuckDB oracle correctly emits none)
+    toks = tokens_col(F.lower(text))
     n = F.size(toks)
-    m = n - k + 1
+    m = F.greatest(F.lit(0), n - k + 1)
     gz = F.arrays_zip(*[F.slice(toks, j + 1, m).alias(f"t{j}") for j in range(k)])
     grams = F.transform(
         gz, lambda s: hash_fn(F.concat_ws(" ", *[s[f"t{j}"] for j in range(k)]))
@@ -132,7 +138,8 @@ def winnowing_fingerprints_col(
     wz = F.arrays_zip(*[F.slice(kh, j + 1, mm).alias(f"h{j}") for j in range(window)])
     mins = F.transform(wz, lambda s: F.least(*[s[f"h{j}"] for j in range(window)]))
     out = F.when(F.size(kh) < window, F.array(F.array_min(kh))).otherwise(mins)
-    return F.array_sort(F.array_distinct(out))
+    empty = F.array().cast("array<bigint>")
+    return F.when(n == 0, empty).otherwise(F.array_sort(F.array_distinct(out)))
 
 
 def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .rules import tokens_col
+
 __all__ = [
     "ngram_strings_col",
     "decontaminate",
@@ -53,7 +55,7 @@ def ngram_strings_col(text: Column, n: int) -> Column:
     a doc too short to contain a full n-gram cannot be contaminated
     by one.
     """
-    toks = F.split(F.trim(F.lower(text)), _WS_SPLIT)
+    toks = tokens_col(F.lower(text))
     m = F.size(toks) - n + 1
     z = F.arrays_zip(*[F.slice(toks, j + 1, m).alias(f"t{j}") for j in range(n)])
     grams = F.transform(z, lambda s: F.concat_ws(" ", *[s[f"t{j}"] for j in range(n)]))
@@ -129,7 +131,7 @@ def frequent_terms(
     from scratch with a full GROUP BY and must agree row-for-row.
     """
     f = min_per_mille / 1000.0
-    toks = F.split(F.trim(F.lower(F.col(text_col))), _WS_SPLIT)
+    toks = tokens_col(F.lower(F.col(text_col)))
     terms = docs.select(
         F.explode(F.when(F.length(F.trim(F.col(text_col))) > 0, toks)).alias("term")
     )
@@ -275,7 +277,7 @@ def pack_sequences(
     Output: id_col, pack_bucket, n_tokens, pack_id (per bucket),
     start_off (token offset of this doc inside its pack), spans_packs.
     """
-    toks = F.split(F.trim(F.col(text_col)), _WS_SPLIT)
+    toks = tokens_col(F.col(text_col))
     n_tokens = (
         F.when(F.length(F.trim(F.col(text_col))) > 0, F.size(toks))
         .otherwise(F.lit(0))
@@ -424,7 +426,7 @@ def dsir_log_ratio_table(
     normalizing totals ride the broadcast single-row cross-join idiom
     (domain_mixture_weights precedent). Output is <= n_buckets rows —
     a broadcastable dim no matter the corpus size."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), _WS_SPLIT)
+    toks = tokens_col(F.lower(F.col(text_col)))
     ex = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(target_col).cast("boolean").alias("is_t"),
         F.explode(toks).alias("tok"),
@@ -465,7 +467,7 @@ def dsir_scores(
     ``id_col`` — uniform by construction. Nothing about the corpus
     size reaches the driver."""
     lr = dsir_log_ratio_table(df, target_col, text_col, n_buckets, alpha)
-    toks = F.split(F.trim(F.lower(F.col(text_col))), _WS_SPLIT)
+    toks = tokens_col(F.lower(F.col(text_col)))
     ex = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col),
         F.explode(toks).alias("tok"),
