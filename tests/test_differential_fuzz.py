@@ -69,6 +69,18 @@ ADVERSARIAL_TEXTS = [
     "UPPER lower MiXeD 123 456 789 0",
     "   nbsp and en/em spaces here",
     "ends with newline\n",
+    "ＦＵＬＬＷＩＤＴＨ ｔｅｘｔ ５６７",  # fullwidth forms
+    # Turkish dotless ı and the cased pairs Ğ/Ü/Ş/Ö/Ç all lower
+    # consistently across engines; dotted capital İ (U+0130) does NOT
+    # — see test_known_lowercase_dialect_divergence below
+    "Istanbul ıssız ĞÜŞÖÇ",
+    "ﬁnal ﬂags ligature ﬆop",  # ligatures (NFC keeps, casefold differs)
+    "soft­hyphen co­operate",
+    "line one line two para",  # U+2028/29 separators
+    "́starts with combining mark",
+    "tok" + "x" * 5000 + " end",  # 5 kB single token
+    "a\tb\tc\td interior tabs",
+    "1,234.56 $99 100% +3.14e-2 -0",
 ]
 
 
@@ -96,6 +108,27 @@ def fuzz_duck(fuzz_dir):
         f"read_parquet('{fuzz_dir}/documents.parquet/*.parquet')"
     )
     return con
+
+
+def test_known_lowercase_dialect_divergence(spark):
+    """Pins the ONE lowercasing input the engines are known to
+    disagree on, so the knowledge isn't lost: Turkish dotted capital
+    İ (U+0130). Unicode SpecialCasing.txt maps it to 'i' + U+0307
+    (combining dot above) — the JVM (Spark) and CPython follow it;
+    DuckDB's utf8proc lowers to bare 'i'. No oracle pair can
+    hash-match on text containing U+0130 through a lower() — the
+    adversarial corpus therefore exercises every OTHER Turkish cased
+    letter but excludes İ. If either engine ever changes, this test
+    fails and the corpus can be extended."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    jvm = spark.range(1).select(F.lower(F.lit("İ")).alias("l")).collect()[0].l
+    duck = duckdb.connect().execute("select lower('İ')").fetchone()[0]
+    assert jvm == "i̇"
+    assert duck == "i"
+    assert jvm != duck
 
 
 @pytest.mark.parametrize("name", FUZZ_QUERIES)
