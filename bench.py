@@ -347,6 +347,7 @@ def main() -> None:
         "char_entropy",
         "url_templates",
         "host_lang_outliers",
+        "kmeans_assign",
     ]
     for name in bench_queries:
         walls: list[float] = []

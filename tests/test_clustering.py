@@ -1,0 +1,165 @@
+"""Distributed Lloyd's k-means (webfilter/clustering.py).
+
+Exactness strategy under test: the exact path carries centroids as
+integer (sum, count) pairs and ranks by one IEEE division of exact
+integers, so an independent numpy replay over the SAME quantized
+vectors must agree bit-for-bit — any float-order sensitivity in the
+Spark plan would show up as a flipped argmin here."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _qv_matrix(spark):
+    """Quantized vectors exactly as the operator computes them (Spark
+    HALF_UP rounding), so the replay shares the operator's input."""
+    from webfilter.simsearch import quantized_vec
+
+    rows = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", quantized_vec(F.col("embedding"), 100).alias("qv"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    m = np.array([r["qv"] for r in rows], dtype=np.int64)
+    return ids, m
+
+
+def _lloyd_exact_replay(ids, m, init_ids=8, iters=2):
+    """Independent exact Lloyd's: same rational ranking, numpy ints."""
+    cents = {int(i): (m[ids == i][0].astype(object), 1) for i in range(init_ids)}
+
+    def assign(v):
+        vv = int((v.astype(object) * v).sum())
+        best, best_key = None, None
+        for cid in sorted(cents):
+            s, n = cents[cid]
+            dot = int((v.astype(object) * s).sum())
+            ss = int((s * s).sum())
+            key = float(n * n * vv - 2 * n * dot + ss) / float(n * n)
+            if best_key is None or key < best_key:
+                best, best_key = cid, key
+        return best
+
+    for _ in range(iters):
+        asg = np.array([assign(v) for v in m])
+        for cid in cents:
+            mask = asg == cid
+            if mask.any():
+                cents[cid] = (m[mask].astype(object).sum(axis=0), int(mask.sum()))
+    return np.array([assign(v) for v in m])
+
+
+def test_kmeans_exact_matches_numpy_replay(spark):
+    from webfilter.clustering import kmeans_exact_assignments
+
+    ids, m = _qv_matrix(spark)
+    want = _lloyd_exact_replay(ids, m)
+    got = (
+        kmeans_exact_assignments(
+            spark.read.parquet(f"{SF}/embeddings.parquet"), iters=2, scale=100
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert np.array_equal(np.array([r["cluster"] for r in got]), want)
+    # non-degenerate: multiple clusters survive
+    assert len(set(want)) > 1
+
+
+def test_kmeans_exact_partition_invariant(spark):
+    """Assignment is map-side and updates are exact integer sums, so
+    the result cannot depend on partitioning or row order."""
+    from webfilter.clustering import kmeans_exact
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = kmeans_exact(emb, iters=2).orderBy("vec_id").collect()
+    b = kmeans_exact(emb.repartition(7), iters=2).orderBy("vec_id").collect()
+    assert a == b
+
+
+def test_kmeans_exact_cluster_size_consistent(spark):
+    from webfilter.clustering import kmeans_exact
+
+    rows = kmeans_exact(
+        spark.read.parquet(f"{SF}/embeddings.parquet"), iters=2
+    ).collect()
+    from collections import Counter
+
+    sizes = Counter(r["cluster"] for r in rows)
+    assert all(r["cluster_size"] == sizes[r["cluster"]] for r in rows)
+    assert sum(sizes.values()) == len(rows)
+
+
+def test_kmeans_fit_matches_numpy_float_lloyd(spark):
+    """Production float path vs an independent numpy Lloyd's from the
+    identical init. Assignments must agree exactly (sf0.001 has no
+    knife-edge ties); centers to 1e-9 (both sides sum <=500 doubles)."""
+    from webfilter.clustering import kmeans_fit
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    centers, assign = kmeans_fit(emb, dim=64, k=6, iters=3)
+
+    rows = emb.select("vec_id", "embedding", F.xxhash64("vec_id").alias("h")).collect()
+    rows.sort(key=lambda r: r["h"])
+    init = np.array([list(r["embedding"]) for r in rows[:6]], dtype=np.float64)
+    m = np.array(
+        [list(r["embedding"]) for r in sorted(rows, key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
+    c = init.copy()
+    for _ in range(3):
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(len(c)):
+            if (a == j).any():
+                c[j] = m[a == j].mean(axis=0)
+    assert np.allclose(centers, c, atol=1e-9)
+
+    got = (
+        emb.select("vec_id", assign(F.col("embedding")).alias("cl"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    assert np.array_equal(np.array([r["cl"] for r in got]), d.argmin(axis=1))
+
+
+def test_kmeans_fit_requires_dim(spark):
+    from webfilter.clustering import kmeans_fit
+
+    with pytest.raises(ValueError, match="dim is required"):
+        kmeans_fit(spark.read.parquet(f"{SF}/embeddings.parquet"), dim=None)
+
+
+def test_exact_assign_requires_sorted_cents(spark):
+    from webfilter.clustering import exact_assign_col
+
+    with pytest.raises(ValueError, match="sorted"):
+        exact_assign_col(F.col("qv"), [(2, [1], 1), (1, [2], 1)])
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    """Two far groups + one init centroid that immediately loses all
+    members: the loser keeps its init centroid (never NaN/zero) and
+    the final assignment still covers every row."""
+    from webfilter.clustering import kmeans_exact_assignments
+
+    # Both inits are [0,0]: round 1 ties every row to cent 0 (lowest
+    # cent_id wins), so cluster 1 goes EMPTY and must keep its init
+    # centroid. Round 2: c0 has drifted to the mean (75,75) while c1
+    # is still (0,0), so the origin rows come back to cluster 1 —
+    # which only happens if the empty-cluster fallback preserved it.
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0])] + [
+        (i, [1.0, 1.0]) for i in range(2, 8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_exact_assignments(df, iters=2, scale=100, init_ids=2).collect()
+    assert len(out) == 8
+    got = {r["vec_id"]: r["cluster"] for r in out}
+    assert got[0] == got[1] == 1  # origin rows reclaimed by kept centroid
+    assert all(got[i] == 0 for i in range(2, 8))

@@ -197,6 +197,7 @@ def test_registry_construction_is_action_free(spark):
                 "pagerank_personalized",
                 "graph_components",
                 "kcore_peel",
+                "kmeans_assign",  # per-iteration k-row centroid collect
             ):
                 # iterative exception: the lazily-checkpointed loop
                 # segments execute at construction, so jobs are

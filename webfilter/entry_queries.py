@@ -6463,6 +6463,93 @@ FROM u2 u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (url)
 )
 
 
+def q_kmeans_assign(spark, sf_dir):
+    """Distributed Lloyd's k-means (exact-arithmetic oracle twin):
+    2 assign+update rounds over int64-quantized embeddings from the
+    deterministic vec_id<8 init, then a final assignment; output
+    (vec_id, cluster, cluster_size). The clustering primitive behind
+    SemDeDup / IVF training, here with the FULL corpus as the training
+    set (train_ivf_centroids is the bounded-sample driver-side path).
+
+    Cross-engine device (clustering.py module docstring): centroids
+    are carried as exact (int component-sum, count) pairs — never a
+    float mean — and the argmin key (n^2|v|^2 - 2n(v.s) + |s|^2)/n^2
+    is one IEEE division of exact integers, so monotonicity makes the
+    rounded keys order identically on both engines; ties break by
+    cent_id on both. Scale shape: assignment is map-side against k
+    literal centroids (no join, no shuffle), each update is one
+    map-side-combinable groupBy(cluster) whose k-row result is the
+    bounded per-iteration driver collect (pagerank's exception)."""
+    from .clustering import kmeans_exact
+
+    return kmeans_exact(_emb(spark, sf_dir), iters=2, scale=100, init_ids=8)
+
+
+def _kmeans_sql_round(i: int, prev: str) -> str:
+    """One unrolled Lloyd round: assignment vs centroid CTE `prev`,
+    then exact integer sum/count update (empty cluster keeps its
+    previous centroid via the LEFT JOIN coalesce)."""
+    return f"""
+a{i} AS (
+  SELECT vec_id, qv, cent_id,
+    row_number() OVER (PARTITION BY vec_id ORDER BY
+      CAST(n*n*vv - 2*n*dot + ss AS DOUBLE) / CAST(n*n AS DOUBLE),
+      cent_id) AS rn
+  FROM (
+    SELECT x.vec_id, x.qv, x.vv, c.cent_id, c.n,
+      list_sum(list_transform(range(1, 1 + len(x.qv)),
+                              j -> x.qv[j] * c.s[j])) AS dot,
+      list_sum(list_transform(c.s, y -> y * y)) AS ss
+    FROM v x CROSS JOIN {prev} c)),
+asg{i} AS (SELECT vec_id, qv, cent_id AS cluster FROM a{i} WHERE rn = 1),
+sums{i} AS (
+  SELECT cluster, pos, CAST(sum(val) AS BIGINT) AS sv
+  FROM (SELECT cluster, unnest(qv) AS val,
+               unnest(range(1, 1 + len(qv))) AS pos FROM asg{i})
+  GROUP BY 1, 2),
+c{i} AS (
+  SELECT p.cent_id, COALESCE(sn.s, p.s) AS s, COALESCE(cn.n, p.n) AS n
+  FROM {prev} p
+  LEFT JOIN (SELECT cluster, list(sv ORDER BY pos) AS s
+             FROM sums{i} GROUP BY 1) sn ON sn.cluster = p.cent_id
+  LEFT JOIN (SELECT cluster, count(*) AS n FROM asg{i} GROUP BY 1) cn
+    ON cn.cluster = p.cent_id)"""
+
+
+SQL_KMEANS_ASSIGN = (
+    """
+WITH v AS (
+  SELECT vec_id,
+    list_transform(embedding::DOUBLE[], x -> round(x * 100)::BIGINT) AS qv,
+    list_sum(list_transform(
+      list_transform(embedding::DOUBLE[], x -> round(x * 100)::BIGINT),
+      q -> q * q)) AS vv
+  FROM embeddings),
+c0 AS (
+  SELECT vec_id AS cent_id, qv AS s, CAST(1 AS BIGINT) AS n
+  FROM v WHERE vec_id < 8),"""
+    + _kmeans_sql_round(1, "c0")
+    + ","
+    + _kmeans_sql_round(2, "c1")
+    + """,
+afin AS (
+  SELECT vec_id, cent_id,
+    row_number() OVER (PARTITION BY vec_id ORDER BY
+      CAST(n*n*vv - 2*n*dot + ss AS DOUBLE) / CAST(n*n AS DOUBLE),
+      cent_id) AS rn
+  FROM (
+    SELECT x.vec_id, x.vv, c.cent_id, c.n,
+      list_sum(list_transform(range(1, 1 + len(x.qv)),
+                              j -> x.qv[j] * c.s[j])) AS dot,
+      list_sum(list_transform(c.s, y -> y * y)) AS ss
+    FROM v x CROSS JOIN c2 c))
+SELECT vec_id, CAST(cent_id AS BIGINT) AS cluster,
+  count(*) OVER (PARTITION BY cent_id) AS cluster_size
+FROM afin WHERE rn = 1
+"""
+)
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
@@ -6608,6 +6695,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "zorder_cells": (q_zorder_cells, SQL_ZORDER_CELLS),
     "simsearch_pq_adc": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
     "simsearch_ivfpq_adc": (q_ivfpq_adc_topk, SQL_IVFPQ_ADC_TOPK),
+    "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
 }
 
 # The driver oracle-grades exactly the first 50 entries in insertion
