@@ -348,6 +348,7 @@ def main() -> None:
         "url_templates",
         "host_lang_outliers",
         "kmeans_assign",
+        "semdedup_kmeans",
     ]
     for name in bench_queries:
         walls: list[float] = []

@@ -198,6 +198,7 @@ def test_registry_construction_is_action_free(spark):
                 "graph_components",
                 "kcore_peel",
                 "kmeans_assign",  # per-iteration k-row centroid collect
+                "semdedup_kmeans",  # same Lloyd training at construction
             ):
                 # iterative exception: the lazily-checkpointed loop
                 # segments execute at construction, so jobs are
@@ -212,6 +213,16 @@ def test_registry_construction_is_action_free(spark):
                 assert not bad, f"{name} construction launched data jobs: {bad}"
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
+
+
+def test_semdedup_kmeans_pair_join_is_cluster_local(spark):
+    """The SemDeDup pair join must be an equi-join on cluster id —
+    a cartesian/nested-loop here means the dedup went all-pairs,
+    which is the plan that dies at corpus scale."""
+    from webfilter.entry_queries import q_semdedup_kmeans
+
+    plan = _plan(q_semdedup_kmeans(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
 def test_minhash_candidate_join_is_equi(spark):

@@ -57,9 +57,11 @@ from .simsearch import quantized_vec
 __all__ = [
     "assign_col",
     "exact_assign_col",
+    "exact_min_key_col",
     "kmeans_fit",
     "kmeans_exact",
     "kmeans_exact_assignments",
+    "kmeans_exact_centroids",
 ]
 
 
@@ -127,18 +129,18 @@ def kmeans_fit(
 # --- exact-integer oracle twin --------------------------------------
 
 
-def exact_assign_col(
+def _exact_keys(
     qv: Column, cents: list[tuple[int, list[int], int]]
-) -> Column:
-    """Argmin cluster for an int64-quantized vector column against
-    exact centroids [(cent_id, s, n), ...] sorted by cent_id.
+) -> tuple[Column, Column]:
+    """Distance keys + cent_id lookup arrays for an int64-quantized
+    vector column against exact centroids [(cent_id, s, n), ...].
 
     Key per centroid: (n^2*|v|^2 - 2n*(v.s) + |s|^2) / n^2 — integer
     numerator/denominator evaluated exactly, divided once in double
     (correctly rounded + monotonic => cross-engine-identical order;
-    see module docstring for the 2^53 bound). Returns the winning
-    CENT_ID (not the list position); `cents` must be sorted by cent_id
-    so the first-min tie-break matches an ORDER BY (key, cent_id)."""
+    see module docstring for the 2^53 bound). `cents` must be sorted
+    by cent_id so the first-min tie-break of array_position matches
+    an ORDER BY (key, cent_id)."""
     if [c[0] for c in cents] != sorted(c[0] for c in cents):
         raise ValueError("cents must be sorted by cent_id")
     vv = F.aggregate(
@@ -157,23 +159,42 @@ def exact_assign_col(
         keys.append((num.cast("double") / F.lit(float(n * n))))
     dists = F.array(*keys)
     ids = F.array(*[F.lit(int(cid)).cast("bigint") for cid, _, _ in cents])
+    return dists, ids
+
+
+def exact_assign_col(
+    qv: Column, cents: list[tuple[int, list[int], int]]
+) -> Column:
+    """Winning cent_id for a quantized vector (see _exact_keys)."""
+    dists, ids = _exact_keys(qv, cents)
     return F.element_at(
         ids, F.array_position(dists, F.array_min(dists)).cast("int")
     )
 
 
-def kmeans_exact_assignments(
+def exact_min_key_col(
+    qv: Column, cents: list[tuple[int, list[int], int]]
+) -> Column:
+    """The winning centroid's rational distance key as a double —
+    exact-integer numerator/denominator, one monotonic IEEE division,
+    so cross-engine comparisons of this key (e.g. SemDeDup's
+    'farther-from-centroid loses') order identically."""
+    dists, _ = _exact_keys(qv, cents)
+    return F.array_min(dists)
+
+
+def kmeans_exact_centroids(
     df: DataFrame,
     iters: int = 2,
     scale: int = 100,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     init_ids: int = 8,
-) -> DataFrame:
+) -> tuple[DataFrame, list[tuple[int, list[int], int]]]:
     """Exact-arithmetic Lloyd's: `iters` assign+update rounds from the
     deterministic init (rows with id < init_ids, mirrorable in ANSI
-    SQL), then one final assignment against the last centroids.
-    Returns (id, cluster) with cluster == the init row's id.
+    SQL). Returns (quantized frame with columns _id/qv, trained
+    centroids [(cent_id, sum, count), ...]).
 
     Per iteration: one map-side assignment + one groupBy(cluster)
     partial-agg shuffle whose result (<= k rows) is collected to the
@@ -204,6 +225,22 @@ def kmeans_exact_assignments(
             else (cid, s, n)  # empty cluster keeps its previous centroid
             for cid, s, n in cents
         ]
+    return qdf, cents
+
+
+def kmeans_exact_assignments(
+    df: DataFrame,
+    iters: int = 2,
+    scale: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init_ids: int = 8,
+) -> DataFrame:
+    """Final (id, cluster) assignment against the trained exact
+    centroids (see kmeans_exact_centroids)."""
+    qdf, cents = kmeans_exact_centroids(
+        df, iters, scale, vec_col, id_col, init_ids
+    )
     return qdf.select(
         F.col("_id").alias(id_col),
         exact_assign_col(F.col("qv"), cents).alias("cluster"),

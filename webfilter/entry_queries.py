@@ -6550,6 +6550,111 @@ FROM afin WHERE rn = 1
 )
 
 
+def q_semdedup_kmeans(spark, sf_dir):
+    """SemDeDup as PUBLISHED (Abbas et al. 2023 run k-means first,
+    then dedup within clusters): the trained kmeans_assign centroids
+    (2 exact Lloyd rounds) replace semdedup_drops' one-shot seed
+    assignment, then each cluster's high-cosine pair drops its
+    farther-from-centroid member. All in the exact integer space:
+    cos >= 0.4 becomes dot > 0 AND 25*dot^2 >= 4*|a|^2*|b|^2 (tau^2 =
+    4/25 exact rational), and 'farther from centroid' compares the
+    assignment's rational distance key — identical doubles on both
+    engines. Ties drop the higher vec_id. Scale shape inherits from
+    both parents: training is k bounded collects, the pair join is
+    cluster-local (cluster id = partition key), never corpus-wide."""
+    from .clustering import (
+        exact_assign_col,
+        exact_min_key_col,
+        kmeans_exact_centroids,
+    )
+
+    qdf, cents = kmeans_exact_centroids(
+        _emb(spark, sf_dir), iters=2, scale=100, init_ids=8
+    )
+    vv = F.aggregate(
+        F.transform(F.col("qv"), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    asg = qdf.select(
+        F.col("_id").alias("vec_id"),
+        exact_assign_col(F.col("qv"), cents).alias("cluster"),
+        exact_min_key_col(F.col("qv"), cents).alias("ckey"),
+        "qv",
+        vv.alias("vv"),
+    )
+    a = asg.select(
+        F.col("vec_id").alias("id_a"), "cluster", F.col("ckey").alias("k_a"),
+        F.col("qv").alias("qa"), F.col("vv").alias("va"),
+    )
+    b = asg.select(
+        F.col("vec_id").alias("id_b"), "cluster", F.col("ckey").alias("k_b"),
+        F.col("qv").alias("qb"), F.col("vv").alias("vb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    near = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (F.lit(25).cast("bigint") * F.col("dot") * F.col("dot")
+               >= F.lit(4).cast("bigint") * F.col("va") * F.col("vb"))
+        )
+    )
+    drop = F.when(F.col("k_a") > F.col("k_b"), F.col("id_a")).otherwise(
+        F.col("id_b")
+    )
+    return near.select(drop.alias("vec_id"), "cluster").distinct()
+
+
+SQL_SEMDEDUP_KMEANS = (
+    """
+WITH v AS (
+  SELECT vec_id,
+    list_transform(embedding::DOUBLE[], x -> round(x * 100)::BIGINT) AS qv,
+    list_sum(list_transform(
+      list_transform(embedding::DOUBLE[], x -> round(x * 100)::BIGINT),
+      q -> q * q)) AS vv
+  FROM embeddings),
+c0 AS (
+  SELECT vec_id AS cent_id, qv AS s, CAST(1 AS BIGINT) AS n
+  FROM v WHERE vec_id < 8),"""
+    + _kmeans_sql_round(1, "c0")
+    + ","
+    + _kmeans_sql_round(2, "c1")
+    + """,
+afin AS (
+  SELECT vec_id, qv, vv, cent_id, ckey,
+    row_number() OVER (PARTITION BY vec_id ORDER BY ckey, cent_id) AS rn
+  FROM (
+    SELECT x.vec_id, x.qv, x.vv, c.cent_id,
+      CAST(c.n*c.n*x.vv - 2*c.n*list_sum(list_transform(
+             range(1, 1 + len(x.qv)), j -> x.qv[j] * c.s[j]))
+           + list_sum(list_transform(c.s, y -> y * y)) AS DOUBLE)
+        / CAST(c.n*c.n AS DOUBLE) AS ckey
+    FROM v x CROSS JOIN c2 c)),
+asgf AS (
+  SELECT vec_id, qv, vv, CAST(cent_id AS BIGINT) AS cluster, ckey
+  FROM afin WHERE rn = 1),
+p AS (
+  SELECT x.cluster, x.vec_id AS id_a, y.vec_id AS id_b,
+    x.ckey AS k_a, y.ckey AS k_b, x.vv AS va, y.vv AS vb,
+    list_sum(list_transform(range(1, 1 + len(x.qv)),
+                            j -> x.qv[j] * y.qv[j])) AS dot
+  FROM asgf x JOIN asgf y
+    ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+SELECT DISTINCT CASE WHEN k_a > k_b THEN id_a ELSE id_b END AS vec_id,
+  cluster
+FROM p WHERE dot > 0 AND 25*dot*dot >= 4*va*vb
+"""
+)
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
@@ -6696,6 +6801,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simsearch_pq_adc": (q_pq_adc_topk, SQL_PQ_ADC_TOPK),
     "simsearch_ivfpq_adc": (q_ivfpq_adc_topk, SQL_IVFPQ_ADC_TOPK),
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
+    "semdedup_kmeans": (q_semdedup_kmeans, SQL_SEMDEDUP_KMEANS),
 }
 
 # The driver oracle-grades exactly the first 50 entries in insertion
