@@ -463,8 +463,10 @@ def q_cosine_topk(spark, sf_dir):
 
 
 SQL_COSINE_TOPK = """
-WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
-c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+WITH nz AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+            WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0),
+q AS (SELECT vec_id AS query_id, ev AS qv FROM nz WHERE vec_id < 5),
+c AS (SELECT vec_id, ev AS cv FROM nz),
 s AS (
   SELECT q.query_id, c.vec_id,
     list_sum(list_transform(range(1, 1 + len(c.cv)), i -> c.cv[i] * q.qv[i]))
@@ -2125,10 +2127,11 @@ def q_semdedup_drops(spark, sf_dir):
     CLUSTER-LOCAL (the IVF-cell trick: cluster id = partition key),
     never the corpus-wide cross join. Tie-breaks pinned: centroid by
     (cos DESC, cent_id), drop the lower-cent_cos member, tie -> the
-    higher vec_id."""
+    higher vec_id. Zero-norm vectors are excluded (no direction, no
+    cosine — the ANSI divide would raise; embedding-fuzz finding)."""
     from .simsearch import dot_col, norm_col
 
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir).filter(norm_col(F.col("embedding")) > 0)
     v = emb.select("vec_id", F.col("embedding").alias("ev"))
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
@@ -2172,9 +2175,10 @@ def q_semdedup_drops(spark, sf_dir):
 
 
 SQL_SEMDEDUP_DROPS = """
-WITH c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
-           FROM embeddings WHERE vec_id < 8),
-v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+WITH nz AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+            WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0),
+c AS (SELECT vec_id AS cent_id, ev AS cv FROM nz WHERE vec_id < 8),
+v AS (SELECT vec_id, ev FROM nz),
 sc AS (
   SELECT vec_id, cent_id,
     list_sum(list_transform(range(1, 1 + len(ev)), i -> ev[i] * cv[i]))
@@ -2529,7 +2533,11 @@ def q_embdedup_md5(spark, sf_dir):
         .select("id_a", "id_b")
         .distinct()
     )
-    vecs = emb.select("vec_id", F.col("embedding").alias("v"))
+    # zero-norm vectors have no cosine; excluding them here drops
+    # their candidates at the verify join (embedding-fuzz contract)
+    vecs = emb.filter(norm_col(F.col("embedding")) > 0).select(
+        "vec_id", F.col("embedding").alias("v")
+    )
     j = (
         cand.join(vecs.withColumnRenamed("vec_id", "id_a").withColumnRenamed("v", "v_a"), "id_a")
         .join(vecs.withColumnRenamed("vec_id", "id_b").withColumnRenamed("v", "v_b"), "id_b")
@@ -2550,7 +2558,8 @@ cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM buckets a JOIN buckets b
     ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0),
 scored AS (
   SELECT c.id_a, c.id_b,
     list_sum(list_transform(range(1, 1 + len(va.ev)), i -> va.ev[i] * vb.ev[i]))
@@ -3194,10 +3203,11 @@ def q_ivf_md5_topk(spark, sf_dir):
     its k-means iterations are numpy). Candidates = corpus vectors in
     the query's nearest cell only; k=3 rerank by exact cosine. The
     recall-vs-cost knob (n_probe) is the restriction itself —
-    single-probe demonstrates the cell pruning."""
+    single-probe demonstrates the cell pruning. Zero-norm vectors are
+    excluded (no direction, no cosine; embedding-fuzz contract)."""
     from .simsearch import dot_col, norm_col
 
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir).filter(norm_col(F.col("embedding")) > 0)
     v = emb.select("vec_id", F.col("embedding").alias("ev"))
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
@@ -3235,9 +3245,10 @@ def q_ivf_md5_topk(spark, sf_dir):
 
 
 SQL_IVF_MD5_TOPK = """
-WITH c AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
-           FROM embeddings WHERE vec_id < 8),
-v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+WITH nz AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+            WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0),
+c AS (SELECT vec_id AS cent_id, ev AS cv FROM nz WHERE vec_id < 8),
+v AS (SELECT vec_id, ev FROM nz),
 sc AS (
   SELECT vec_id, cent_id,
     list_sum(list_transform(range(1, 1 + len(ev)), i -> ev[i] * cv[i]))

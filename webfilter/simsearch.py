@@ -50,6 +50,13 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Adds vec_n = L2-normalized vector (double[]) so cosine becomes
     a plain dot product downstream.
 
+    ZERO-NORM rows are dropped: a zero vector carries no direction,
+    so cosine against it is undefined — under ANSI mode the divide
+    raises instead of silently yielding NaN (found by the adversarial
+    embedding fuzz corpus: encoder failures emit all-zero rows at
+    crawl scale). Every cosine-family oracle mirrors the exclusion
+    with `list_sum(x*x) > 0`.
+
     The norm is STAGED as its own column before the divide: a lambda
     that captures the norm aggregate re-evaluates it per element
     (Catalyst does no CSE inside higher-order-function lambdas),
@@ -59,6 +66,7 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """
     return (
         df.withColumn("_wf_norm", norm_col(F.col(vec_col)))
+        .filter(F.col("_wf_norm") > 0)
         .withColumn(
             "vec_n",
             F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_wf_norm")),
