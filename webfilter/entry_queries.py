@@ -728,9 +728,12 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
 def q_sessionize(spark, sf_dir):
     """Session windows (gap 30 min) over the events table — Spark's
     session_window in batch mode; the oracle is the classic
-    gap-and-island SQL. A new session starts when the gap to the
-    previous event is >= the gap duration (Spark's session extends
-    while the next event starts strictly before prev_ts + gap)."""
+    gap-and-island SQL. BOUNDARY (measured, pinned by the events-fuzz
+    exact-30-minute row): Spark merges an event landing EXACTLY at
+    prev_ts + gap into the running session (windows [ts, ts+gap]
+    merge on touch), so a new session starts only when the gap is
+    STRICTLY GREATER than the gap duration — the oracle's break
+    predicate is `>`, not `>=`."""
     ev = _tbl(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
@@ -756,7 +759,7 @@ WITH o AS (
   FROM events),
 m AS (
   SELECT user_id, ts, value,
-    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+    CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
   FROM o),
 s AS (
   SELECT user_id, ts, value,
@@ -1418,9 +1421,14 @@ FROM g
 def q_json_props(spark, sf_dir):
     """JSON field extraction + grouped agg over the events table
     (get_json_object — the engine-side version of the reference's
-    python-side json handling, _setup/utils.py:28)."""
+    python-side json handling, _setup/utils.py:28). Dirty-props
+    contract (events-fuzz findings): a $.k that is not a scalar
+    integer (nested object, overflow-free) try_casts to NULL on both
+    engines, and malformed/empty JSON yields NULL (Spark's
+    get_json_object is lax; the oracle needs an explicit json_valid
+    guard because DuckDB's json_extract RAISES on malformed input)."""
     ev = _tbl(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("bigint")
     return (
         ev.withColumn("k", k)
         .groupBy("event_type")
@@ -1433,10 +1441,14 @@ def q_json_props(spark, sf_dir):
 
 
 SQL_JSON_PROPS = """
+WITH e AS (
+  SELECT event_type,
+    TRY_CAST(CASE WHEN json_valid(props)
+                  THEN json_extract(props, '$.k') END AS BIGINT) AS k
+  FROM events)
 SELECT event_type, count(*)::BIGINT AS n,
-  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
-  max(json_extract(props, '$.k')::BIGINT) AS max_k
-FROM events GROUP BY 1
+  sum(k)::BIGINT AS sum_k, max(k) AS max_k
+FROM e GROUP BY 1
 """
 
 
@@ -1726,19 +1738,26 @@ FROM s GROUP BY 1, 2
 def q_events_running_totals(spark, sf_dir):
     """lag/lead + running/windowed sums per user ordered by event
     time (SURVEY §2 window-function family beyond rank). Sums run on
-    DECIMAL(18,6) so the running accumulation is exact and engine-
+    DECIMAL(38,6) so the running accumulation is exact and engine-
     independent (double window sums associate differently between
-    Spark's running accumulator and DuckDB's segment tree)."""
+    Spark's running accumulator and DuckDB's segment tree); 38,6
+    rather than 18,6 because ANSI Spark raises on values >= 10^12
+    accumulating into 18,6 (events-fuzz 1e15-value finding). The
+    lag/lead columns add +0.0 after the round on BOTH engines to
+    normalize IEEE signed zero: Spark's round(-0.0, 6) returns +0.0
+    (BigDecimal has no signed zero) while DuckDB's returns -0.0, and
+    -0.0 + 0.0 == +0.0 collapses the dialect (events-fuzz finding)."""
     ev = _tbl(spark, sf_dir, "events")
-    dv = F.round(F.col("value"), 6).cast("decimal(18,6)")
+    dv = F.round(F.col("value"), 6).cast("decimal(38,6)")
+    rz = r6(F.col("value")) + F.lit(0.0)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wmov = w.rowsBetween(-2, Window.currentRow)
     return ev.select(
         "event_id",
         "user_id",
-        F.lag(r6(F.col("value"))).over(w).alias("prev_value"),
-        F.lead(r6(F.col("value"))).over(w).alias("next_value"),
+        F.lag(rz).over(w).alias("prev_value"),
+        F.lead(rz).over(w).alias("next_value"),
         F.sum(dv).over(wrun).cast("double").alias("running_sum"),
         F.sum(dv).over(wmov).cast("double").alias("moving_sum3"),
     )
@@ -1746,12 +1765,12 @@ def q_events_running_totals(spark, sf_dir):
 
 SQL_RUNNING_TOTALS = """
 SELECT event_id, user_id,
-  lag(round(value, 6)) OVER w AS prev_value,
-  lead(round(value, 6)) OVER w AS next_value,
-  CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) OVER (
+  lag(round(value, 6) + 0.0) OVER w AS prev_value,
+  lead(round(value, 6) + 0.0) OVER w AS next_value,
+  CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6))) OVER (
     PARTITION BY user_id ORDER BY ts, event_id
     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum,
-  CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) OVER (
+  CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6))) OVER (
     PARTITION BY user_id ORDER BY ts, event_id
     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
 FROM events
@@ -4177,7 +4196,7 @@ def q_events_time_profile(spark, sf_dir):
         .groupBy("dow", "hour")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            r6(F.sum(F.col("v").cast("decimal(18,6)")).cast("double")).alias(
+            r6(F.sum(F.col("v").cast("decimal(38,6)")).cast("double")).alias(
                 "sum_value"
             ),
         )
@@ -4187,7 +4206,7 @@ def q_events_time_profile(spark, sf_dir):
 SQL_EVENTS_TIME_PROFILE = """
 SELECT extract(dow FROM ts)::BIGINT AS dow, extract(hour FROM ts)::BIGINT AS hour,
   count(*)::BIGINT AS n_events,
-  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -4315,7 +4334,7 @@ def q_events_rolling_range(spark, sf_dir):
     time-correct under irregular event spacing, where a rows frame is
     not."""
     ev = _tbl(spark, sf_dir, "events")
-    dv = F.round(F.col("value"), 6).cast("decimal(18,6)")
+    dv = F.round(F.col("value"), 6).cast("decimal(38,6)")
     # integer microsecond epochs keep the frame boundary EXACT on
     # both engines (a float-seconds ordering would make rows on the
     # 600 s edge engine-dependent)
@@ -4335,7 +4354,7 @@ def q_events_rolling_range(spark, sf_dir):
 SQL_EVENTS_ROLLING_RANGE = """
 SELECT event_id, user_id,
   count(*) OVER w::BIGINT AS n_10min,
-  CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_10min
+  CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_10min
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
