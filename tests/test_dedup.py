@@ -107,6 +107,63 @@ def test_embedding_near_dup_matches_brute_force(spark, sf_small="/root/testdata/
         assert found / n_brute >= 0.5, f"lsh recall {found}/{n_brute}"
 
 
+def test_incremental_embedding_equals_full_recompute(spark):
+    """base batch + increment through persisted hyperplane-bucket
+    state must reproduce the one-shot embedding pair set EXACTLY
+    (seeded planes are deterministic per vector, and the verify
+    cosine reads the same corpus vectors either way). Near-dups are
+    PLANTED (sf0.001 has none at 0.9): ids 100+i are jittered copies
+    of ids i, landing on both sides of the base/increment split."""
+    import numpy as np
+
+    rng = np.random.default_rng(0xD0C5)
+    base_vecs = rng.normal(0, 1, size=(60, 64))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base_vecs)]
+    rows += [
+        (100 + i, [float(x) for x in (base_vecs[i] + rng.normal(0, 0.02, 64))])
+        for i in range(0, 60, 3)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            emb, threshold=0.9, n_planes=8, dim=64
+        ).collect()
+    }
+    assert full, "fixture must contain embedding near-dups at 0.9"
+
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    inc = emb.filter(F.col("vec_id") % 3 == 0)
+    state = dedup.embedding_bucket_table(base, n_planes=8, dim=64)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            base, threshold=0.9, n_planes=8, dim=64
+        ).collect()
+    }
+    p2, nb = dedup.incremental_embedding_pairs(
+        inc, state, emb, threshold=0.9, n_planes=8, dim=64
+    )
+    got |= {(r["id_a"], r["id_b"]) for r in p2.collect()}
+    assert got == full
+
+    # append-only state growth: an empty increment adds nothing
+    state2 = state.unionByName(nb)
+    empty = emb.filter(F.lit(False))
+    p3, _ = dedup.incremental_embedding_pairs(
+        empty, state2, emb, threshold=0.9, n_planes=8, dim=64
+    )
+    assert p3.count() == 0
+
+
+def test_incremental_embedding_requires_dim(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import pytest
+
+    with pytest.raises(ValueError, match="dim is required"):
+        dedup.embedding_bucket_table(emb)
+
+
 def test_simhash_kernel_parity_with_column_impl(spark, near_dup_docs):
     """The numpy batch kernel must be bit-identical to the reference
     Column-algebra SimHash on real text (VERDICT r1 swap condition)."""
