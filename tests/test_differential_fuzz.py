@@ -21,32 +21,31 @@ import pytest
 import __spark_entry__ as entry_mod
 from test_entry_contract import _value_multiset
 
-# documents-only oracle queries whose semantics are text-sensitive
-FUZZ_QUERIES = [
-    "quality_stats",
-    "quality_rules",
-    "quality_score",
-    "token_counts",
-    "scrub_pii",
-    "content_fingerprint",
-    "posexplode_lines",
-    "null_coalesce",
-    "hash_sample",
-    "chunk_fixed",
-    "chunk_paragraph",
-    "c4_line_filter",
-    "text_normalize",
-    "char_entropy",
-    "script_profile",
-    "dup_ngram_fraction",
-    "readability",
-    "lexical_diversity",
-    "winnow_fingerprints",
-    "bigram_counts",
-    "pmi_collocations",
-    "url_templates",
-    "host_lang_outliers",
-]
+# Every documents-only oracle is fuzz-covered BY DEFAULT (derived
+# from the registry, so new queries join the corpus automatically);
+# exclusions must carry a reason.
+def _documents_only_oracles() -> list[str]:
+    import re
+
+    out = []
+    tables_all = {
+        "documents", "embeddings", "events", "orders", "lineitem",
+        "customer", "supplier", "part", "region", "nation",
+    }
+    for name, sql in entry_mod.oracle_sql().items():
+        tables = set(re.findall(r"\b(?:FROM|JOIN)\s+(\w+)", sql, re.I))
+        if tables & tables_all == {"documents"}:
+            out.append(name)
+    return out
+
+
+FUZZ_EXCLUDED: dict[str, str] = {
+    # Nothing currently excluded. If a query cannot run on the
+    # adversarial corpus, list it here WITH the reason instead of
+    # trimming the corpus.
+}
+
+FUZZ_QUERIES = [q for q in _documents_only_oracles() if q not in FUZZ_EXCLUDED]
 
 ADVERSARIAL_TEXTS = [
     "",  # empty (the ADVICE r3 #1 class)

@@ -304,10 +304,15 @@ def q_allpairs_jaccard(spark, sf_dir):
     filtering (dedup.allpairs_jaccard_pairs) — GLOBAL (no blocking
     key), yet never forms the cross product. The oracle is the
     plain brute-force all-pairs Jaccard: hash equality proves the
-    prefix filter + length prune are lossless."""
+    prefix filter + length prune are lossless. Zero-token docs are
+    excluded on both engines: they have no shingle set, and the
+    all-whitespace pair (text-fuzz) otherwise reads as jaccard 1.0 on
+    one engine and NULL-set on the other (DuckDB's
+    array_to_string([]) is NULL where Spark's concat_ws is '')."""
     from .dedup import allpairs_jaccard_pairs
 
-    return allpairs_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.5).select(
+    docs = _docs(spark, sf_dir).filter(F.size(tokens_col(F.col("text"))) > 0)
+    return allpairs_jaccard_pairs(docs, k=3, threshold=0.5).select(
         "id_a", "id_b", r6(F.col("jaccard")).alias("jaccard")
     )
 
@@ -318,7 +323,7 @@ t AS (SELECT doc_id,
   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
     i -> array_to_string(toks[i:i+2], ' '))) END AS tk
-  FROM tt),
+  FROM tt WHERE len(toks) > 0),
 s AS (SELECT doc_id, tk, len(tk) AS sz FROM t WHERE len(tk) > 0)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   round(len(list_intersect(a.tk, b.tk))::DOUBLE
@@ -349,10 +354,12 @@ def q_minhash_md5(spark, sf_dir):
     16 hashes in 4 bands x 4 rows; output = candidate pairs whose
     exact shingle Jaccard >= 0.6. The verify stage's Jaccard value is
     hash-agnostic (xxhash64 shingle sets preserve cardinality), so
-    only the signature/banding family needed parameterizing."""
+    only the signature/banding family needed parameterizing.
+    Zero-token docs are excluded on both engines (no shingle set —
+    the all-whitespace near-dup pair is undefined; text-fuzz)."""
     from .dedup import jaccard_verify, lsh_candidate_pairs, minhash_signature_df
 
-    docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
+    docs = _docs(spark, sf_dir).filter(F.size(tokens_col(F.col("text"))) > 0)
 
     def seed_hash(s, j):
         return _md5_prefix_hash(F.concat_ws("|", s, F.lit(str(j))))
@@ -372,14 +379,14 @@ def q_minhash_md5(spark, sf_dir):
 # same candidate self-join + exact-Jaccard >= 0.6 verify.
 SQL_MINHASH_MD5 = f"""
 WITH tt AS (
-  SELECT doc_id, {_TOKS} AS toks FROM documents
-  WHERE length(trim(text, ' ')) > 0),
+  SELECT doc_id, {_TOKS} AS toks FROM documents),
+tz AS (SELECT doc_id, toks FROM tt WHERE len(toks) > 0),
 t AS (
   SELECT doc_id,
     CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
     ELSE list_distinct(list_transform(range(1, len(toks) - 1),
         i -> array_to_string(toks[i:i+2], ' '))) END AS sh
-  FROM tt),
+  FROM tz),
 e AS (SELECT doc_id, unnest(sh) AS s FROM t),
 mh AS (
   SELECT doc_id, j,
@@ -412,10 +419,13 @@ def q_simhash_md5(spark, sf_dir):
     so the DuckDB oracle replays the exact bit votes, pigeonhole
     chunk join and hamming verify — upgrading the simhash operator
     from rows-only to hash-checked. Production `dedup_simhash_pairs`
-    keeps the 64-bit xxhash64 kernel (same algebra, faster family)."""
+    keeps the 64-bit xxhash64 kernel (same algebra, faster family).
+    Zero-token docs are excluded on both engines: they'd all share
+    the all-zero sentinel fingerprint and pair with each other at
+    hamming 0 (text-fuzz: "\\n\\n\\n" vs tab-only doc)."""
     from .dedup import simhash_near_dup_pairs
 
-    docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
+    docs = _docs(spark, sf_dir).filter(F.size(tokens_col(F.col("text"))) > 0)
     return simhash_near_dup_pairs(
         docs, max_hamming=3, n_chunks=4, bits=32, hash_fn=_md5_prefix_hash
     )
@@ -1868,9 +1878,12 @@ def _shingles3_lower(text_col):
     return shingles3_lower(text_col)
 
 
-# DuckDB replay of _shingles3_lower given `toks` ({_TOKS_LOWER})
+# DuckDB replay of _shingles3_lower given `toks` ({_TOKS_LOWER});
+# zero tokens -> no shingles (text-fuzz: whitespace-only docs must
+# not contribute a phantom '' element to the sketch universe)
 _SQL_SHINGLES3 = (
-    "CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+    "CASE WHEN len(toks) = 0 THEN []::VARCHAR[] "
+    "WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
     "ELSE list_transform(range(1, len(toks) - 1), "
     "i -> array_to_string(toks[i:i+2], ' ')) END"
 )
@@ -2669,7 +2682,11 @@ def _bpe_train_chain(docs):
     state = vocab.select(
         "word",
         "freq",
-        F.regexp_replace(F.col("word"), "(.)", "·$1·").alias("repr"),
+        # (?s): Java's `.` excludes the line terminators U+2028/
+        # U+2029/U+0085 (which survive inside tokens — only ASCII
+        # whitespace splits), RE2's `.` excludes only \n; DOTALL
+        # makes both match every char (text-fuzz finding)
+        F.regexp_replace(F.col("word"), "(?s)(.)", "·$1·").alias("repr"),
     )
     merges = []
     for rnd in range(_BPE_ROUNDS):
@@ -2735,7 +2752,7 @@ def _bpe_sql(tail: str | None = None) -> str:
   GROUP BY word),
 r0 AS (
   SELECT word, freq,
-    regexp_replace(word, '(.)', '·\\1·', 'g') AS repr
+    regexp_replace(word, '(?s)(.)', '·\\1·', 'g') AS repr
   FROM vocab)"""
     ]
     for i in range(_BPE_ROUNDS):
@@ -4450,17 +4467,32 @@ def q_edit_distance_pairs(spark, sf_dir):
     )
 
 
+# Spark's levenshtein counts CODEPOINT edits; DuckDB's counts BYTE
+# edits (measured: 'Привет'->'Приве!' = 1 vs 2 — text-fuzz finding).
+# The replay therefore remaps each pair's combined codepoint alphabet
+# (<= 80 distinct for two 40-char heads) to single-byte ASCII
+# (chr(33..112)) so byte edits == codepoint edits, then uses the
+# native levenshtein.
 SQL_EDIT_DISTANCE = """
 WITH ranked AS (
   SELECT doc_id, lang, source, substr(text, 1, 40) AS head,
     row_number() OVER (PARTITION BY lang, source
                        ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
                                 doc_id) AS rk
-  FROM documents)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-  levenshtein(a.head, b.head)::INT AS edit_d
-FROM ranked a JOIN ranked b
-  ON a.lang = b.lang AND a.source = b.source AND a.rk + 1 = b.rk
+  FROM documents),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.head AS ha, b.head AS hb,
+    list_distinct(regexp_split_to_array(a.head, '')
+                  || regexp_split_to_array(b.head, '')) AS alpha
+  FROM ranked a JOIN ranked b
+    ON a.lang = b.lang AND a.source = b.source AND a.rk + 1 = b.rk)
+SELECT id_a, id_b,
+  levenshtein(
+    array_to_string(list_transform(regexp_split_to_array(ha, ''),
+      c -> chr(32 + list_position(alpha, c))), ''),
+    array_to_string(list_transform(regexp_split_to_array(hb, ''),
+      c -> chr(32 + list_position(alpha, c))), ''))::INT AS edit_d
+FROM pairs
 """
 
 

@@ -45,7 +45,15 @@ def shingles3_lower(text_col: Column) -> Column:
         F.slice(toks, 3, m).alias("t2"),
     )
     grams = F.transform(z, lambda s: F.concat_ws(" ", s["t0"], s["t1"], s["t2"]))
-    return F.when(n < 3, F.array(F.concat_ws(" ", toks))).otherwise(grams)
+    # zero tokens -> NO shingles (an empty-string shingle would count
+    # a phantom distinct element for every whitespace-only doc, and
+    # the DuckDB replay NULLs out instead — text-fuzz finding); 1-2
+    # tokens -> the whole doc as one shingle
+    return (
+        F.when(n == 0, F.array().cast("array<string>"))
+        .when(n < 3, F.array(F.concat_ws(" ", toks)))
+        .otherwise(grams)
+    )
 
 
 def hll_registers(
