@@ -515,3 +515,22 @@ def test_incremental_simhash_equals_full_recompute(spark, near_dup_docs):
     empty = docs.filter(F.lit(False))
     p3, _ = incremental_simhash_pairs(empty, state2, max_hamming=8)
     assert p3.count() == 0
+
+
+def test_soft_dedup_weights_invariants(spark):
+    """Sum of weights == number of distinct texts (the soft corpus
+    has the deduplicated mass); group members share one weight."""
+    from webfilter.dedup import soft_dedup_weights
+
+    rows = [(i, ["dup a", "dup a", "dup a", "uniq %d" % i][i % 4]) for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = soft_dedup_weights(df).collect()
+    assert len(out) == 24  # nothing dropped
+    n_distinct = len({r[1] for r in rows})
+    # weights are r6-rounded, so 18 * round(1/18, 6) drifts ~1e-5
+    assert abs(sum(r["soft_weight"] for r in out) - n_distinct) < 1e-3
+    by_text: dict[str, set] = {}
+    for r, (_, t) in zip(sorted(out, key=lambda r: r["doc_id"]), rows):
+        by_text.setdefault(t, set()).add((r["n_copies"], r["soft_weight"]))
+    assert all(len(v) == 1 for v in by_text.values())
+    assert by_text["dup a"] == {(18, round(1.0 / 18, 6))}

@@ -288,3 +288,40 @@ def test_robots_harvested_from_warc_archive(spark):
     dec = {r.url: r.allowed
            for r in robots_decisions(urls, parse_robots(robots), "bot").collect()}
     assert dec == {"u1": False, "u2": True, "u3": True}
+
+
+def test_politeness_schedule_spacing_and_parallelism(spark):
+    """Within one host: offsets strictly spaced by the host's delay;
+    across hosts: every host starts at offset 0 (fully parallel)."""
+    from webfilter.robots import politeness_schedule
+
+    rows = [(i, f"doc {i}", "en", f"h{i % 3}", 6) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    out = politeness_schedule(df).collect()
+    by_host: dict[str, list] = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    assert set(by_host) == {"h0", "h1", "h2"}
+    for host, rs in by_host.items():
+        rs.sort(key=lambda r: r["fetch_rank"])
+        delay = 1 + len(host) % 4
+        assert all(r["crawl_delay_s"] == delay for r in rs)
+        assert [r["fetch_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert [r["fetch_offset_s"] for r in rs] == [
+            (i - 1) * delay for i in range(1, len(rs) + 1)
+        ]
+        assert rs[0]["fetch_offset_s"] == 0  # no cross-host serialization
+
+
+def test_politeness_schedule_deterministic_under_partitioning(spark):
+    from webfilter.robots import politeness_schedule
+
+    rows = [(i, f"t{i % 7}", "en", f"h{i % 2}", 2) for i in range(40)]
+    df1 = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    a = sorted(map(tuple, politeness_schedule(df1.repartition(1)).collect()))
+    b = sorted(map(tuple, politeness_schedule(df1.repartition(13)).collect()))
+    assert a == b

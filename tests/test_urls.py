@@ -114,3 +114,32 @@ def test_pipeline_canonical_stage(spark, synth_dir):
     # the kept row is the NEWEST capture (the utm-tagged recrawl)
     assert out[0]["url"].endswith("#frag") or "utm_source" in out[0]["url"]
     pages.unpersist()
+
+
+def test_anchor_host_stats_hand_case(spark):
+    from webfilter.urls import anchor_host_stats
+
+    df = spark.createDataFrame(
+        [
+            # two anchors to a.com (one via case-variant host + port),
+            # one empty anchor (dropped), one relative link (no host)
+            (
+                1,
+                '<a href="http://a.com/x">Alpha Beta</a>'
+                '<a href="HTTPS://A.com:8080/y">  alpha beta </a>'
+                '<a href="http://b.com/z"></a>'
+                '<a href="/rel">rel text</a>',
+            ),
+            (2, '<a href="http://a.com/q">gamma</a>'),
+            (3, "no links at all"),
+        ],
+        "doc_id bigint, html string",
+    )
+    rows = {r["host"]: r for r in anchor_host_stats(df).collect()}
+    assert set(rows) == {"a.com"}  # empty-anchor + relative dropped
+    a = rows["a.com"]
+    assert a["n_anchors"] == 3
+    # case/whitespace-normalized anchors: {"alpha beta", "gamma"}
+    assert a["n_distinct_anchors"] == 2
+    assert a["n_source_docs"] == 2
+    assert a["first_anchor"] == "alpha beta"

@@ -1443,3 +1443,27 @@ def incremental_embedding_pairs(
         .select("id_a", "id_b", "cosine")
     )
     return pairs, nb
+
+
+def soft_dedup_weights(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SoftDeDup (He et al., ACL 2024): keep EVERY row but attach a
+    sampling weight 1/n, n = the row's exact-duplicate group size, so
+    a training sampler reproduces the deduplicated token distribution
+    without discarding any document. Published motivation: hard
+    dedup throws away the signal that duplicated text was *popular*;
+    down-weighting preserves corpus coverage while removing the
+    over-count bias.
+
+    Scale shape: ONE shuffle — a window count over the md5 content
+    key, the identical exchange the drop-based `exact_dedup` pays —
+    so the soft variant is never more expensive than the hard one.
+    At 10^12 rows the md5 key is uniform (no skew salt needed);
+    the weight is pure map-side arithmetic after the count.
+    """
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    n = F.count(F.lit(1)).over(w).cast("bigint")
+    return df.withColumn("n_copies", n).withColumn(
+        "soft_weight", F.round(F.lit(1.0) / F.col("n_copies"), 6)
+    )

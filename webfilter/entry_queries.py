@@ -4936,7 +4936,7 @@ def q_url_templates(spark, sf_dir):
     )
 
 
-SQL_URL_TEMPLATES = """
+SQL_URL_TEMPLATES = r"""
 WITH u AS (
   SELECT source || '.example.com' AS host,
     CASE
@@ -6717,6 +6717,153 @@ FROM p WHERE dot > 0 AND 25*dot*dot >= 4*va*vb
 )
 
 
+def q_soft_dedup_weights(spark, sf_dir):
+    """SoftDeDup reweighting (`dedup.soft_dedup_weights`): every doc
+    keeps a 1/n sampling weight over its exact-duplicate group —
+    the drop-free alternative to `dedup_exact_keep` that reproduces
+    the deduplicated token distribution without losing coverage.
+    One md5-window shuffle, same exchange as the hard dedup."""
+    from .dedup import soft_dedup_weights
+
+    return soft_dedup_weights(_docs(spark, sf_dir)).select(
+        "doc_id", "n_copies", "soft_weight"
+    )
+
+
+SQL_SOFT_DEDUP_WEIGHTS = """
+SELECT doc_id,
+  count(*) OVER (PARTITION BY md5(text))::BIGINT AS n_copies,
+  round(1.0::DOUBLE / count(*) OVER (PARTITION BY md5(text)), 6) AS soft_weight
+FROM documents
+"""
+
+
+def q_politeness_schedule(spark, sf_dir):
+    """Crawl-frontier politeness scheduling (`robots.politeness_schedule`):
+    per-host fetch ranks spaced crawl-delay seconds apart. One
+    host-window shuffle; offsets are emitted, never slept."""
+    from .robots import politeness_schedule
+
+    return politeness_schedule(_docs(spark, sf_dir))
+
+
+SQL_POLITENESS_SCHEDULE = """
+WITH r AS (SELECT doc_id, source AS host,
+  row_number() OVER (PARTITION BY source
+      ORDER BY md5(coalesce(text, '')), doc_id)::BIGINT AS fetch_rank,
+  (1 + length(source) % 4)::BIGINT AS crawl_delay_s
+FROM documents)
+SELECT doc_id, host, fetch_rank, crawl_delay_s,
+  (fetch_rank - 1) * crawl_delay_s AS fetch_offset_s
+FROM r
+"""
+
+
+def q_anchor_text_hosts(spark, sf_dir):
+    """Anchor-text stats per target host (`urls.anchor_host_stats`) —
+    the Brin & Page §2.2 link signal. The html is synthesized
+    deterministically from doc_id (absolute, case-variant and
+    anchor-bearing links; odd docs carry exactly one link), matching
+    the `outlink_hosts` convention; text is never consulted so the
+    query is trivially safe on adversarial corpora."""
+    from .urls import anchor_host_stats
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<a href="http://h'),
+        (d % 7).cast("string"),
+        F.lit(".example.com/p/"),
+        d.cast("string"),
+        F.lit('">term'),
+        (d % 13).cast("string"),
+        F.lit("</a>"),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit('<a href="HTTPS://H'),
+                (d % 11).cast("string"),
+                F.lit('.Example.com:8080/q">  Term'),
+                (d % 5).cast("string"),
+                F.lit(" extra  </a>"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return anchor_host_stats(docs.select("doc_id", html.alias("html")))
+
+
+SQL_ANCHOR_TEXT_HOSTS = """
+WITH h AS (SELECT doc_id,
+  '<a href="http://h' || (doc_id % 7) || '.example.com/p/' || doc_id
+    || '">term' || (doc_id % 13) || '</a>'
+    || CASE WHEN doc_id % 2 = 0 THEN
+         '<a href="HTTPS://H' || (doc_id % 11)
+         || '.Example.com:8080/q">  Term' || (doc_id % 5) || ' extra  </a>'
+       ELSE '' END AS html
+  FROM documents),
+l AS (SELECT doc_id,
+        unnest(regexp_extract_all(html, '<a href="([^"]*)">([^<]*)</a>')) AS link
+      FROM h),
+p AS (SELECT doc_id,
+  nullif(lower(regexp_extract(
+      regexp_extract(link, '<a href="([^"]*)">', 1),
+      '^[^/]*//([^/?:]*)', 1)), '') AS host,
+  lower(trim(regexp_extract(link, '>([^<]*)</a>', 1))) AS anchor
+  FROM l)
+SELECT host, count(*)::BIGINT AS n_anchors,
+  count(DISTINCT anchor)::BIGINT AS n_distinct_anchors,
+  count(DISTINCT doc_id)::BIGINT AS n_source_docs,
+  min(anchor) AS first_anchor
+FROM p WHERE host IS NOT NULL AND anchor <> ''
+GROUP BY host
+"""
+
+
+def q_quality_calibration(spark, sf_dir):
+    """Reliability-diagram bins for the heuristic quality score:
+    decile bin -> doc count, exact mean score (DECIMAL(38,6)
+    accumulation so the sum is order-free), and observed
+    keep-rate under the composed heuristic gate. The production use
+    is calibration monitoring: a drifting keep-rate-per-score-bin
+    is the earliest sign the rule thresholds and the score have
+    diverged on a new crawl. One groupBy shuffle over <= 10 keys
+    after a doc_id-aligned join of two map-side stages."""
+    s = q_quality_score(spark, sf_dir)
+    k = q_quality_rules(spark, sf_dir).select("doc_id", "keep_heuristic")
+    j = s.join(k, "doc_id")
+    b = F.least(F.floor(F.col("quality_score") * 10), F.lit(9)).cast("bigint")
+    cnt = F.count(F.lit(1))
+    return (
+        j.select(b.alias("bin_id"), "quality_score", "keep_heuristic")
+        .groupBy("bin_id")
+        .agg(
+            cnt.cast("bigint").alias("n_docs"),
+            r6(
+                F.sum(F.col("quality_score").cast("decimal(38,6)")).cast("double")
+                / cnt
+            ).alias("avg_score"),
+            r6(
+                F.sum(F.col("keep_heuristic").cast("int")).cast("double") / cnt
+            ).alias("keep_rate"),
+        )
+    )
+
+
+SQL_QUALITY_CALIBRATION = """
+WITH s AS ({QUALITY_SCORE}), k AS ({QUALITY_RULES}),
+j AS (SELECT least(CAST(floor(s.quality_score * 10) AS BIGINT), 9) AS bin_id,
+             s.quality_score, k.keep_heuristic
+      FROM s JOIN k USING (doc_id))
+SELECT bin_id, count(*)::BIGINT AS n_docs,
+  round(CAST(sum(CAST(quality_score AS DECIMAL(38,6))) AS DOUBLE)
+        / count(*), 6) AS avg_score,
+  round(sum(keep_heuristic::INT)::DOUBLE / count(*), 6) AS keep_rate
+FROM j GROUP BY bin_id
+""".replace("{QUALITY_SCORE}", SQL_QUALITY_SCORE).replace(
+    "{QUALITY_RULES}", SQL_QUALITY_RULES
+)
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "quality_stats": (q_quality_stats, SQL_QUALITY_STATS),
     "quality_rules": (q_quality_rules, SQL_QUALITY_RULES),
@@ -6864,6 +7011,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simsearch_ivfpq_adc": (q_ivfpq_adc_topk, SQL_IVFPQ_ADC_TOPK),
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
     "semdedup_kmeans": (q_semdedup_kmeans, SQL_SEMDEDUP_KMEANS),
+    "soft_dedup_weights": (q_soft_dedup_weights, SQL_SOFT_DEDUP_WEIGHTS),
+    "politeness_schedule": (q_politeness_schedule, SQL_POLITENESS_SCHEDULE),
+    "anchor_text_hosts": (q_anchor_text_hosts, SQL_ANCHOR_TEXT_HOSTS),
+    "quality_calibration": (q_quality_calibration, SQL_QUALITY_CALIBRATION),
 }
 
 # The driver oracle-grades exactly the first 50 entries in insertion

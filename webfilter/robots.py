@@ -271,3 +271,43 @@ def synth_robots_text(source: Column, h: Column) -> Column:
         F.lit("user-AGENT: blocked"),
         F.lit("disallow: /"),
     )
+
+
+def politeness_schedule(
+    df: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-host polite fetch scheduling: rank each host's pending
+    fetches by a deterministic content-hash priority and space them
+    `crawl_delay_s` seconds apart (fetch_offset_s), so no host is
+    hit faster than its robots Crawl-delay while the frontier stays
+    fully parallel ACROSS hosts — the standard crawl-frontier
+    politeness shape (Heydon & Najork, Mercator 1999 §3.3).
+
+    The per-host delay here is derived deterministically
+    (1 + len(host) % 4 s) as a stand-in for joining the real
+    Crawl-delay out of `rules_dim` — swapping in that broadcast dim
+    join changes one Column expression.
+
+    Scale shape: ONE shuffle (window partitioned by host). Hosts are
+    the natural unit of politeness so the partition count equals the
+    host count; a single mega-host serializes by DESIGN (that is the
+    politeness constraint, not a skew bug) — wall-clock at 10^12
+    urls is bounded by max(per-host queue) * delay regardless of
+    engine, and the scheduler emits offsets, not sleeps, so the
+    compute itself never blocks.
+    """
+    delay = (F.lit(1) + F.length(F.col(host_col)) % 4).cast("bigint")
+    w = Window.partitionBy(F.col(host_col)).orderBy(
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))), F.col(id_col)
+    )
+    rn = F.row_number().over(w).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        F.col(host_col).alias("host"),
+        rn.alias("fetch_rank"),
+        delay.alias("crawl_delay_s"),
+        ((rn - F.lit(1)) * delay).alias("fetch_offset_s"),
+    )

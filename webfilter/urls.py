@@ -124,3 +124,45 @@ def outlink_host_counts(
             F.countDistinct(F.col(id_col)).cast("bigint").alias("n_docs"),
         )
     )
+
+
+_ANCHOR_LINK_RE = r'<a href="([^"]*)">([^<]*)</a>'
+
+
+def anchor_host_stats(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Anchor-text aggregation per TARGET host — the classic link
+    signal (anchor terms describe the landing page better than its
+    own body; Brin & Page 1998 §2.2 use it exactly this way). Links
+    are pulled as whole `<a …>…</a>` matches with one JVM
+    `regexp_extract_all`, exploded once, then href / anchor split
+    out of each element — a zip-free shape (no arrays_zip struct
+    plumbing) that keeps the whole extraction inside codegen.
+
+    Scale shape: map-side explode (output rows = links, no shuffle),
+    then ONE exchange on the target-host key. Hot hosts (a site every
+    page links to) are the classic skew key — the downstream consumer
+    should aggregate with AQE on or pre-salt via
+    `partitioning.salted_key` when a single host exceeds a partition.
+    """
+    link = F.explode(
+        F.regexp_extract_all(F.col(html_col), F.lit(_ANCHOR_LINK_RE), F.lit(0))
+    ).alias("link")
+    links = df.select(F.col(id_col), link).select(
+        F.col(id_col),
+        host_col(F.regexp_extract(F.col("link"), _ANCHOR_LINK_RE, 1)).alias("host"),
+        F.lower(F.trim(F.regexp_extract(F.col("link"), _ANCHOR_LINK_RE, 2))).alias(
+            "anchor"
+        ),
+    )
+    return (
+        links.filter(F.col("host").isNotNull() & (F.col("anchor") != ""))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+            F.countDistinct(F.col("anchor")).cast("bigint").alias("n_distinct_anchors"),
+            F.countDistinct(F.col(id_col)).cast("bigint").alias("n_source_docs"),
+            F.min(F.col("anchor")).alias("first_anchor"),
+        )
+    )
