@@ -96,6 +96,22 @@ def filtered_frame(
     df = latest_per_url(
         pages, cluster_col="bucket_id" if bucket_clustered and not canonical else None
     )
+    if cfg.max_payload_bytes is not None:
+        # fetch-payload cap (see RuleConfig.max_payload_bytes): NULL
+        # out oversize payloads BEFORE the pandas UDF so their bytes
+        # never enter an Arrow batch — batches are sliced by record
+        # count, so one giant page would otherwise balloon a whole
+        # batch in the python worker. NULL-payload rows pass the gate
+        # (nothing to ship; extraction surfaces its own null_html err).
+        pcol = "text" if pre_extracted else "html"
+        # length() on binary counts bytes; octet_length covers strings
+        size = (
+            F.octet_length(F.col(pcol)) if pre_extracted else F.length(F.col(pcol))
+        )
+        within = F.coalesce(size <= cfg.max_payload_bytes, F.lit(True))
+        df = df.withColumn("rule_max_payload_bytes", within).withColumn(
+            pcol, F.when(within, F.col(pcol))
+        )
     if pre_extracted:
         # WET-style input: text is already extracted (conversion
         # records carry no html), so run the SAME fused score kernels
@@ -108,6 +124,15 @@ def filtered_frame(
         )
     else:
         df = scoring.with_extract_and_scores(df)
+    if cfg.max_payload_bytes is not None:
+        # honest lineage: the extract kernel saw NULL for oversize
+        # rows and reported null_html; name the real cause
+        df = df.withColumn(
+            "extract_err",
+            F.when(
+                ~F.col("rule_max_payload_bytes"), F.lit("oversize_payload")
+            ).otherwise(F.col("extract_err")),
+        )
     if host_prior or cfg.min_host_rank is not None:
         from .graph import host_pagerank_from_pages
         from .urls import host_col as url_host

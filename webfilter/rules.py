@@ -59,6 +59,16 @@ class RuleConfig:
     # False (default): robots_allowed is lineage-only (or NULL when
     # no robots frame is given) and golden labels are unchanged.
     obey_robots: bool = False
+    # fetch-payload byte cap (Common Crawl truncates fetches at ~1 MiB;
+    # 4 MiB gives real-page headroom). Pages over the cap are dropped
+    # WITHOUT their bytes ever crossing the Arrow boundary — Spark
+    # slices pandas-UDF batches by RECORD COUNT (maxRecordsPerBatch),
+    # not bytes, so at 10^12 pages one 1 GiB page would otherwise
+    # inflate a whole batch and OOM the python worker. Gate applied in
+    # pipeline.filtered_frame (html, or text on the WET path) BEFORE
+    # the extract/score UDF; None disables. Default on: golden labels
+    # unchanged (synthetic pages are far below the cap — tested).
+    max_payload_bytes: int | None = 4_194_304
 
 
 DEFAULT_RULES = RuleConfig()
@@ -228,8 +238,12 @@ def model_rule_columns(df: DataFrame, cfg: RuleConfig = DEFAULT_RULES) -> DataFr
 
 
 def rule_names_for(cfg: RuleConfig) -> tuple[str, ...]:
-    """The decision rule set a config activates (canonical order)."""
+    """The decision rule set a config activates (canonical order).
+    The payload byte cap leads: it is the fetch-stage gate, decided
+    before any extraction or scoring runs."""
     names = ALL_RULE_NAMES
+    if cfg.max_payload_bytes is not None:
+        names = ("max_payload_bytes",) + names
     if cfg.min_quality_prob is not None:
         names = names + ("quality_prob",)
     if cfg.min_host_rank is not None:
