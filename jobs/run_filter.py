@@ -95,6 +95,12 @@ def main(argv: list[str] | None = None) -> int:
         "get parquet row-group min/max skipping",
     )
     ap.add_argument(
+        "--max-payload-bytes", type=int, default=None, metavar="N",
+        help="override the fetch-payload byte cap (default 4 MiB; "
+        "0 disables): pages over the cap drop with reason "
+        "max_payload_bytes and their bytes never enter an Arrow batch",
+    )
+    ap.add_argument(
         "--warmup", action="store_true",
         help="run the pipeline once into a scratch dir first (JIT / "
         "python-worker warmup) so the reported timing is steady-state",
@@ -126,11 +132,16 @@ def main(argv: list[str] | None = None) -> int:
         args.min_quality_prob is not None
         or args.min_host_rank is not None
         or args.obey_robots
+        or args.max_payload_bytes is not None
     ):
+        cap = rules.DEFAULT_RULES.max_payload_bytes
+        if args.max_payload_bytes is not None:
+            cap = args.max_payload_bytes or None  # 0 disables
         cfg = rules.RuleConfig(
             min_quality_prob=args.min_quality_prob,
             min_host_rank=args.min_host_rank,
             obey_robots=args.obey_robots,
+            max_payload_bytes=cap,
         )
 
     if args.warmup:
