@@ -95,6 +95,17 @@ def main(argv: list[str] | None = None) -> int:
         "get parquet row-group min/max skipping",
     )
     ap.add_argument(
+        "--stream", action="store_true",
+        help="drain newly-arrived page files through the full "
+        "decision pipeline incrementally (trigger(availableNow), "
+        "checkpointed discovery) into an epoch-partitioned "
+        "decisions_stream table — re-invoking picks up only new files",
+    )
+    ap.add_argument(
+        "--checkpoint", default=None, metavar="PATH",
+        help="streaming checkpoint location (default: OUT/_checkpoint)",
+    )
+    ap.add_argument(
         "--max-payload-bytes", type=int, default=None, metavar="N",
         help="override the fetch-payload byte cap (default 4 MiB; "
         "0 disables): pages over the cap drop with reason "
@@ -154,6 +165,40 @@ def main(argv: list[str] | None = None) -> int:
             cfg=cfg, canonical=args.canonical_dedup, host_prior=args.host_prior,
         )
         shutil.rmtree(scratch, ignore_errors=True)
+
+    if args.stream:
+        for flag, name in (
+            (args.dedup, "--dedup"),
+            (args.canonical_dedup, "--canonical-dedup"),
+            (args.host_prior, "--host-prior"),
+            (args.wet, "--wet"),
+            (args.robots, "--robots"),
+        ):
+            if flag:
+                ap.error(f"{name} is batch-only; not supported with --stream")
+        from pyspark.sql import functions as F
+
+        from webfilter import streaming
+
+        t0 = time.time()
+        streaming.run_filter_stream(
+            spark, pages_path, args.out,
+            args.checkpoint or f"{args.out}/_checkpoint",
+            cfg=cfg, n_buckets=args.buckets,
+        )
+        dec = spark.read.parquet(f"{args.out}/decisions_stream.parquet")
+        agg = dec.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("_epoch").alias("epochs"),
+            F.max("_epoch").alias("last_epoch"),
+        ).collect()[0]
+        wall = round(time.time() - t0, 2)
+        print(json.dumps({
+            "mode": "stream", "rows_total": agg["rows"],
+            "epochs_total": agg["epochs"], "last_epoch": agg["last_epoch"],
+            "wall_s": wall,
+        }))
+        return 0
 
     t0 = time.time()
     res = pipeline.run_filter(

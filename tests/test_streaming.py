@@ -537,3 +537,49 @@ def test_tws_operator_constructs_without_protobuf(spark, tmp_path):
     stream = streaming.read_pages_stream(spark, str(src), 1)
     df = streaming.tws_url_dedup(stream, state_ttl_ms=3_600_000)
     assert df.isStreaming and set(df.columns) == {"url", "warc_ts", "lang", "n_bytes"}
+
+
+def test_filter_stream_matches_batch(spark, stream_src, tmp_path):
+    """The FULL decision pipeline as a stream: draining the corpus
+    in micro-batches (maxFilesPerTrigger=2) and resolving the
+    decisions_stream table latest-per-url reproduces the batch run's
+    decisions exactly — keep, reasons, extracted and scrubbed text.
+    Then a second drain on the same checkpoint is a no-op (replay
+    protection holds for the whole filter, not just ingest)."""
+    from pyspark.sql import Window
+
+    from webfilter import pipeline
+    from webfilter.partitioning import with_bucket
+
+    out = tmp_path / "sf_out"
+    cp = tmp_path / "sf_cp"
+    streaming.run_filter_stream(spark, stream_src, str(out), str(cp), max_files=2)
+
+    dec = spark.read.parquet(f"{out}/decisions_stream.parquet")
+    assert dec.select("_epoch").distinct().count() >= 2, "want several micro-batches"
+
+    cols = ["url", "keep", "drop_reasons", "text", "scrubbed_text"]
+
+    def snap(df):
+        return {
+            r["url"]: (r["keep"], list(r["drop_reasons"]), r["text"], r["scrubbed_text"])
+            for r in df.select(*cols).collect()
+        }
+
+    # merge-on-read: newest capture per url wins; decision rows carry
+    # no html, so epoch (arrival order) breaks exact-ts ties — rows
+    # tied on (url, warc_ts) are replays with identical decisions
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.col("_epoch").desc()
+    )
+    streamed = snap(
+        dec.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    )
+    batch = snap(
+        pipeline.filtered_frame(with_bucket(spark.read.parquet(stream_src), 32))
+    )
+    assert streamed == batch
+
+    n = dec.count()
+    streaming.run_filter_stream(spark, stream_src, str(out), str(cp), max_files=2)
+    assert spark.read.parquet(f"{out}/decisions_stream.parquet").count() == n

@@ -75,6 +75,76 @@ def upsert_batch(out_root: str):
     return fn
 
 
+def filter_batch(out_root: str, cfg=None, n_buckets: int = 32):
+    """foreachBatch body for the streaming filter: each micro-batch
+    of newly-discovered pages flows through the SAME
+    pipeline.filtered_frame as the batch job (extract -> score ->
+    rules -> scrub, one url-window shuffle per batch) and lands in a
+    decisions_stream table partitioned by epoch.
+
+    Replay-idempotent: foreachBatch re-executes an epoch after a
+    crash between write and checkpoint commit; dynamic partition
+    overwrite on _epoch makes the re-run replace exactly its own
+    rows (the streaming analog of the batch job's per-bucket
+    overwrite resume). Cross-batch recrawls are merge-on-read:
+    readers resolve latest-per-url by warc_ts, the same monotonic
+    rule as the ingest upsert — proven to reproduce the batch run's
+    decisions in tests/test_streaming.py."""
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        from . import rules
+        from .partitioning import with_bucket
+        from .pipeline import DECISION_COLS, filtered_frame
+
+        out = (
+            filtered_frame(
+                with_bucket(batch_df, n_buckets),
+                cfg=cfg or rules.DEFAULT_RULES,
+            )
+            .withColumn("run_id", F.lit(f"epoch-{epoch_id}"))
+            .withColumn("_epoch", F.lit(epoch_id))
+            .select(*DECISION_COLS, "_epoch")
+        )
+        (
+            out.write.mode("overwrite")
+            .partitionBy("_epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(f"{out_root}/decisions_stream.parquet")
+        )
+
+    return fn
+
+
+def run_filter_stream(
+    spark: SparkSession,
+    src_path: str,
+    out_root: str,
+    checkpoint: str,
+    cfg=None,
+    n_buckets: int = 32,
+    max_files: int = 16,
+):
+    """Incremental quality filter: drain newly-arrived page files
+    through the full decision pipeline (trigger(availableNow) — the
+    reference's drain-then-stop cadence, 01_Metadata_Sync.py:79,
+    promoted from metadata ingest to the whole filter stage).
+
+    Scale shape: per-trigger work is bounded by maxFilesPerTrigger,
+    each micro-batch keeps the batch pipeline's single-shuffle plan,
+    and NO streaming state accumulates (dedup across batches is
+    merge-on-read) — a daily 10^9-page crawl drop costs exactly one
+    batch-job's plan per trigger, forever."""
+    q = (
+        read_pages_stream(spark, src_path, max_files=max_files)
+        .writeStream.foreachBatch(filter_batch(out_root, cfg, n_buckets))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_ingest_stream(
     spark: SparkSession, src_path: str, out_root: str, checkpoint: str
 ):
