@@ -337,6 +337,10 @@ def main() -> None:
         "simsearch_ivfpq_adc",
         "wet_roundtrip",
         "robots_allow",
+        "soft_dedup_weights",
+        "politeness_schedule",
+        "anchor_text_hosts",
+        "quality_calibration",
         "media_image_neardup",
         "cdx_roundtrip",
         "sitemap_entries",

@@ -149,7 +149,12 @@ def _exact_keys(
     keys = []
     for _cid, s, n in cents:
         ss = sum(int(x) * int(x) for x in s)
-        slit = F.array(*[F.lit(int(x)).cast("bigint") for x in s])
+        # ONE list-literal py4j call per centroid (F.lit accepts
+        # sequences) — the previous per-element F.array(*[F.lit(x)
+        # ...]) form cost k*dim driver round-trips, ~2 s of pure
+        # expression CONSTRUCTION per call at k=8, dim=64 (measured;
+        # it dominated the kmeans/semdedup bench wall at small sf)
+        slit = F.lit([int(x) for x in s]).cast("array<bigint>")
         dot = F.aggregate(
             F.zip_with(qv, slit, lambda x, y: x * y),
             F.lit(0).cast("bigint"),
@@ -158,7 +163,7 @@ def _exact_keys(
         num = F.lit(n * n).cast("bigint") * vv - F.lit(2 * n).cast("bigint") * dot + F.lit(ss).cast("bigint")
         keys.append((num.cast("double") / F.lit(float(n * n))))
     dists = F.array(*keys)
-    ids = F.array(*[F.lit(int(cid)).cast("bigint") for cid, _, _ in cents])
+    ids = F.lit([int(cid) for cid, _, _ in cents]).cast("array<bigint>")
     return dists, ids
 
 
@@ -203,6 +208,14 @@ def kmeans_exact_centroids(
     qdf = df.select(
         F.col(id_col).alias("_id"), quantized_vec(F.col(vec_col), scale).alias("qv")
     )
+    # every training round (and the caller's final assignment) scans
+    # this frame — persist once so quantization runs one pass, not
+    # iters+2 (the standard iterative-algorithm persist point; goes
+    # through dedup's release registry so bench/pipeline sessions can
+    # drop the storage between calls, tiny: ~dim*8 B per row)
+    from .dedup import _persist
+
+    qdf = _persist(qdf)
     init = (
         qdf.filter(F.col("_id") < init_ids)
         .orderBy("_id")
