@@ -68,7 +68,8 @@ __all__ = [
 def _sq_dist_lit(vec: Column, center: list[float]) -> Column:
     """Float squared L2 distance from an array column to a literal
     center — pure HOF, stays in codegen."""
-    lit = F.array(*[F.lit(float(x)) for x in center])
+    # one list-literal py4j call, not dim calls (see _exact_keys note)
+    lit = F.lit([float(x) for x in center]).cast("array<double>")
     return F.aggregate(
         F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),

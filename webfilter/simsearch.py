@@ -137,7 +137,11 @@ def hyperplane_bucket_col(
     bucket = F.lit(0)
     planes = _hyperplanes(dim, n_planes, seed)
     for p in range(n_planes):
-        plane = F.array(*[F.lit(float(v)) for v in planes[p]])
+        # one list-literal py4j call per plane, not dim calls — the
+        # per-element form cost n_planes*dim driver round-trips of
+        # pure expression construction (measured ~2 s at 8x64 in the
+        # k-means twin, webfilter/clustering.py)
+        plane = F.lit([float(v) for v in planes[p]]).cast("array<double>")
         d = dot_col(vec, plane)
         bucket = bucket + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
