@@ -4545,18 +4545,15 @@ def q_text_normalize(spark, sf_dir):
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
-    def nfc_udf(s: pd.Series) -> pd.Series:
-        import unicodedata
+    def canon_udf(s: pd.Series) -> pd.Series:
+        # full canonical form in one Arrow hop: strip-NUL -> NFC ->
+        # lower -> NFC AGAIN -> ASCII-ws collapse -> space trim. The
+        # second NFC makes canon IDEMPOTENT and collides decomposed
+        # uppercase with precomposed lowercase (J+U+030C vs U+01F0) —
+        # textstats.nfc_canon + tests/test_fixed_points.py
+        from .textstats import nfc_canon
 
-        # NUL is stripped BEFORE normalizing: web mojibake, and
-        # DuckDB's nfc_normalize C-truncates at \x00 whenever the
-        # string needs any rewrite (fuzz-found), so the oracle
-        # replays replace(raw, chr(0), '') for the same result
-        return s.map(
-            lambda t: unicodedata.normalize("NFC", t.replace("\x00", ""))
-            if t is not None
-            else None
-        )
+        return s.map(nfc_canon)
 
     docs = _docs(spark, sf_dir)
     d = F.col("doc_id")
@@ -4569,9 +4566,7 @@ def q_text_normalize(spark, sf_dir):
         "doc_id",
         F.concat(accent, F.lit("  Mixed   CASE\t"), F.col("text")).alias("raw"),
     )
-    norm = F.trim(
-        F.regexp_replace(F.lower(nfc_udf(F.col("raw"))), r"\s+", " ")
-    )
+    norm = canon_udf(F.col("raw"))
     return staged.select(
         "doc_id",
         norm.alias("norm_text"),
@@ -4589,10 +4584,14 @@ WITH staged AS (
 n AS (
   -- replace(chr(0)) mirrors the Spark UDF's NUL strip AND dodges a
   -- DuckDB bug: nfc_normalize truncates at \\x00 when the string
-  -- needs any normalization work; 2-arg trim = Spark trim semantics
+  -- needs any normalization work; 2-arg trim = Spark trim semantics.
+  -- The OUTER nfc_normalize re-normalizes after lower (lowercasing
+  -- can de-normalize: J+U+030C -> j+U+030C whose precomposed U+01F0
+  -- exists) — same fix as the Spark-side canon.
   SELECT doc_id,
-    trim(regexp_replace(lower(nfc_normalize(replace(raw, chr(0), ''))),
-                        '[ \\t\\n\\v\\f\\r]+', ' ', 'g'),
+    trim(regexp_replace(
+           nfc_normalize(lower(nfc_normalize(replace(raw, chr(0), '')))),
+           '[ \\t\\n\\v\\f\\r]+', ' ', 'g'),
          {_TRIMCHARS}) AS norm_text
   FROM staged)
 SELECT doc_id, norm_text, length(norm_text)::BIGINT AS n_chars_norm FROM n

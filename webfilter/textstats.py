@@ -237,3 +237,30 @@ def gopher_repetition_signals(
         )
         cols.append(frac.cast("double").alias(f"dup_{n}gram_char_frac"))
     return out.select(*cols)
+
+
+def nfc_canon(t: str | None) -> str | None:
+    """Full text canonical form: strip NUL (web mojibake; also
+    DuckDB's nfc_normalize C-truncates at \\x00), NFC, lowercase,
+    NFC AGAIN, collapse whitespace, trim.
+
+    The second NFC is load-bearing: lowercasing can DE-normalize —
+    e.g. 'J\\u030C' (J + combining caron, NFC-stable because no
+    precomposed uppercase exists) lowers to 'j\\u030C', whose
+    precomposed form U+01F0 does exist. Without the re-normalize,
+    canon is not idempotent and 'J\\u030C' never collides with a
+    precomposed 'ǰ' — the exact equivalence-class split the canonical
+    form exists to prevent (pinned by tests/test_fixed_points.py).
+    """
+    import re
+    import unicodedata
+
+    if t is None:
+        return None
+    t = unicodedata.normalize("NFC", t.replace("\x00", ""))
+    t = unicodedata.normalize("NFC", t.lower())
+    # ASCII whitespace class + space-only trim: the repo's pinned
+    # cross-engine dialect (Spark \s and trim() are ASCII/space-only;
+    # Python re's \s and str.strip are Unicode-wide — using them here
+    # would split from the DuckDB oracle on NBSP/U+2028 inputs)
+    return re.sub(r"[ \t\n\v\f\r]+", " ", t).strip(" ")
