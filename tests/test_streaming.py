@@ -583,3 +583,53 @@ def test_filter_stream_matches_batch(spark, stream_src, tmp_path):
     n = dec.count()
     streaming.run_filter_stream(spark, stream_src, str(out), str(cp), max_files=2)
     assert spark.read.parquet(f"{out}/decisions_stream.parquet").count() == n
+
+
+def test_csv_metadata_stream_quarantines_corrupt(spark, tmp_path):
+    """S1 parity at the reference's own modality: an incremental CSV
+    metadata feed with PERMISSIVE parsing — malformed lines land in a
+    quarantine table with their raw bytes instead of killing the
+    stream, clean rows flow on typed; replay is checkpoint-protected."""
+    src = tmp_path / "csv"
+    src.mkdir()
+    (src / "a.csv").write_text(
+        "url,warc_ts,lang,n_chars\n"
+        "http://a/1,2024-01-01 00:00:00,en,42\n"
+        "http://a/2,2024-01-02 00:00:00,de,notanint\n"
+    )
+    (src / "b.csv").write_text(
+        "url,warc_ts,lang,n_chars\n"
+        "http://a/3,2024-01-03 00:00:00,fr,7,extra\n"
+        "http://a/4,2024-01-04 00:00:00,ru,9\n"
+    )
+    out = tmp_path / "out"
+    cp = tmp_path / "cp"
+
+    def sink(batch_df, epoch_id):
+        clean, bad = streaming.split_quarantine(batch_df)
+        clean.write.mode("append").parquet(f"{out}/clean.parquet")
+        bad.write.mode("append").parquet(f"{out}/quarantine.parquet")
+
+    def drain():
+        q = (
+            streaming.read_csv_metadata_stream(spark, str(src), max_files=1)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(cp))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    clean = spark.read.parquet(f"{out}/clean.parquet")
+    bad = spark.read.parquet(f"{out}/quarantine.parquet")
+    assert {r["url"] for r in clean.collect()} == {"http://a/1", "http://a/4"}
+    assert clean.filter("n_chars is null").count() == 0
+    assert clean.schema["warc_ts"].dataType.typeName() == "timestamp"
+    raws = {r["raw_line"] for r in bad.collect()}
+    assert len(raws) == 2 and any("notanint" in x for x in raws)
+    # replay protection: a second drain on the same checkpoint is a no-op
+    n_clean, n_bad = clean.count(), bad.count()
+    drain()
+    assert spark.read.parquet(f"{out}/clean.parquet").count() == n_clean
+    assert spark.read.parquet(f"{out}/quarantine.parquet").count() == n_bad

@@ -6818,6 +6818,63 @@ GROUP BY host
 """
 
 
+def q_csv_roundtrip(spark, sf_dir):
+    """CSV transport with PERMISSIVE corrupt-record quarantine — the
+    reference's ONE streaming source is an Auto Loader CSV metadata
+    feed (01_Metadata_Sync.py:38-41); this is its parse surface as a
+    batch oracle query (streaming form: streaming.read_csv_metadata_
+    stream). Lines are serialized in-plan from documents with three
+    planted malformation classes — type-fail field (doc_id%7),
+    extra token (%11), truncated row (%13) — and re-parsed with
+    from_csv (JVM, codegen): PERMISSIVE nulls the bad field, keeps
+    what parsed, and captures the raw line in _corrupt. Map-only."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    lang = F.coalesce(F.col("lang"), F.lit("und"))
+    src = F.coalesce(F.col("source"), F.lit("unk"))
+    base = F.concat_ws(
+        ",", d.cast("string"), lang, src, F.col("n_chars").cast("string")
+    )
+    line = (
+        F.when(
+            d % 7 == 0,
+            F.concat_ws(",", d.cast("string"), lang, src, F.lit("notanint")),
+        )
+        .when(d % 11 == 0, F.concat(base, F.lit(",extra")))
+        .when(d % 13 == 0, F.concat_ws(",", d.cast("string"), lang))
+        .otherwise(base)
+    )
+    schema = "doc_id bigint, lang string, source string, n_chars bigint, _corrupt string"
+    parsed = docs.select(line.alias("line")).select(
+        F.from_csv(
+            "line",
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("r")
+    )
+    return parsed.select(
+        F.col("r.doc_id").alias("doc_id"),
+        F.col("r.lang").alias("lang_parsed"),
+        F.col("r.source").alias("source_parsed"),
+        F.col("r.n_chars").alias("n_chars_parsed"),
+        F.col("r._corrupt").isNotNull().alias("is_corrupt"),
+    )
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT doc_id,
+  coalesce(lang, 'und') AS lang_parsed,
+  CASE WHEN doc_id % 7 <> 0 AND doc_id % 11 <> 0 AND doc_id % 13 = 0
+       THEN NULL ELSE coalesce(source, 'unk') END AS source_parsed,
+  CASE WHEN doc_id % 7 = 0 THEN NULL
+       WHEN doc_id % 7 <> 0 AND doc_id % 11 <> 0 AND doc_id % 13 = 0
+       THEN NULL
+       ELSE n_chars END AS n_chars_parsed,
+  (doc_id % 7 = 0 OR doc_id % 11 = 0 OR doc_id % 13 = 0) AS is_corrupt
+FROM documents
+"""
+
+
 def q_quality_calibration(spark, sf_dir):
     """Reliability-diagram bins for the heuristic quality score:
     decile bin -> doc count, exact mean score (DECIMAL(38,6)
@@ -7014,6 +7071,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "politeness_schedule": (q_politeness_schedule, SQL_POLITENESS_SCHEDULE),
     "anchor_text_hosts": (q_anchor_text_hosts, SQL_ANCHOR_TEXT_HOSTS),
     "quality_calibration": (q_quality_calibration, SQL_QUALITY_CALIBRATION),
+    "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
 }
 
 # The driver oracle-grades exactly the first 50 entries in insertion

@@ -39,6 +39,53 @@ def read_pages_stream(spark: SparkSession, path: str, max_files: int = 16) -> Da
     )
 
 
+# the reference's Auto Loader CSV metadata feed schema shape
+# (01_Metadata_Sync.py:44-57 selects typed cols from the inferred CSV;
+# at 10^12 scale the schema is EXPLICIT — inference re-lists files)
+METADATA_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("_corrupt", T.StringType()),
+    ]
+)
+
+
+def read_csv_metadata_stream(
+    spark: SparkSession, path: str, max_files: int = 16
+) -> DataFrame:
+    """The reference's ONE stream — an Auto Loader incremental CSV
+    feed (cloudFiles, 01_Metadata_Sync.py:38-41) — as an open
+    readStream csv source: checkpointed discovery, per-trigger file
+    cap, explicit schema, header, and PERMISSIVE parsing that
+    captures every malformed line in the `_corrupt` column instead of
+    failing the stream (a 10^12-row feed WILL contain bad rows;
+    FAILFAST turns one of them into a dead pipeline)."""
+    return (
+        spark.readStream.schema(METADATA_CSV_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined) split on the PERMISSIVE corrupt column:
+    clean rows drop the marker; quarantined rows keep the RAW line
+    (the only honest lineage for an unparseable record) for a
+    side-table write. Works on batch and streaming frames (both are
+    filters — no state, no shuffle)."""
+    clean = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    bad = df.filter(F.col("_corrupt").isNotNull()).select(
+        F.col("_corrupt").alias("raw_line")
+    )
+    return clean, bad
+
+
 def with_file_provenance(df: DataFrame) -> DataFrame:
     """Projects the _metadata virtual columns of a file source into
     real columns — reference S2 parity (01_Metadata_Sync.py:52-54
