@@ -534,3 +534,66 @@ def test_soft_dedup_weights_invariants(spark):
         by_text.setdefault(t, set()).add((r["n_copies"], r["soft_weight"]))
     assert all(len(v) == 1 for v in by_text.values())
     assert by_text["dup a"] == {(18, round(1.0 / 18, 6))}
+
+
+def test_incremental_span_dedup_equals_full_on_increment(spark):
+    """Forward-only incremental C4 span dedup: the increment's docs
+    get EXACTLY the cuts a full recompute over history+batch gives
+    them (counts add across disjoint batches), and the merged state
+    equals the state a from-scratch build would produce."""
+    from webfilter.dedup import (
+        incremental_remove_spans,
+        remove_duplicate_spans,
+        span_state_table,
+    )
+
+    boiler = "the quick brown fox"  # exactly span=4 tokens
+    a_rows = [
+        (1, f"{boiler} alpha beta gamma delta"),
+        (2, "unique words here one two three four five"),
+    ]
+    b_rows = [
+        (3, f"{boiler} epsilon zeta eta theta"),
+        (4, f"{boiler} {boiler}"),
+        (5, "clean doc nothing shared at all right"),
+    ]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id bigint, text string")
+    A, B = mk(a_rows), mk(b_rows)
+
+    state = span_state_table(A, span=4)
+    cleaned_b, new_state = incremental_remove_spans(B, state, span=4, min_docs=2)
+
+    full = remove_duplicate_spans(mk(a_rows + b_rows), span=4, min_docs=2)
+    want = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in full.filter("doc_id >= 3").collect()
+    }
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in cleaned_b.collect()
+    }
+    assert got == want
+    # the boilerplate really was cut cross-batch (nd: 1 hist + 2 batch)
+    assert got[3][1] == 1 and got[4][1] == 2 and got[5][1] == 0
+
+    # merged state == from-scratch state over the union
+    scratch = {
+        (r["span_hash"], r["nd"])
+        for r in span_state_table(mk(a_rows + b_rows), span=4).collect()
+    }
+    merged = {(r["span_hash"], r["nd"]) for r in new_state.collect()}
+    assert merged == scratch
+
+
+def test_incremental_span_dedup_empty_state_equals_batch_only(spark):
+    from webfilter.dedup import incremental_remove_spans, remove_duplicate_spans
+
+    rows = [
+        (1, "shared span here now alpha beta gamma delta"),
+        (2, "shared span here now other tail words go"),
+        (3, "totally different content with no repeats at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    inc, _ = incremental_remove_spans(df, None, span=4, min_docs=2)
+    ref = remove_duplicate_spans(df, span=4, min_docs=2)
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, ref.collect()))

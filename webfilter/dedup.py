@@ -667,22 +667,7 @@ def remove_duplicate_spans(
 
     Output: id_col, clean_text, n_removed.
     """
-    toks = tokens_col(F.col(text_col))
-    ex = (
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
-        .select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
-        .withColumn("chunk_id", (F.col("pos") / span).cast("bigint"))
-    )
-    chunks = ex.groupBy(id_col, "chunk_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s.tok,
-            ),
-        ).alias("chunk"),
-        F.count(F.lit(1)).alias("clen"),
-    )
+    chunks = _span_chunks(df, span, id_col, text_col)
     boiler = (
         chunks.filter(F.col("clen") == span)
         .groupBy("chunk")
@@ -703,6 +688,129 @@ def remove_duplicate_spans(
         .cast("bigint")
         .alias("n_removed"),
     )
+
+
+def _span_chunks(
+    df: DataFrame, span: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, chunk_id, chunk, clen) — the shared chunking stage of the
+    C4 span-dedup family (see remove_duplicate_spans)."""
+    toks = tokens_col(F.col(text_col))
+    ex = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+        .withColumn("chunk_id", (F.col("pos") / span).cast("bigint"))
+    )
+    return ex.groupBy(id_col, "chunk_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+        ).alias("chunk"),
+        F.count(F.lit(1)).alias("clen"),
+    )
+
+
+def span_state_table(
+    df: DataFrame, span: int = 4, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Persistable span state for incremental C4 dedup: one row per
+    distinct full-length span hash with its distinct-doc count.
+    ~16 B/row — the compact corpus memory a daily increment joins
+    against (the state analog of the minhash band table)."""
+    ch = _span_chunks(df, span, id_col, text_col)
+    return (
+        ch.filter(F.col("clen") == span)
+        .groupBy(F.xxhash64("chunk").alias("span_hash"))
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+    )
+
+
+def incremental_remove_spans(
+    batch: DataFrame,
+    state: DataFrame | None,
+    span: int = 4,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental C4 span dedup — completes the incremental family
+    (minhash bands, simhash chunks, embedding buckets, now spans): a
+    new crawl batch is cleaned against the PERSISTED span counts plus
+    its own, without re-chunking the historical corpus.
+
+    Contract (forward-only, same as every incremental stage here):
+    the increment's docs receive EXACTLY the cuts a full recompute
+    over history+batch would give them — distinct-doc counts add
+    across batches because a doc belongs to exactly one batch —
+    while already-emitted historical docs are never retroactively
+    re-cut (a span that only now crossed min_docs is removed from
+    the new docs and from everything that follows). Proven equal to
+    the full recompute on the increment in tests/test_dedup.py.
+
+    Returns (cleaned_batch, new_state). Scale shape: the batch
+    chunks once (uniform (doc, chunk) keys), counts join the state on
+    span_hash (hash-keyed equi-join; state rows ∝ distinct corpus
+    spans), and the boilerplate set broadcasts back — the 100 TB
+    history is touched only through its ~16 B/row span table.
+    """
+    ch = _span_chunks(batch, span, id_col, text_col)
+    full = ch.filter(F.col("clen") == span).withColumn(
+        "span_hash", F.xxhash64("chunk")
+    )
+    batch_counts = full.groupBy("span_hash").agg(
+        F.count_distinct(F.col(id_col)).alias("nd_batch")
+    )
+    if state is not None:
+        hist = state.select("span_hash", F.col("nd").alias("nd_hist"))
+        totals = batch_counts.join(hist, "span_hash", "left").select(
+            "span_hash",
+            "nd_batch",
+            (F.col("nd_batch") + F.coalesce(F.col("nd_hist"), F.lit(0))).alias(
+                "nd_total"
+            ),
+        )
+    else:
+        totals = batch_counts.select(
+            "span_hash", "nd_batch", F.col("nd_batch").alias("nd_total")
+        )
+    boiler = totals.filter(F.col("nd_total") >= min_docs).select(
+        "span_hash", F.lit(True).alias("removed")
+    )
+    marked = full.select(id_col, "chunk_id", "chunk", "span_hash").join(
+        F.broadcast(boiler), "span_hash", "left"
+    )
+    # trailing partial chunks are never boilerplate — carry them kept
+    partial = ch.filter(F.col("clen") != span).select(
+        id_col, "chunk_id", "chunk", F.lit(None).cast("boolean").alias("removed")
+    )
+    all_chunks = marked.select(id_col, "chunk_id", "chunk", "removed").unionByName(
+        partial
+    )
+    kept_struct = F.when(
+        F.col("removed").isNull(), F.struct("chunk_id", "chunk")
+    )
+    cleaned = all_chunks.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s.chunk),
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("removed"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+    merged = totals.select("span_hash", F.col("nd_batch").alias("nd"))
+    if state is not None:
+        # one row per span hash: counts add (disjoint doc sets), and
+        # spans only in history carry over unchanged
+        merged = (
+            merged.unionByName(state.select("span_hash", "nd"))
+            .groupBy("span_hash")
+            .agg(F.sum("nd").cast("bigint").alias("nd"))
+        )
+    return cleaned, merged
 
 
 def remove_duplicate_windows(
