@@ -30,6 +30,7 @@ from test_entry_contract import _value_multiset
 
 FUZZ_QUERIES = [
     "events_hourly",
+    "events_anomaly_hours",
     "latest_per_key",
     "join_asof_latest",
     "events_sessionized",

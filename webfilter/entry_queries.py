@@ -6818,6 +6818,49 @@ GROUP BY host
 """
 
 
+def q_events_anomaly_hours(spark, sf_dir):
+    """Per-event-type hourly-count anomaly flags — the ingestion
+    monitor that catches a crawler loop or a dead feed (count spikes
+    / collapses) per type. The 2-sigma test is evaluated in EXACT
+    INTEGER arithmetic: with H hours, S = Σn, SS = Σn², the flag
+    (n - S/H)² > 4·(SS/H - S²/H²) multiplies out to
+    (H·n - S)² > 4·(H·SS - S²) — pure bigint on both engines, so the
+    oracle needs no float tolerance at all. Scale shape: one
+    (type, hour) count shuffle, one per-type 3-value agg (rows ∝
+    types) broadcast back; the events table shuffles once."""
+    ev = _tbl(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("h"),
+        F.sum("n_events").cast("bigint").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("bigint").alias("ss"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    lhs = (F.col("h") * F.col("n_events") - F.col("s"))
+    flag = (lhs * lhs) > (
+        F.lit(4) * (F.col("h") * F.col("ss") - F.col("s") * F.col("s"))
+    )
+    return j.select("event_type", "hour", "n_events", flag.alias("is_anomaly"))
+
+
+SQL_EVENTS_ANOMALY_HOURS = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+    count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, count(*)::BIGINT AS h,
+    sum(n_events)::BIGINT AS s,
+    sum(n_events * n_events)::BIGINT AS ss
+  FROM hourly GROUP BY 1)
+SELECT hourly.event_type, hour, n_events,
+  (h*n_events - s)*(h*n_events - s) > 4*(h*ss - s*s) AS is_anomaly
+FROM hourly JOIN stats USING (event_type)
+"""
+
+
 def q_csv_roundtrip(spark, sf_dir):
     """CSV transport with PERMISSIVE corrupt-record quarantine — the
     reference's ONE streaming source is an Auto Loader CSV metadata
@@ -7072,6 +7115,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "anchor_text_hosts": (q_anchor_text_hosts, SQL_ANCHOR_TEXT_HOSTS),
     "quality_calibration": (q_quality_calibration, SQL_QUALITY_CALIBRATION),
     "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
+    "events_anomaly_hours": (q_events_anomaly_hours, SQL_EVENTS_ANOMALY_HOURS),
 }
 
 # The driver oracle-grades exactly the first 50 entries in insertion
