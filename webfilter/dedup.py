@@ -103,8 +103,16 @@ def shingles_col(text: Column, k: int = 3) -> Column:
     m = n - k + 1
     z = F.arrays_zip(*[F.slice(toks, j + 1, m).alias(f"t{j}") for j in range(k)])
     grams = F.transform(z, lambda s: F.concat_ws(" ", *[s[f"t{j}"] for j in range(k)]))
-    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.array_distinct(grams)
+    # zero-token docs carry NO shingles (the repo-wide contract, cf.
+    # the md5 dedup family): without this, every empty/whitespace doc
+    # shares the phantom shingle '' and pairs at jaccard 1.0 — found
+    # by the random differential fuzz (two empty docs in one block;
+    # the DuckDB side's array_to_string([]) is NULL so the engines
+    # also disagree)
+    return (
+        F.when(n == 0, F.array().cast("array<string>"))
+        .when(n < k, F.array(F.concat_ws(" ", toks)))
+        .otherwise(F.array_distinct(grams))
     )
 
 
@@ -137,7 +145,13 @@ def shingle_hashes_col(text: Column, k: int = 3) -> Column:
     whole = F.aggregate(
         th, F.lit(42).cast("bigint"), lambda acc, h: F.xxhash64(acc, h)
     )
-    return F.when(n < k, F.array(whole)).otherwise(F.array_distinct(grams))
+    # n == 0 -> NO shingles (not [hash(42)], which every empty doc
+    # would share) — same zero-token contract as shingles_col
+    return (
+        F.when(n == 0, F.array().cast("array<bigint>"))
+        .when(n < k, F.array(whole))
+        .otherwise(F.array_distinct(grams))
+    )
 
 
 # -------------------------------------------------------- MinHash + LSH
@@ -526,11 +540,17 @@ def ngram_jaccard_pairs(
     are rejected BEFORE the expensive array_intersect — the prune is
     a cheap long comparison on precomputed cardinalities and cannot
     drop a pair the oracle would keep."""
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        shingle_hashes_col(F.col(text_col), k).alias("sh"),
-        *([F.col(block_col).alias("blk")] if block_col else []),
-    ).withColumn("n_sh", F.size("sh"))
+    sets = (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingle_hashes_col(F.col(text_col), k).alias("sh"),
+            *([F.col(block_col).alias("blk")] if block_col else []),
+        )
+        .withColumn("n_sh", F.size("sh"))
+        # zero-token docs have no shingle set — excluded on both
+        # engines (0/0 jaccard is undefined and the engines disagree)
+        .filter(F.col("n_sh") > 0)
+    )
     a, b = sets.alias("a"), sets.alias("b")
     size_prune = (
         F.col("a.n_sh") * F.lit(float(threshold)) <= F.col("b.n_sh")

@@ -285,11 +285,14 @@ SQL_JACCARD_PAIRS = f"""
 WITH t AS (
   SELECT doc_id, source, {_TOKS} AS toks FROM documents),
 s AS (
+  -- len(toks) > 0: zero-token docs carry no shingles on either
+  -- engine (random-fuzz-found: two empty docs in one source block
+  -- otherwise read jaccard 1.0 on Spark and NULL-set on DuckDB)
   SELECT doc_id, source,
     CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
     ELSE list_distinct(list_transform(range(1, len(toks)),
         i -> array_to_string(toks[i:i+1], ' '))) END AS sh
-  FROM t)
+  FROM t WHERE len(toks) > 0)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   round(len(list_intersect(a.sh, b.sh))
         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard

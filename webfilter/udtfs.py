@@ -14,9 +14,16 @@ even though eval stays row-wise.
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 
 from pyspark.sql.functions import udtf
+
+# the repo-wide ASCII tokenizer class (rules.tokens_col / _WS):
+# Python's bare str.split() splits on UNICODE whitespace (NBSP,
+# U+3000, U+2028, ...) and silently diverges from the JVM/DuckDB
+# sides on exotic-space text — found by the random differential fuzz
+_ASCII_WS = re.compile(r"[ \t\n\v\f\r]+")
 
 
 @udtf(returnType="term: string, tf: int", useArrow=True)
@@ -25,7 +32,8 @@ class TermCountsUDTF:
     terms in byte order (deterministic output order per doc)."""
 
     def eval(self, text: str | None):  # noqa: D102
-        for term, tf in sorted(Counter((text or "").split()).items()):
+        toks = [t for t in _ASCII_WS.split(text or "") if t]
+        for term, tf in sorted(Counter(toks).items()):
             yield term, tf
 
 
