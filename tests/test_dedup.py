@@ -355,25 +355,35 @@ def test_aqe_splits_genuinely_skewed_input(spark):
 
 
 def test_kernels_tolerate_null_text(spark):
-    """ADVICE r2: NULL text reaches the pandas kernels as None — both
-    signature paths must survive it (the explode fallback always did),
-    and NULL docs must never near-dup-match a real doc."""
+    """ADVICE r2 + round-4 fuzz: NULL text reaches the pandas kernels
+    as None — both signature paths must survive it — and content-free
+    docs (NULL / empty / whitespace-only, i.e. zero tokens) must
+    carry NO signature state and NO pairs, with anyone. The old
+    contract let them pair with each other at hamming 0 / band on
+    _EMPTY_SIG: semantically false dups, an m^2 one-bucket candidate
+    blow-up at crawl scale, and (minhash) an ANSI DIVIDE_BY_ZERO
+    crash in the 0/0 jaccard verify (random-fuzz-found)."""
     df = spark.createDataFrame(
         [(1, None), (2, "the quick brown fox jumps over the lazy dog"),
-         (3, None), (4, "the quick brown fox jumps over the lazy dog")],
+         (3, None), (4, "the quick brown fox jumps over the lazy dog"),
+         (5, "\n\t \n"), (6, "")],
         "doc_id long, text string",
     )
+    # two NULL + one whitespace-only + one empty doc in one frame:
+    # under ANSI mode the pre-fix verify crashed outright here
     mh = dedup.minhash_dedup_pairs(df, k=2, threshold=0.3).collect()
     assert {(r["id_a"], r["id_b"]) for r in mh} == {(2, 4)}
     sh = dedup.simhash_near_dup_pairs(df, max_hamming=3).collect()
-    # NULL docs share fingerprint 0 with each other (hamming 0) but
-    # must not pair with the real identical docs
-    sh_pairs = {(r["id_a"], r["id_b"]) for r in sh}
-    assert (2, 4) in sh_pairs
-    assert not any({a, b} & {1, 3} and {a, b} & {2, 4} for a, b in sh_pairs)
-    # signature frames: no crash, one row per input doc
-    assert dedup.minhash_signature_df(df, k=2).count() == 4
-    assert dedup.with_simhash(df).count() == 4
+    assert {(r["id_a"], r["id_b"]) for r in sh} == {(2, 4)}
+    # signature/state frames: no crash, rows ONLY for token-bearing
+    # docs — all three minhash formulations agree (the kernel path
+    # used to emit _EMPTY_SIG rows the explode paths never had)
+    assert dedup.minhash_signature_df(df, k=2).count() == 2
+    assert dedup.minhash_signature_df(df, k=2, use_kernel=False).count() == 2
+    assert dedup.simhash_state_table(df).select("id").distinct().count() == 2
+    # with_simhash stays total (a row per input doc): it is the raw
+    # fingerprint column, not pair/banding state
+    assert dedup.with_simhash(df).count() == 6
     dedup.release_cached()
 
 

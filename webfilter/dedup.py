@@ -170,8 +170,9 @@ def _splitmix64(x):
 
 #: signature value for docs with NULL text / zero shingles — uint64
 #: max, unreachable-in-practice as a real minimum; empty docs thus
-#: band together and are then rejected by jaccard_verify (0/0 union
-#: -> NULL -> filtered), never silently matched to real docs.
+#: band together and are then rejected by jaccard_verify's explicit
+#: size(sh) > 0 gate (NOT by a 0/0 -> NULL division: ANSI mode makes
+#: 0/0 a DIVIDE_BY_ZERO error), never silently matched to real docs.
 _EMPTY_SIG = 0xFFFFFFFFFFFFFFFF
 
 
@@ -264,9 +265,19 @@ def minhash_signature_df(
             return pd.Series(list(sig), index=hashes.index)
 
         udf = F.pandas_udf(_fn, T.ArrayType(T.LongType()))
-        return df.select(
+        out = df.select(
             F.col(id_col), udf(shingle_hashes_col(F.col(text_col), k)).alias("sig")
         )
+        # Drop the _EMPTY_SIG sentinel rows (zero-shingle docs) so the
+        # kernel path matches the explode paths, where empty docs
+        # simply produce no group. Without this every content-free doc
+        # shares identical bands and the banding self-join emits
+        # m^2/2 candidate pairs for them BEFORE any verify can reject
+        # — a one-bucket quadratic blow-up at crawl scale. Post-UDF
+        # sentinel test (int64 view of uint64-max is -1) avoids
+        # re-evaluating the shingle hashes for a pre-filter; a real
+        # minimum of -1 needs xxhash64 to hit 2^64-1, P ~ n/2^64.
+        return out.filter(F.element_at("sig", 1) != F.lit(-1))
     sh = df.select(
         F.col(id_col),
         F.explode(shingle_hashes_col(F.col(text_col), k)).alias("shingle"),
@@ -366,10 +377,19 @@ def jaccard_verify(
     a ~n^2/2^64 collision chance), and the two shuffles that route
     shingle sets to their candidate pairs move 8-byte hashes instead
     of raw k-word strings (~5-10x fewer bytes at web scale;
-    VERDICT r1)."""
+    VERDICT r1).
+
+    Zero-shingle docs (NULL/empty/whitespace text) are dropped from
+    the sets frame here, so candidate pairs referencing them vanish
+    at the inner join. This must be EXPLICIT: all empty docs share
+    the _EMPTY_SIG signature, band together, and arrive as candidate
+    pairs — and under ANSI mode (Spark 4 default) their 0/0 union
+    THROWS DIVIDE_BY_ZERO rather than yielding the NULL the old
+    comment assumed (random-fuzz-found: two whitespace-only docs
+    crashed the whole minhash job)."""
     sets = df.select(
         F.col(id_col), shingle_hashes_col(F.col(text_col), k).alias("sh")
-    )
+    ).filter(F.size("sh") > 0)
     j = (
         pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -1066,7 +1086,18 @@ def simhash_state_table(
     crawl increment joins against it instead of re-fingerprinting
     the corpus). fp rides along so hamming verification never needs
     the corpus text at all — unlike minhash, whose exact-Jaccard
-    verify must re-shingle candidate texts."""
+    verify must re-shingle candidate texts.
+
+    Zero-token docs (NULL/empty/whitespace text) get NO fingerprint
+    state — the repo-wide zero-token contract (cf. shingles_col,
+    jaccard_verify). Without the gate every content-free doc shares
+    the all-zero fingerprint and they all pair with each other at
+    hamming 0: semantically false "near-dups", and at corpus scale a
+    quadratic output blow-up inside one bucket (millions of empty
+    docs on a real crawl -> m^2/2 pairs) that no skew handling can
+    absorb. Gating here covers every caller: the one-shot pairs
+    path, the incremental path, and direct state-table persists."""
+    df = df.filter(F.size(tokens_col(F.col(text_col))) > 0)
     if hash_fn is not None or bits != 64:
         use_kernel = False
     if use_kernel:

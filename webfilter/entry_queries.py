@@ -3615,10 +3615,15 @@ def q_containment_pairs(spark, sf_dir):
     and keeps pairs where EITHER side is >= 0.8 contained."""
     from .dedup import shingles_col
 
-    docs = _docs(spark, sf_dir).filter(F.length(F.trim(F.col("text"))) > 0)
-    s = docs.select(
+    # gate on SHINGLE count, not trim(text): Spark's trim strips only
+    # spaces, so "\n\n\n" passes a trim gate yet tokenizes to zero
+    # tokens -> empty shingle set -> |A| = 0 and the containment
+    # divisions are 0/0 (ANSI DIVIDE_BY_ZERO; random-fuzz-found).
+    # Zero-token docs carry no shingles on either engine (the
+    # repo-wide contract, cf. ngram_jaccard_pairs).
+    s = _docs(spark, sf_dir).select(
         "doc_id", "source", shingles_col(F.col("text"), k=3).alias("sh")
-    )
+    ).filter(F.size("sh") > 0)
     a = s.select(
         F.col("doc_id").alias("id_a"), "source", F.col("sh").alias("sh_a")
     )
@@ -3643,14 +3648,15 @@ def q_containment_pairs(spark, sf_dir):
 
 SQL_CONTAINMENT_PAIRS = f"""
 WITH tt AS (
-  SELECT doc_id, source, {_TOKS} AS toks FROM documents
-  WHERE length(trim(text, ' ')) > 0),
+  SELECT doc_id, source, {_TOKS} AS toks FROM documents),
 s AS (
+  -- len(toks) > 0: zero-token docs carry no shingles on either
+  -- engine (matches the Spark side's size(sh) > 0 gate)
   SELECT doc_id, source,
     CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
     ELSE list_distinct(list_transform(range(1, len(toks) - 1),
         i -> array_to_string(toks[i:i+2], ' '))) END AS sh
-  FROM tt),
+  FROM tt WHERE len(toks) > 0),
 p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
     round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6) AS contain_a_in_b,
