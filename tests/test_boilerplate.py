@@ -1,0 +1,111 @@
+"""jusText-lite block classification (webfilter/boilerplate.py).
+
+The registry oracle (boilerplate_blocks, auto-fuzzed) proves the
+derived-corpus query cross-engine; these tests pin the module
+semantics on hand-built blocks — every raw class, both smoothing
+outcomes (including short->good, which the derived fixture's suffix
+cycle structurally never produces), the document-edge convention,
+and the empty-block division guards.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from webfilter.boilerplate import (
+    LENGTH_LOW,
+    MAX_LINK_DENSITY,
+    STOP_HIGH,
+    STOP_LOW,
+    justext_blocks,
+    keep_good_text,
+)
+
+GOOD = "the cat sat on the mat and it was a very good day for all of us"
+LINKY = "see http://example.com/aaaa http://example.com/bbbb now"
+PLAIN = "quartz vortex jigsaw plasma nebula cipher krypton zephyr quasar"
+NEARG = "the quartz vortex jigsaw plasma nebula cipher krypton"
+SHORT = "tiny bit"
+
+
+def _blocks(spark, text, doc_id=1):
+    df = spark.createDataFrame([(doc_id, text)], "doc_id long, text string")
+    rows = justext_blocks(df).orderBy("block_id").collect()
+    return [(r["cls_raw"], r["cls_final"]) for r in rows], rows
+
+
+def test_raw_classes(spark):
+    cls, rows = _blocks(spark, "\n".join([GOOD, LINKY, PLAIN, NEARG, SHORT]))
+    assert [c[0] for c in cls] == ["good", "bad", "bad", "neargood", "short"]
+    by = {r["block_id"]: r for r in rows}
+    assert by[0]["stop_density"] >= STOP_HIGH
+    assert by[1]["link_density"] > MAX_LINK_DENSITY
+    assert by[2]["stop_density"] < STOP_LOW
+    assert STOP_LOW <= by[3]["stop_density"] < STOP_HIGH
+    assert by[4]["n_chars"] < LENGTH_LOW
+
+
+def test_short_next_to_good_is_kept(spark):
+    cls, _ = _blocks(spark, "\n".join([GOOD, SHORT, PLAIN]))
+    assert cls == [("good", "good"), ("short", "good"), ("bad", "bad")]
+
+
+def test_neargood_between_bads_is_dropped(spark):
+    cls, _ = _blocks(spark, "\n".join([PLAIN, NEARG, LINKY]))
+    assert cls == [("bad", "bad"), ("neargood", "bad"), ("bad", "bad")]
+
+
+def test_nearest_unambiguous_wins_across_ambiguous_run(spark):
+    # short then neargood between a good edge and a bad edge: BOTH
+    # resolve good — each sees the good block as a nearest
+    # unambiguous neighbour on one side (ambiguous blocks are
+    # transparent to the scan, per the jusText context pass)
+    cls, _ = _blocks(spark, "\n".join([GOOD, SHORT, NEARG, PLAIN]))
+    assert cls == [
+        ("good", "good"),
+        ("short", "good"),
+        ("neargood", "good"),
+        ("bad", "bad"),
+    ]
+
+
+def test_document_edges_count_as_bad(spark):
+    # a lone ambiguous block has no unambiguous neighbour -> bad
+    for text in (SHORT, NEARG):
+        cls, _ = _blocks(spark, text)
+        assert cls[0][1] == "bad"
+    # ambiguous block at the document start with only bad ahead
+    cls, _ = _blocks(spark, "\n".join([SHORT, PLAIN]))
+    assert cls[0] == ("short", "bad")
+
+
+def test_empty_blocks_never_divide_by_zero(spark):
+    # blank lines (split artifacts) -> n_chars 0 -> densities 0.0,
+    # class short; ANSI mode would throw on an unguarded 0/0
+    cls, rows = _blocks(spark, GOOD + "\n\n" + GOOD)
+    assert [c[0] for c in cls] == ["good", "short", "good"]
+    assert cls[1][1] == "good"
+    mid = rows[1]
+    assert mid["n_chars"] == 0 and mid["n_tokens"] == 0
+    assert mid["link_density"] == 0.0 and mid["stop_density"] == 0.0
+
+
+def test_keep_good_text_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "\n".join([GOOD, SHORT, PLAIN])), (2, PLAIN)],
+        "doc_id long, text string",
+    )
+    agg = {
+        r["doc_id"]: (r["n_blocks"], r["n_good_blocks"])
+        for r in keep_good_text(justext_blocks(df)).collect()
+    }
+    assert agg == {1: (3, 2), 2: (1, 0)}
+
+
+def test_single_exchange_plan(spark):
+    """Both window frames must reuse one hash shuffle on doc_id —
+    the scale contract in the module docstring."""
+    df = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
+    plan = justext_blocks(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -3895,6 +3895,129 @@ FROM m GROUP BY doc_id
 """
 
 
+def _boiler_blocks(doc_id, toks):
+    """Deterministic multi-block fixture for the jusText query,
+    shared with the DuckDB oracle (cf. _derived_lines, which feeds
+    c4_line_filter and must stay byte-stable for ITS oracle): 8-token
+    blocks with a suffix cycling (doc_id + block_id) % 4 over
+    {plain, stopword-rich sentence, three bare URLs, '?'} so every
+    raw jusText class (bad / short / good / neargood) and the
+    link-density feature all fire; the trailing partial block
+    exercises 'short'. Zero-token docs derive NO blocks (repo-wide
+    zero-token contract)."""
+    n = F.size(toks)
+    nblocks = F.floor((n + F.lit(7)) / F.lit(8)).cast("int")
+    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), nblocks - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+                F.when((doc_id + i) % 4 == 1, F.lit(" the of and to a in it is."))
+                .when(
+                    (doc_id + i) % 4 == 2,
+                    F.lit(
+                        " http://x.example/a http://x.example/b"
+                        " http://x.example/c"
+                    ),
+                )
+                .when((doc_id + i) % 4 == 3, F.lit("?"))
+                .otherwise(F.lit("")),
+            ),
+        )
+    )
+
+
+def q_boilerplate_blocks(spark, sf_dir):
+    """jusText-lite boilerplate classification (Pomikalek 2011) over
+    a derived multi-block corpus: per-block link density, stopword
+    density and length drive the context-free class; short/neargood
+    blocks then resolve to good/bad from their nearest unambiguous
+    neighbour (`boilerplate.justext_blocks`). Features + raw class
+    are narrow Column expressions; the context pass is ONE doc_id
+    hash shuffle whose Exchange+sort both window frames share."""
+    from .boilerplate import justext_blocks
+
+    docs = _docs(spark, sf_dir)
+    blocks = _boiler_blocks(F.col("doc_id"), tokens_col(F.col("text")))
+    # zero-token docs derive no blocks on either engine — gate BEFORE
+    # the select so the predicate sees the raw text column
+    staged = docs.filter(F.size(tokens_col(F.col("text"))) > 0).select(
+        "doc_id", F.array_join(blocks, "\n").alias("text")
+    )
+    out = justext_blocks(staged)
+    return out.select(
+        "doc_id",
+        "block_id",
+        "n_chars",
+        "n_tokens",
+        r6("link_density").alias("link_density"),
+        r6("stop_density").alias("stop_density"),
+        "cls_raw",
+        "cls_final",
+    )
+
+
+SQL_BOILERPLATE_BLOCKS = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+l AS (
+  SELECT doc_id, u.i - 1 AS block_id,
+    array_to_string(tk[(u.i - 1) * 8 + 1 : least(u.i * 8, len(tk))], ' ')
+      || CASE (doc_id + u.i - 1) % 4
+           WHEN 1 THEN ' the of and to a in it is.'
+           WHEN 2 THEN ' http://x.example/a http://x.example/b http://x.example/c'
+           WHEN 3 THEN '?' ELSE '' END AS line
+  FROM t, UNNEST(range(1, ((len(tk) + 7) // 8)::BIGINT + 1)) AS u(i)
+  WHERE len(tk) > 0),
+f AS (
+  SELECT doc_id, block_id, length(line) AS n_chars,
+    list_filter(regexp_split_to_array(line, '{_WS}+'), x -> x <> '') AS toks
+  FROM l),
+g AS (
+  SELECT doc_id, block_id, n_chars, len(toks) AS n_toks,
+    coalesce(list_sum(list_transform(list_filter(toks,
+      x -> starts_with(x, 'http://') OR starts_with(x, 'https://')),
+      x -> length(x))), 0) AS link_chars,
+    len(list_filter(toks, x -> list_contains([{{STOPS}}], lower(x))))
+      AS n_stop
+  FROM f),
+c AS (
+  SELECT doc_id, block_id, n_chars, n_toks,
+    CASE WHEN n_chars > 0 THEN link_chars::DOUBLE / n_chars
+         ELSE 0.0 END AS link_density,
+    CASE WHEN n_toks > 0 THEN n_stop::DOUBLE / n_toks
+         ELSE 0.0 END AS stop_density
+  FROM g),
+r AS (
+  SELECT *, CASE
+    WHEN link_density > 0.2 THEN 'bad'
+    WHEN n_chars < 25 THEN 'short'
+    WHEN stop_density >= 0.30 THEN 'good'
+    WHEN stop_density >= 0.12 THEN 'neargood'
+    ELSE 'bad' END AS cls_raw
+  FROM c),
+x AS (
+  SELECT *,
+    last_value(CASE WHEN cls_raw IN ('good', 'bad') THEN cls_raw END
+               IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY block_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ctx,
+    first_value(CASE WHEN cls_raw IN ('good', 'bad') THEN cls_raw END
+                IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY block_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ctx
+  FROM r)
+SELECT doc_id, block_id::INT AS block_id,
+  n_chars::BIGINT AS n_chars, n_toks::BIGINT AS n_tokens,
+  round(link_density, 6) AS link_density,
+  round(stop_density, 6) AS stop_density, cls_raw,
+  CASE WHEN cls_raw IN ('good', 'bad') THEN cls_raw
+       WHEN coalesce(prev_ctx, 'bad') = 'good'
+         OR coalesce(next_ctx, 'bad') = 'good' THEN 'good'
+       ELSE 'bad' END AS cls_final
+FROM x
+""".replace("{STOPS}", _STOP_SQL)
+
+
 def q_canonical_url_dedup(spark, sf_dir):
     """URL canonicalization + canonical-key dedup (`webfilter.urls`):
     dirty URLs (case-variant scheme/host, default ports, tracking
@@ -7125,6 +7248,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quality_calibration": (q_quality_calibration, SQL_QUALITY_CALIBRATION),
     "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
     "events_anomaly_hours": (q_events_anomaly_hours, SQL_EVENTS_ANOMALY_HOURS),
+    "boilerplate_blocks": (q_boilerplate_blocks, SQL_BOILERPLATE_BLOCKS),
 }
 
 # The driver oracle-grades exactly the first 50 entries in insertion
