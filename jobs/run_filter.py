@@ -63,6 +63,13 @@ def main(argv: list[str] | None = None) -> int:
         "is below this (hosts absent from the link graph fail)",
     )
     ap.add_argument(
+        "--boilerplate", action="store_true",
+        help="jusText-lite block cleaning before the heuristic gates: "
+        "drop nav/footer/link-rail blocks from the extracted text "
+        "(map-only array prefix scan — adds no shuffle); the shipped "
+        "text, n_words/n_chars and the scrub see cleaned text",
+    )
+    ap.add_argument(
         "--wet", action="store_true",
         help="treat --pages as a glob of *.warc.wet.gz containers "
         "(Common Crawl WET): parse conversion records and run the "
@@ -171,6 +178,7 @@ def main(argv: list[str] | None = None) -> int:
             (args.dedup, "--dedup"),
             (args.canonical_dedup, "--canonical-dedup"),
             (args.host_prior, "--host-prior"),
+            (args.boilerplate, "--boilerplate"),
             (args.wet, "--wet"),
             (args.robots, "--robots"),
         ):
@@ -204,6 +212,7 @@ def main(argv: list[str] | None = None) -> int:
     res = pipeline.run_filter(
         spark, pages_path, args.out, n_buckets=args.buckets, run_id=args.run_id,
         cfg=cfg, canonical=args.canonical_dedup, host_prior=args.host_prior,
+        boilerplate=args.boilerplate,
         layout_sort=args.layout_sort.split(",") if args.layout_sort else None,
         robots_path=args.robots, robots_agent=args.robots_agent,
         input_format="wet" if args.wet else "pages",

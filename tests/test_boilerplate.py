@@ -109,3 +109,119 @@ def test_single_exchange_plan(spark):
     df = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
     plan = justext_blocks(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_map_only_form_equals_window_form(spark):
+    """final_classes_col (the zero-shuffle pipeline form) must agree
+    block-for-block with justext_blocks (the window form) — including
+    on blank blocks, single-block docs, and adversarial shapes."""
+    texts = [
+        "\n".join([GOOD, LINKY, PLAIN, NEARG, SHORT]),
+        "\n".join([GOOD, SHORT, NEARG, PLAIN]),
+        "\n".join([SHORT, PLAIN]),
+        GOOD + "\n\n" + GOOD,
+        SHORT,
+        "",
+        " \t ",
+        "🙂🙂 astral plane\nthe of and to a in it is here today\nx",
+        "http://a.example/bbbbbbbbbbbbbbbb",
+    ]
+    from webfilter.boilerplate import final_classes_col
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    map_rows = df.select(
+        "doc_id",
+        F.posexplode(final_classes_col(F.col("text"))).alias("block_id", "cls"),
+    ).collect()
+    win_rows = justext_blocks(df).collect()
+    m = {(r["doc_id"], r["block_id"]): r["cls"] for r in map_rows}
+    w = {(r["doc_id"], r["block_id"]): r["cls_final"] for r in win_rows}
+    assert m == w and len(m) == sum(t.count("\n") + 1 for t in texts)
+
+
+def test_with_boilerplate_removed(spark):
+    from webfilter.boilerplate import with_boilerplate_removed
+
+    df = spark.createDataFrame(
+        [(1, "\n".join([GOOD, SHORT, LINKY, GOOD])), (2, PLAIN), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in with_boilerplate_removed(df).collect()
+    }
+    assert out[1] == "\n".join([GOOD, SHORT, GOOD])  # short kept via good nbr
+    assert out[2] == ""  # all-boilerplate doc -> empty, gates drop it later
+    assert out[3] is None  # NULL text stays NULL
+
+
+def test_map_only_form_adds_no_exchange(spark):
+    from webfilter.boilerplate import with_boilerplate_removed
+
+    df = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
+    plan = (
+        with_boilerplate_removed(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+# ------------------------------------------------ pipeline integration
+
+
+@pytest.fixture(scope="module")
+def pages(spark, synth_dir):
+    return spark.read.parquet(f"{synth_dir}/pages.parquet")
+
+
+def test_pipeline_flag_cleans_exactly_the_good_blocks(spark, pages):
+    """--boilerplate semantics: per url, the shipped text equals the
+    good blocks of the default run's text, n_chars tracks the cleaned
+    text, and scores (computed pre-clean by design) are unchanged."""
+    from webfilter import pipeline
+    from webfilter.boilerplate import clean_text_col
+
+    base = pipeline.filtered_frame(pages).select(
+        "url", "text", "n_chars", "langid", "perplexity"
+    )
+    on = pipeline.filtered_frame(pages, boilerplate=True).select(
+        "url", "text", "n_chars", "langid", "perplexity"
+    )
+    want = {
+        r["url"]: r["want"]
+        for r in base.select(
+            "url", clean_text_col(F.col("text"))["clean_text"].alias("want")
+        ).collect()
+    }
+    base_rows = {r["url"]: r for r in base.collect()}
+    on_rows = {r["url"]: r for r in on.collect()}
+    assert set(base_rows) == set(on_rows) and on_rows
+    changed = 0
+    for url, r in on_rows.items():
+        b = base_rows[url]
+        assert r["text"] == (want[url] if b["text"] is not None else None)
+        assert r["n_chars"] == (len(r["text"]) if r["text"] is not None else b["n_chars"])
+        assert (r["langid"], r["perplexity"]) == (b["langid"], b["perplexity"])
+        changed += r["text"] != b["text"]
+    assert changed > 0, "synthetic corpus produced no boilerplate blocks?"
+
+
+def test_pipeline_flag_adds_no_exchange(spark, pages):
+    """The map-only stage must not widen the pipeline plan: identical
+    Exchange census with the flag on and off."""
+    from webfilter import pipeline
+
+    def census(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return (
+            plan.count("Exchange") - plan.count("BroadcastExchange"),
+            plan.count("BroadcastExchange"),
+        )
+
+    assert census(
+        pipeline.filtered_frame(pages, boilerplate=True)
+    ) == census(pipeline.filtered_frame(pages))

@@ -167,6 +167,101 @@ def justext_blocks(
     )
 
 
+def _raw_class_of_block(b: Column) -> Column:
+    """Context-free class of ONE block string — the lambda-body form
+    of block_features + classify_raw (each feature references only
+    the element, so no captured-array re-evaluation)."""
+    toks = tokens_col(b)
+    n_chars = F.length(b)
+    n_toks = F.size(toks)
+    link_density = F.when(
+        n_chars > 0, link_chars_col(toks) / n_chars
+    ).otherwise(F.lit(0.0))
+    stop_density = F.when(
+        n_toks > 0, stopword_count_col(toks) / n_toks
+    ).otherwise(F.lit(0.0))
+    return classify_raw(n_chars, link_density, stop_density)
+
+
+def _scan_last_unambiguous(codes: Column) -> Column:
+    """Prefix scan: element i of the result is the last good/bad
+    class STRICTLY BEFORE position i, defaulting to 'bad' (the
+    document-edge convention). F.aggregate evaluates left-to-right,
+    so carrying (emitted-array, last-seen) through the fold is a
+    linear scan per document — blocks per doc are tens, so the
+    array-concat accumulator costs nothing that matters."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit("bad").alias("last"),
+    )
+    return F.aggregate(
+        codes,
+        init,
+        lambda acc, c: F.struct(
+            F.concat(acc["out"], F.array(acc["last"])).alias("out"),
+            F.when(c.isin("good", "bad"), c).otherwise(acc["last"]).alias("last"),
+        ),
+        lambda acc: acc["out"],
+    )
+
+
+def final_classes_col(text: Column, sep: str = "\n") -> Column:
+    """Array of final good/bad classes for the ``sep``-separated
+    blocks of ``text`` — the MAP-ONLY form of the jusText context
+    pass. The window form (justext_blocks) shuffles once on doc_id
+    because its output is per-block rows; when the consumer only
+    needs the per-document cleaned text, the whole scan lives inside
+    the row (prefix scan forward + prefix scan over the reversed
+    array), so boilerplate removal composes into the filter pipeline
+    WITHOUT adding an Exchange. Equality with the window form is
+    pytest-proven block-for-block."""
+    blocks = F.split(text, sep)
+    codes = F.transform(blocks, _raw_class_of_block)
+    prev = _scan_last_unambiguous(codes)
+    nxt = F.reverse(_scan_last_unambiguous(F.reverse(codes)))
+    ctx_good = F.zip_with(prev, nxt, lambda p, n: (p == "good") | (n == "good"))
+    return F.zip_with(
+        codes,
+        ctx_good,
+        lambda c, g: F.when(c.isin("good", "bad"), c)
+        .when(g, F.lit("good"))
+        .otherwise(F.lit("bad")),
+    )
+
+
+def clean_text_col(text: Column, sep: str = "\n") -> Column:
+    """struct(clean_text, n_blocks, n_good_blocks): ``sep``-joined
+    good blocks plus block counts, all map-side. A document whose
+    every block is boilerplate yields clean_text '' — the downstream
+    length gates then drop it honestly rather than this stage
+    deciding keep/drop itself."""
+    blocks = F.split(text, sep)
+    final = final_classes_col(text, sep)
+    kept = F.filter(
+        F.zip_with(blocks, final, lambda b, c: F.when(c == "good", b)),
+        lambda b: b.isNotNull(),
+    )
+    return F.struct(
+        F.array_join(kept, sep).alias("clean_text"),
+        F.size(blocks).cast("bigint").alias("n_blocks"),
+        F.size(kept).cast("bigint").alias("n_good_blocks"),
+    )
+
+
+def with_boilerplate_removed(
+    df: DataFrame, text_col: str = "text", sep: str = "\n"
+) -> DataFrame:
+    """Replace ``text_col`` with its good blocks (NULL text stays
+    NULL). Map-only — safe to splice into the filter pipeline
+    between scoring and the heuristic rules without touching its
+    Exchange budget."""
+    c = clean_text_col(F.col(text_col), sep)
+    return df.withColumn(
+        text_col,
+        F.when(F.col(text_col).isNotNull(), c["clean_text"]),
+    )
+
+
 def keep_good_text(
     blocks: DataFrame, id_col: str = "doc_id", line_col: str | None = None
 ) -> DataFrame:

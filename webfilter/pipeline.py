@@ -53,6 +53,7 @@ def filtered_frame(
     robots: DataFrame | None = None,
     robots_agent: str = "webfilter",
     pre_extracted: bool = False,
+    boilerplate: bool = False,
 ) -> DataFrame:
     """The pure transformation: pages -> decision rows (no writes).
 
@@ -180,6 +181,21 @@ def filtered_frame(
         )
     else:
         df = df.withColumn("robots_allowed", F.lit(None).cast("boolean"))
+    if boilerplate:
+        # jusText-lite block cleaning (boilerplate.py), MAP-ONLY: the
+        # context scan is a per-row array prefix scan, so this stage
+        # adds zero Exchanges (plan-tested) — the single-wide-shuffle
+        # pipeline shape survives with the flag on. Ordering is
+        # deliberate: langid/perplexity above scored the RAW extracted
+        # text (one fused Arrow pass is the pipeline's perf contract;
+        # re-scoring cleaned text would buy a second pass), while the
+        # heuristic gates, the scrub, and the SHIPPED text — the
+        # surfaces block boilerplate actually distorts — all see the
+        # cleaned text. An all-boilerplate doc cleans to '' and the
+        # length gates below drop it honestly.
+        from .boilerplate import with_boilerplate_removed
+
+        df = with_boilerplate_removed(df, "text")
     df = rules.with_heuristics(df, cfg=cfg)
     df = rules.model_rule_columns(df, cfg)
     df = rules.with_decision(df, rules.rule_names_for(cfg))
@@ -197,6 +213,7 @@ def run_filter(
     only_buckets: list[int] | None = None,
     canonical: bool = False,
     host_prior: bool = False,
+    boilerplate: bool = False,
     layout_sort: list[str] | None = None,
     robots_path: str | None = None,
     robots_agent: str = "webfilter",
@@ -298,7 +315,7 @@ def run_filter(
         pages, cfg, canonical=canonical, host_prior=host_prior,
         prior_pages=pages_all, bucket_clustered=not canonical,
         robots=robots, robots_agent=robots_agent,
-        pre_extracted=input_format == "wet",
+        pre_extracted=input_format == "wet", boilerplate=boilerplate,
     ).withColumn("run_id", F.lit(run_id))
     out = out.select(*DECISION_COLS)
     if canonical:
