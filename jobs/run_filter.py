@@ -178,7 +178,6 @@ def main(argv: list[str] | None = None) -> int:
             (args.dedup, "--dedup"),
             (args.canonical_dedup, "--canonical-dedup"),
             (args.host_prior, "--host-prior"),
-            (args.boilerplate, "--boilerplate"),
             (args.wet, "--wet"),
             (args.robots, "--robots"),
         ):
@@ -193,6 +192,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, pages_path, args.out,
             args.checkpoint or f"{args.out}/_checkpoint",
             cfg=cfg, n_buckets=args.buckets,
+            boilerplate=args.boilerplate,
         )
         dec = spark.read.parquet(f"{args.out}/decisions_stream.parquet")
         agg = dec.agg(

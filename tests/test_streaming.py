@@ -585,6 +585,42 @@ def test_filter_stream_matches_batch(spark, stream_src, tmp_path):
     assert spark.read.parquet(f"{out}/decisions_stream.parquet").count() == n
 
 
+def test_filter_stream_boilerplate_matches_batch(spark, stream_src, tmp_path):
+    """--boilerplate is streamable because the jusText-lite clean is
+    map-only per-row state (unlike dedup/host-prior, whose state is
+    corpus-global): streaming with boilerplate=True must reproduce
+    the batch boilerplate run's decisions exactly, and at least one
+    url must differ from the plain batch run (the stage did work)."""
+    from pyspark.sql import Window
+
+    from webfilter import pipeline
+    from webfilter.partitioning import with_bucket
+
+    out = tmp_path / "bp_out"
+    cp = tmp_path / "bp_cp"
+    streaming.run_filter_stream(
+        spark, stream_src, str(out), str(cp), max_files=4, boilerplate=True
+    )
+    dec = spark.read.parquet(f"{out}/decisions_stream.parquet")
+    cols = ["url", "keep", "drop_reasons", "text", "scrubbed_text"]
+
+    def snap(df):
+        return {
+            r["url"]: (r["keep"], list(r["drop_reasons"]), r["text"], r["scrubbed_text"])
+            for r in df.select(*cols).collect()
+        }
+
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.col("_epoch").desc()
+    )
+    streamed = snap(
+        dec.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    )
+    pages = with_bucket(spark.read.parquet(stream_src), 32)
+    assert streamed == snap(pipeline.filtered_frame(pages, boilerplate=True))
+    assert streamed != snap(pipeline.filtered_frame(pages))
+
+
 def test_csv_metadata_stream_quarantines_corrupt(spark, tmp_path):
     """S1 parity at the reference's own modality: an incremental CSV
     metadata feed with PERMISSIVE parsing — malformed lines land in a

@@ -122,7 +122,9 @@ def upsert_batch(out_root: str):
     return fn
 
 
-def filter_batch(out_root: str, cfg=None, n_buckets: int = 32):
+def filter_batch(
+    out_root: str, cfg=None, n_buckets: int = 32, boilerplate: bool = False
+):
     """foreachBatch body for the streaming filter: each micro-batch
     of newly-discovered pages flows through the SAME
     pipeline.filtered_frame as the batch job (extract -> score ->
@@ -147,6 +149,7 @@ def filter_batch(out_root: str, cfg=None, n_buckets: int = 32):
             filtered_frame(
                 with_bucket(batch_df, n_buckets),
                 cfg=cfg or rules.DEFAULT_RULES,
+                boilerplate=boilerplate,
             )
             .withColumn("run_id", F.lit(f"epoch-{epoch_id}"))
             .withColumn("_epoch", F.lit(epoch_id))
@@ -170,6 +173,7 @@ def run_filter_stream(
     cfg=None,
     n_buckets: int = 32,
     max_files: int = 16,
+    boilerplate: bool = False,
 ):
     """Incremental quality filter: drain newly-arrived page files
     through the full decision pipeline (trigger(availableNow) — the
@@ -180,10 +184,18 @@ def run_filter_stream(
     each micro-batch keeps the batch pipeline's single-shuffle plan,
     and NO streaming state accumulates (dedup across batches is
     merge-on-read) — a daily 10^9-page crawl drop costs exactly one
-    batch-job's plan per trigger, forever."""
+    batch-job's plan per trigger, forever.
+
+    ``boilerplate`` is the one pipeline flag that streams: the
+    jusText-lite clean is a per-row array scan with no corpus-global
+    state, so each micro-batch cleans exactly as the batch job would
+    (proven equal in tests/test_streaming.py); dedup/host-prior stay
+    batch-only because their state spans the whole corpus."""
     q = (
         read_pages_stream(spark, src_path, max_files=max_files)
-        .writeStream.foreachBatch(filter_batch(out_root, cfg, n_buckets))
+        .writeStream.foreachBatch(
+            filter_batch(out_root, cfg, n_buckets, boilerplate=boilerplate)
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
