@@ -4018,6 +4018,93 @@ FROM x
 """.replace("{STOPS}", _STOP_SQL)
 
 
+def q_boilerplate_clean(spark, sf_dir):
+    """Per-document jusText-lite cleaning in the MAP-ONLY form the
+    filter pipeline ships (`boilerplate.clean_text_col`): the context
+    pass is a per-row array prefix scan (forward + over the reversed
+    array), so the plan has NO Exchange at all — cross-engine
+    equality here certifies the exact expression --boilerplate
+    splices into the single-shuffle pipeline. Same derived
+    multi-block corpus as boilerplate_blocks (which certifies the
+    window form block-by-block); pytest proves the two forms
+    identical on adversarial shapes."""
+    from .boilerplate import clean_text_col
+
+    docs = _docs(spark, sf_dir)
+    blocks = _boiler_blocks(F.col("doc_id"), tokens_col(F.col("text")))
+    staged = docs.filter(F.size(tokens_col(F.col("text"))) > 0).select(
+        "doc_id", F.array_join(blocks, "\n").alias("text")
+    )
+    c = clean_text_col(F.col("text"))
+    return staged.select(
+        "doc_id",
+        c["clean_text"].alias("clean_text"),
+        c["n_blocks"].alias("n_blocks"),
+        c["n_good_blocks"].alias("n_good_blocks"),
+    )
+
+
+SQL_BOILERPLATE_CLEAN = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+l AS (
+  SELECT doc_id, u.i - 1 AS block_id,
+    array_to_string(tk[(u.i - 1) * 8 + 1 : least(u.i * 8, len(tk))], ' ')
+      || CASE (doc_id + u.i - 1) % 4
+           WHEN 1 THEN ' the of and to a in it is.'
+           WHEN 2 THEN ' http://x.example/a http://x.example/b http://x.example/c'
+           WHEN 3 THEN '?' ELSE '' END AS line
+  FROM t, UNNEST(range(1, ((len(tk) + 7) // 8)::BIGINT + 1)) AS u(i)
+  WHERE len(tk) > 0),
+f AS (
+  SELECT doc_id, block_id, line, length(line) AS n_chars,
+    list_filter(regexp_split_to_array(line, '{_WS}+'), x -> x <> '') AS toks
+  FROM l),
+c AS (
+  SELECT doc_id, block_id, line,
+    CASE WHEN n_chars > 0 THEN
+      coalesce(list_sum(list_transform(list_filter(toks,
+        x -> starts_with(x, 'http://') OR starts_with(x, 'https://')),
+        x -> length(x))), 0)::DOUBLE / n_chars ELSE 0.0 END AS link_density,
+    CASE WHEN len(toks) > 0 THEN
+      len(list_filter(toks, x -> list_contains([{{STOPS}}], lower(x))))::DOUBLE
+        / len(toks) ELSE 0.0 END AS stop_density,
+    n_chars
+  FROM f),
+r AS (
+  SELECT doc_id, block_id, line, CASE
+    WHEN link_density > 0.2 THEN 'bad'
+    WHEN n_chars < 25 THEN 'short'
+    WHEN stop_density >= 0.30 THEN 'good'
+    WHEN stop_density >= 0.12 THEN 'neargood'
+    ELSE 'bad' END AS cls_raw
+  FROM c),
+x AS (
+  SELECT *,
+    last_value(CASE WHEN cls_raw IN ('good', 'bad') THEN cls_raw END
+               IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY block_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ctx,
+    first_value(CASE WHEN cls_raw IN ('good', 'bad') THEN cls_raw END
+                IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY block_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ctx
+  FROM r),
+y AS (
+  SELECT doc_id, block_id, line,
+    CASE WHEN cls_raw IN ('good', 'bad') THEN cls_raw
+         WHEN coalesce(prev_ctx, 'bad') = 'good'
+           OR coalesce(next_ctx, 'bad') = 'good' THEN 'good'
+         ELSE 'bad' END AS cls_final
+  FROM x)
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN cls_final = 'good' THEN line END,
+                      chr(10) ORDER BY block_id), '') AS clean_text,
+  count(*)::BIGINT AS n_blocks,
+  (count(*) FILTER (WHERE cls_final = 'good'))::BIGINT AS n_good_blocks
+FROM y GROUP BY doc_id
+""".replace("{STOPS}", _STOP_SQL)
+
+
 def q_canonical_url_dedup(spark, sf_dir):
     """URL canonicalization + canonical-key dedup (`webfilter.urls`):
     dirty URLs (case-variant scheme/host, default ports, tracking
@@ -7249,6 +7336,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
     "events_anomaly_hours": (q_events_anomaly_hours, SQL_EVENTS_ANOMALY_HOURS),
     "boilerplate_blocks": (q_boilerplate_blocks, SQL_BOILERPLATE_BLOCKS),
+    "boilerplate_clean": (q_boilerplate_clean, SQL_BOILERPLATE_CLEAN),
 }
 
 # The driver oracle-grades exactly the first 50 entries in insertion
