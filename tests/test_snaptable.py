@@ -1,0 +1,217 @@
+"""Snapshot-isolated table format (webfilter/snaptable.py): the
+Iceberg mechanics — atomic commits, snapshot isolation, time travel,
+manifest-layer pruning, vacuum — proven executable on plain parquet.
+
+Reference precedent: real Delta MERGE/DDL with snapshot metadata
+(01_Metadata_Sync.py:59-65, pmc.py:164-175); the Iceberg runtime jar
+itself is env-blocked (tests/test_iceberg.py), so these semantics are
+rebuilt from scratch and executed here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from webfilter.snaptable import SnapshotTable
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(spark, str(tmp_path), "pages_meta")
+
+
+def _mk(spark, pairs):
+    return spark.createDataFrame(
+        [Row(url=u, lang=lang, n=i) for i, (u, lang) in enumerate(pairs)]
+    )
+
+
+def test_append_and_latest_read(spark, table):
+    s0 = table.append(_mk(spark, [("a", "en"), ("b", "de")]), part_col="lang")
+    s1 = table.append(_mk(spark, [("c", "en")]), part_col="lang")
+    assert (s0, s1) == (0, 1)
+    assert table.current_snapshot() == 1
+    got = {r["url"] for r in table.read().collect()}
+    assert got == {"a", "b", "c"}
+
+
+def test_snapshot_isolation_and_time_travel(spark, table):
+    """The core property ParquetCatalog cannot offer: after an
+    overwrite, the PREVIOUS snapshot still reads byte-identically,
+    because data files are immutable and the overwrite only wrote new
+    files + tombstones."""
+    table.append(_mk(spark, [("a", "en"), ("b", "de")]), part_col="lang")
+    before = _rows(table.read())
+    table.overwrite_partitions(
+        _mk(spark, [("a2", "en"), ("a3", "en")]), part_col="lang"
+    )
+    # latest: en fully replaced, de untouched
+    latest = {r["url"] for r in table.read().collect()}
+    assert latest == {"a2", "a3", "b"}
+    # time travel: snapshot 0 unchanged, value-identical
+    assert _rows(table.read(snapshot=0)) == before
+    # and a third commit stacks correctly
+    table.append(_mk(spark, [("d", "fr")]), part_col="lang")
+    assert {r["url"] for r in table.read().collect()} == {"a2", "a3", "b", "d"}
+    assert {r["url"] for r in table.read(snapshot=1).collect()} == {
+        "a2",
+        "a3",
+        "b",
+    }
+
+
+def test_overwrite_does_not_rewrite_untouched_files(spark, table):
+    """O(touched) commits: the de partition's data file bytes and the
+    prior manifest files are reused by name, never rewritten."""
+    table.append(_mk(spark, [("a", "en"), ("b", "de")]), part_col="lang")
+    de_before = {
+        e["path"]: os.path.getmtime(os.path.join(table.dir, e["path"]))
+        for e in table._resolve(0)[0]
+        if e["partition"]["value"] == "de"
+    }
+    assert de_before
+    table.overwrite_partitions(_mk(spark, [("a2", "en")]), part_col="lang")
+    de_after = {
+        e["path"]: os.path.getmtime(os.path.join(table.dir, e["path"]))
+        for e in table._resolve(1)[0]
+        if e["partition"]["value"] == "de"
+    }
+    assert de_after == de_before  # same files, same mtimes
+    # manifest reuse: snapshot 1's list contains snapshot 0's manifest
+    m0 = table._load_snapshot(0)["manifests"]
+    m1 = table._load_snapshot(1)["manifests"]
+    assert m1[: len(m0)] == m0 and len(m1) == len(m0) + 1
+
+
+def test_reader_survives_concurrent_overwrite(spark, table):
+    """A reader that resolved its DataFrame before a writer's
+    overwrite commit keeps its snapshot: the old files stay on disk
+    until vacuum, so the already-planned scan still works."""
+    table.append(_mk(spark, [("a", "en"), ("b", "de")]), part_col="lang")
+    reader_df = table.read()  # plan pinned to snapshot 0's file list
+    table.overwrite_partitions(_mk(spark, [("a2", "en")]), part_col="lang")
+    assert {r["url"] for r in reader_df.collect()} == {"a", "b"}
+
+
+def test_crash_before_commit_is_invisible(spark, table):
+    """Staged data files without a published manifest list do not
+    change what readers see — the rename is the commit point."""
+    table.append(_mk(spark, [("a", "en")]), part_col="lang")
+    # simulate a writer that crashed after staging data + manifest
+    # file but before publishing the snapshot list
+    staged = table._write_data(_mk(spark, [("ghost", "en")]), "lang")
+    mf = os.path.join(table.meta_dir, "m-9999999999-deadbeef.json")
+    with open(mf, "w") as fh:
+        json.dump({"files": staged, "deletes": None}, fh)
+    assert table.current_snapshot() == 0
+    assert {r["url"] for r in table.read().collect()} == {"a"}
+
+
+def test_manifest_layer_partition_pruning(spark, table):
+    """partition_filter prunes at the metadata layer: the planned
+    scan's input files are exactly the matching partition's files."""
+    table.append(
+        _mk(spark, [("a", "en"), ("b", "de"), ("c", "en")]), part_col="lang"
+    )
+    en = table.read(partition_filter={"lang": ["en"]})
+    assert {r["url"] for r in en.collect()} == {"a", "c"}
+    en_files = {
+        e["path"]
+        for e in table._resolve(0)[0]
+        if e["partition"]["value"] == "en"
+    }
+    scanned = {
+        os.path.relpath(p.removeprefix("file:"), table.dir)
+        for p in en.inputFiles()
+    }
+    assert scanned == en_files
+
+
+def test_null_partition_value_round_trips(spark, table):
+    df = spark.createDataFrame(
+        [Row(url="a", lang=None, n=0), Row(url="b", lang="de", n=1)]
+    )
+    table.append(df, part_col="lang")
+    got = _rows(table.read())
+    assert got == [("a", None, 0), ("b", "de", 1)]
+    only_null = table.read(partition_filter={"lang": [None]})
+    assert {r["url"] for r in only_null.collect()} == {"a"}
+
+
+def test_vacuum_expires_only_dead_files(spark, table):
+    table.append(_mk(spark, [("a", "en"), ("b", "de")]), part_col="lang")
+    table.overwrite_partitions(_mk(spark, [("a2", "en")]), part_col="lang")
+    dead = [
+        os.path.join(table.dir, e["path"])
+        for e in table._resolve(0)[0]
+        if e["partition"]["value"] == "en"
+    ]
+    assert all(os.path.exists(p) for p in dead)
+    stats = table.vacuum(keep_last=1)
+    assert stats["snapshots_expired"] == 1
+    assert not any(os.path.exists(p) for p in dead)
+    # live snapshot unaffected
+    assert {r["url"] for r in table.read().collect()} == {"a2", "b"}
+    # expired snapshot now raises a clean error
+    with pytest.raises(ValueError, match="vacuumed or never"):
+        table.read(snapshot=0)
+
+
+def test_vacuum_noop_when_nothing_to_expire(spark, table):
+    table.append(_mk(spark, [("a", "en")]), part_col="lang")
+    assert table.vacuum(keep_last=2) == {
+        "snapshots_expired": 0,
+        "files_deleted": 0,
+    }
+
+
+def test_unpartitioned_append_and_history(spark, table):
+    table.append(_mk(spark, [("a", "en"), ("b", "de")]))
+    table.append(_mk(spark, [("c", "fr")]))
+    hist = table.snapshots()
+    assert [h["seq"] for h in hist] == [0, 1]
+    assert [h["operation"] for h in hist] == ["append", "append"]
+    assert hist[1]["parent"] == 0
+    assert sum(h["added_rows"] for h in hist) == 3
+    assert table.read().count() == 3
+
+
+def test_empty_partition_filter_result_keeps_schema(spark, table):
+    df = _mk(spark, [("a", "en")])
+    table.append(df, part_col="lang")
+    out = table.read(partition_filter={"lang": ["zz"]})
+    assert out.count() == 0
+    assert out.schema == df.schema
+
+
+def test_overwrite_semantics_match_catalog_golden(spark, table, tmp_path):
+    """Differential check: latest-read semantics equal an in-place
+    dynamic partition overwrite (tables.ParquetCatalog) on the same
+    sequence of operations — the format changes durability, not
+    query results."""
+    from webfilter.tables import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "flat"))
+    batches = [
+        ("append", _mk(spark, [("a", "en"), ("b", "de"), ("c", "fr")])),
+        ("overwrite", _mk(spark, [("a2", "en"), ("d2", "de")])),
+        ("append", _mk(spark, [("e", "fr")])),
+    ]
+    for op, df in batches:
+        if op == "append":
+            table.append(df, part_col="lang")
+            cat.append(df, "t", part_col="lang")
+        else:
+            table.overwrite_partitions(df, part_col="lang")
+            cat.overwrite_partitions(df, "t", part_col="lang")
+    got = _rows(table.read().select("url", "lang", "n"))
+    want = _rows(cat.read("t").select("url", "lang", "n"))
+    assert got == want

@@ -1,0 +1,310 @@
+"""From-scratch snapshot-isolated table format on plain parquet —
+the Iceberg TABLE-FORMAT mechanic (immutable data files + atomic
+metadata commits) rebuilt on public APIs only.
+
+Why this exists: the reference executes real Delta MERGE/DDL against
+a metastore (01_Metadata_Sync.py:59-65, pmc.py:164-175); this repo's
+Iceberg execution is jar-blocked offline (tests/test_iceberg.py
+probes and documents the coordinates).  `ParquetCatalog` (tables.py)
+gives the PIPELINE its audit/manifest persistence but mutates files
+in place, so concurrent readers can observe torn tables and there is
+no time travel.  This module supplies the missing semantic — the
+part of Iceberg the engine actually *relies on* for correctness at
+scale — as executed, tested code:
+
+* **Immutable data files.**  Every write lands new parquet files
+  under a fresh UUID staging dir; nothing is ever modified.
+* **Atomic commits.**  A commit writes one *manifest file* (the
+  files it ADDED plus partition-value tombstones for what it
+  logically REMOVED) and then one *manifest list* naming every
+  manifest file visible in the new snapshot.  The manifest list is
+  renamed into place (`os.replace`) — readers see the previous
+  snapshot or the new one, never a torn state.  This is the
+  single-writer Hadoop-catalog discipline Iceberg uses when no
+  metastore is available: the rename IS the commit point.
+* **Snapshot isolation / time travel.**  `read(name, snapshot=s)`
+  resolves the file set of snapshot `s` exactly as it was; a reader
+  that resolved its file list before a later overwrite keeps reading
+  those files untouched (until `vacuum` expires them).
+* **O(touched) commit cost.**  Unchanged manifest files are
+  referenced by name in the new manifest list, never rewritten —
+  the same reuse trick as Iceberg's manifest-list layer.  At 10^12
+  docs a commit writes metadata proportional to the files it touched
+  plus one line per existing manifest file, not to table size.
+* **Manifest-layer partition pruning.**  File↔partition-value
+  mapping lives in the manifests, so `read(..., partition_filter=)`
+  plans a scan over only the matching files — file skipping before
+  Spark ever lists a directory, which is what makes a 10^12-doc
+  table queryable without a full listing.
+* **Vacuum.**  `vacuum(keep_last=k)` deletes data/manifest files
+  unreferenced by the last k snapshots — Iceberg's
+  `expire_snapshots`, the only deleting operation in the format.
+
+Partition handling: the writer duplicates the partition column into
+`__pv` and writes with `partitionBy("__pv")`, so the directory name
+encodes the value (hive-escaped) while the data files keep EVERY
+original column — explicit-file-list reads therefore need no
+basePath reconstruction and lose nothing.  Rows-per-file comes from
+parquet footers (pyarrow), mirroring the file-level stats Iceberg
+keeps in its manifests.
+
+Single-writer by design (documented, like the Hadoop catalog without
+a lock server); readers are unlimited and lock-free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from urllib.parse import unquote
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+class SnapshotTable:
+    """One snapshot-isolated table rooted at ``<root>/<name>``."""
+
+    def __init__(self, spark: SparkSession, root: str, name: str):
+        self.spark = spark
+        self.dir = os.path.join(root, name)
+        self.data_dir = os.path.join(self.dir, "data")
+        self.meta_dir = os.path.join(self.dir, "_meta")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.meta_dir, exist_ok=True)
+
+    # ------------------------------------------------------------- metadata
+
+    def _snapshot_files(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self.meta_dir) if f.startswith("s-")
+        )
+
+    def current_snapshot(self) -> int | None:
+        snaps = self._snapshot_files()
+        if not snaps:
+            return None
+        return int(snaps[-1][2:-5])
+
+    def snapshots(self) -> list[dict]:
+        """Commit history, oldest first (the `<t>.snapshots` analog)."""
+        out = []
+        for f in self._snapshot_files():
+            with open(os.path.join(self.meta_dir, f)) as fh:
+                out.append(json.load(fh))
+        return out
+
+    def _load_snapshot(self, seq: int) -> dict:
+        path = os.path.join(self.meta_dir, f"s-{seq:010d}.json")
+        if not os.path.exists(path):
+            raise ValueError(
+                f"snapshot {seq} does not exist (vacuumed or never "
+                f"committed); available: "
+                f"{[int(s[2:-5]) for s in self._snapshot_files()]}"
+            )
+        with open(path) as fh:
+            return json.load(fh)
+
+    def _resolve(self, seq: int) -> tuple[list[dict], dict]:
+        """File entries visible in snapshot ``seq``.
+
+        Manifest files are applied in commit order; a manifest's
+        partition tombstones hide matching entries from every EARLIER
+        manifest (exactly Iceberg's overwrite semantics: logical
+        delete by partition predicate, physical files untouched)."""
+        snap = self._load_snapshot(seq)
+        entries: list[dict] = []
+        for mf in snap["manifests"]:
+            with open(os.path.join(self.meta_dir, mf)) as fh:
+                man = json.load(fh)
+            dels = man.get("deletes")
+            if dels:
+                col, values = dels["part_col"], set(dels["values"])
+                entries = [
+                    e
+                    for e in entries
+                    if not (
+                        e["partition"] is not None
+                        and e["partition"].get("col") == col
+                        and e["partition"]["value"] in values
+                    )
+                ]
+            entries.extend(man["files"])
+        return entries, snap
+
+    # ----------------------------------------------------------- data write
+
+    def _write_data(
+        self, df: DataFrame, part_col: str | None
+    ) -> list[dict]:
+        """Write immutable data files for one commit; return manifest
+        entries [{path, partition, rows, bytes}] with footer stats."""
+        staging = f"b-{uuid.uuid4().hex}"
+        out = os.path.join(self.data_dir, staging)
+        if part_col is not None:
+            from pyspark.sql import functions as F
+
+            (
+                df.withColumn("__pv", F.col(part_col).cast("string"))
+                .write.partitionBy("__pv")
+                .parquet(out)
+            )
+        else:
+            df.write.parquet(out)
+        entries = []
+        for dirpath, _dirs, files in os.walk(out):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.dir)
+                partition = None
+                if part_col is not None:
+                    pv = os.path.basename(dirpath)
+                    assert pv.startswith("__pv="), pv
+                    raw = unquote(pv[len("__pv=") :])
+                    partition = {
+                        "col": part_col,
+                        "value": None if raw == _HIVE_NULL else raw,
+                    }
+                meta = pq.ParquetFile(full).metadata
+                entries.append(
+                    {
+                        "path": rel,
+                        "partition": partition,
+                        "rows": meta.num_rows,
+                        "bytes": os.path.getsize(full),
+                    }
+                )
+        entries.sort(key=lambda e: e["path"])
+        return entries
+
+    def _commit(
+        self,
+        operation: str,
+        added: list[dict],
+        deletes: dict | None,
+        schema_json: str,
+    ) -> int:
+        """Write one manifest file, then atomically publish the new
+        manifest list.  ``os.replace`` of the list is the commit
+        point — a crash before it leaves the table at the previous
+        snapshot with only unreferenced staging files on disk (which
+        ``vacuum`` later removes)."""
+        cur = self.current_snapshot()
+        prev_manifests: list[str] = (
+            self._load_snapshot(cur)["manifests"] if cur is not None else []
+        )
+        seq = 0 if cur is None else cur + 1
+        mf_name = f"m-{seq:010d}-{uuid.uuid4().hex}.json"
+        with open(os.path.join(self.meta_dir, mf_name), "w") as fh:
+            json.dump({"files": added, "deletes": deletes}, fh)
+        snap = {
+            "seq": seq,
+            "operation": operation,
+            "parent": cur,
+            "manifests": prev_manifests + [mf_name],
+            "schema": schema_json,
+            "added_files": len(added),
+            "added_rows": sum(e["rows"] for e in added),
+        }
+        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(snap, fh)
+        os.replace(tmp, os.path.join(self.meta_dir, f"s-{seq:010d}.json"))
+        return seq
+
+    # ------------------------------------------------------------ operators
+
+    def append(self, df: DataFrame, part_col: str | None = None) -> int:
+        added = self._write_data(df, part_col)
+        return self._commit("append", added, None, df.schema.json())
+
+    def overwrite_partitions(self, df: DataFrame, part_col: str) -> int:
+        """Dynamic partition overwrite: replace exactly the partition
+        values present in ``df`` — older files of those partitions
+        become invisible via tombstones (and reclaimable by vacuum),
+        all other partitions' files are untouched AND unrewritten."""
+        added = self._write_data(df, part_col)
+        values = sorted(
+            {e["partition"]["value"] for e in added},
+            key=lambda v: (v is None, v),
+        )
+        deletes = {"part_col": part_col, "values": values}
+        return self._commit(
+            "overwrite_partitions", added, deletes, df.schema.json()
+        )
+
+    def read(
+        self,
+        snapshot: int | None = None,
+        partition_filter: dict[str, list] | None = None,
+    ) -> DataFrame:
+        """DataFrame over one snapshot's exact file set (latest by
+        default).  ``partition_filter={"col": [v, ...]}`` prunes at
+        the MANIFEST layer: non-matching files never reach the scan."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise ValueError("table has no snapshots")
+        seq = cur if snapshot is None else snapshot
+        entries, snap = self._resolve(seq)
+        if partition_filter:
+            (col, values), = partition_filter.items()
+            wanted = {None if v is None else str(v) for v in values}
+            entries = [
+                e
+                for e in entries
+                if e["partition"] is not None
+                and e["partition"]["col"] == col
+                and e["partition"]["value"] in wanted
+            ]
+        schema = T.StructType.fromJson(json.loads(snap["schema"]))
+        if not entries:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.dir, e["path"]) for e in entries]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def file_count(self, snapshot: int | None = None) -> int:
+        seq = self.current_snapshot() if snapshot is None else snapshot
+        return len(self._resolve(seq)[0])
+
+    def vacuum(self, keep_last: int = 1) -> dict:
+        """Expire all but the last ``keep_last`` snapshots and delete
+        every data/manifest file they alone referenced.  Time travel
+        to an expired snapshot then raises (documented contract)."""
+        snaps = self._snapshot_files()
+        if len(snaps) <= keep_last:
+            return {"snapshots_expired": 0, "files_deleted": 0}
+        keep = snaps[-keep_last:]
+        keep_seqs = [int(s[2:-5]) for s in keep]
+        live_files: set[str] = set()
+        live_manifests: set[str] = set()
+        for seq in keep_seqs:
+            entries, snap = self._resolve(seq)
+            live_files.update(e["path"] for e in entries)
+            live_manifests.update(snap["manifests"])
+        deleted = 0
+        for dirpath, _dirs, files in os.walk(self.data_dir):
+            for fn in files:
+                full = os.path.join(dirpath, fn)
+                if os.path.relpath(full, self.dir) not in live_files:
+                    os.remove(full)
+                    deleted += 1
+        for fn in os.listdir(self.meta_dir):
+            if fn.startswith("m-") and fn not in live_manifests:
+                os.remove(os.path.join(self.meta_dir, fn))
+        for s in snaps[:-keep_last]:
+            os.remove(os.path.join(self.meta_dir, s))
+        # drop now-empty staging dirs so the data tree stays walkable
+        for dirpath, dirs, files in list(os.walk(self.data_dir, topdown=False)):
+            if dirpath != self.data_dir and not dirs and not files:
+                shutil.rmtree(dirpath, ignore_errors=True)
+        return {
+            "snapshots_expired": len(snaps) - keep_last,
+            "files_deleted": deleted,
+        }
