@@ -215,3 +215,120 @@ def test_overwrite_semantics_match_catalog_golden(spark, table, tmp_path):
     got = _rows(table.read().select("url", "lang", "n"))
     want = _rows(cat.read("t").select("url", "lang", "n"))
     assert got == want
+
+
+# ---------------------------------------------------------------- MERGE
+
+
+def _pages(spark, rows):
+    """(url, warc_ts-int, payload) pages with bucket = url-hash % 4."""
+    df = spark.createDataFrame(
+        [Row(url=u, warc_ts=ts, payload=p) for u, ts, p in rows]
+    )
+    return df.withColumn(
+        "bucket_id", (F.abs(F.xxhash64("url")) % 4).cast("int")
+    )
+
+
+def test_merge_upsert_matched_and_not_matched(spark, table):
+    """The reference's conditional MERGE rule executed on the
+    snapshot format: newer matched rows update, stale matched rows
+    are ignored (monotonic guard), unmatched rows insert — one
+    atomic commit."""
+    base = _pages(spark, [("u1", 10, "old1"), ("u2", 10, "old2")])
+    table.merge_upsert(
+        base, ["url"], ["warc_ts", "payload"], part_col="bucket_id"
+    )
+    upd = _pages(
+        spark,
+        [
+            ("u1", 20, "new1"),   # matched, newer -> update
+            ("u2", 5, "stale2"),  # matched, older -> ignored
+            ("u3", 15, "ins3"),   # not matched -> insert
+        ],
+    )
+    table.merge_upsert(
+        upd, ["url"], ["warc_ts", "payload"], part_col="bucket_id"
+    )
+    got = {
+        r["url"]: (r["warc_ts"], r["payload"])
+        for r in table.read().collect()
+    }
+    assert got == {"u1": (20, "new1"), "u2": (10, "old2"), "u3": (15, "ins3")}
+    # time travel still shows the pre-merge table
+    pre = {
+        r["url"]: r["payload"] for r in table.read(snapshot=0).collect()
+    }
+    assert pre == {"u1": "old1", "u2": "old2"}
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, table):
+    base = _pages(
+        spark, [(f"u{i}", 10, f"p{i}") for i in range(12)]
+    )
+    table.merge_upsert(
+        base, ["url"], ["warc_ts", "payload"], part_col="bucket_id"
+    )
+    upd = _pages(spark, [("u0", 20, "p0v2")])
+    touched = {r[0] for r in upd.select("bucket_id").collect()}
+    untouched_before = {
+        e["path"]: os.path.getmtime(os.path.join(table.dir, e["path"]))
+        for e in table._resolve(0)[0]
+        if int(e["partition"]["value"]) not in touched
+    }
+    assert untouched_before
+    table.merge_upsert(
+        upd, ["url"], ["warc_ts", "payload"], part_col="bucket_id"
+    )
+    untouched_after = {
+        e["path"]: os.path.getmtime(os.path.join(table.dir, e["path"]))
+        for e in table._resolve(1)[0]
+        if int(e["partition"]["value"]) not in touched
+    }
+    assert untouched_after == untouched_before
+    assert table.read().count() == 12  # u0 replaced, nothing lost
+
+
+def test_merge_upsert_matches_catalog_merge(spark, table, tmp_path):
+    """Differential: snapshot-format MERGE == tables.merge_upsert_pages
+    (the in-place bucketed merge) on the same update sequence."""
+    from webfilter.tables import ParquetCatalog, merge_upsert_pages
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                Row(url=u, warc_ts=ts, html=bytearray(p, "utf-8"))
+                for u, ts, p in rows
+            ]
+        ).withColumn(
+            "warc_ts", F.timestamp_seconds(F.col("warc_ts"))
+        )
+
+    cat = ParquetCatalog(spark, str(tmp_path / "flat"))
+    batches = [
+        [("a", 10, "x"), ("b", 10, "y"), ("c", 10, "z")],
+        [("a", 20, "x2"), ("d", 5, "w")],
+        [("b", 1, "stale"), ("d", 9, "w2")],
+    ]
+    from webfilter.partitioning import with_bucket
+
+    for rows in batches:
+        df = mk(rows)
+        merge_upsert_pages(cat, df, "pages", n_buckets=4)
+        table.merge_upsert(
+            with_bucket(df, 4),
+            ["url"],
+            ["warc_ts"],
+            part_col="bucket_id",
+        )
+    key = lambda r: r["url"]
+    got = sorted(
+        ((r["url"], r["warc_ts"], bytes(r["html"])) for r in table.read().collect())
+    )
+    want = sorted(
+        (
+            (r["url"], r["warc_ts"], bytes(r["html"]))
+            for r in cat.read("pages").collect()
+        )
+    )
+    assert got == want

@@ -67,6 +67,23 @@ from pyspark.sql import types as T
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _latest_per_key(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Newest row per key, ``order_cols`` descending (deterministic
+    when the last order col is unique per key — callers pass a
+    content hash as the tie-break, like tables.latest_per_url)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 class SnapshotTable:
     """One snapshot-isolated table rooted at ``<root>/<name>``."""
 
@@ -239,6 +256,49 @@ class SnapshotTable:
         return self._commit(
             "overwrite_partitions", added, deletes, df.schema.json()
         )
+
+    def merge_upsert(
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        order_cols: list[str],
+        part_col: str,
+    ) -> int:
+        """Executed conditional MERGE as one atomic snapshot commit:
+        ``WHEN MATCHED AND s.order > t.order UPDATE SET *`` /
+        ``WHEN NOT MATCHED INSERT *`` (the reference's
+        01_Metadata_Sync.py:59-65 rule, MERGE_INTO_SQL in tables.py).
+
+        Only the partitions present in the update batch are re-read —
+        via the manifest-pruned ``read``, so the scan receives exactly
+        those partitions' files — merged latest-wins per key
+        (``order_cols`` descending, which subsumes the monotonic
+        guard: a stale matched row simply loses the window), and
+        republished.  Untouched partitions' data files AND manifest
+        files are reused by name.  Requires ``part_col`` to be a pure
+        function of the key (url-hash bucketing satisfies this), the
+        same constraint as tables.merge_upsert_pages.
+
+        Unlike the in-place dynamic-overwrite merge
+        (tables.merge_upsert_pages), a crash mid-merge here leaves
+        the table at the PRE-merge snapshot — the commit is the
+        manifest-list rename, after every data file is written.
+
+        The distinct-partitions collect is bounded by partition
+        cardinality (= the bucket count at scale), the manifest
+        granularity the pipeline already tracks."""
+        merged_new = _latest_per_key(updates, key_cols, order_cols)
+        if self.current_snapshot() is None:
+            return self.overwrite_partitions(merged_new, part_col)
+        touched = sorted(
+            (r[0] for r in updates.select(part_col).distinct().collect()),
+            key=lambda v: (v is None, str(v)),
+        )
+        current = self.read(partition_filter={part_col: touched})
+        merged = _latest_per_key(
+            current.unionByName(updates), key_cols, order_cols
+        )
+        return self.overwrite_partitions(merged, part_col)
 
     def read(
         self,
