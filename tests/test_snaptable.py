@@ -332,3 +332,49 @@ def test_merge_upsert_matches_catalog_merge(spark, table, tmp_path):
         )
     )
     assert got == want
+
+
+# ------------------------------------------------------- schema evolution
+
+
+def test_schema_evolution_add_column_null_backfills(spark, table):
+    """Additive evolution without rewrites: pre-evolution files are
+    read under the union schema with the new column null-filled;
+    time travel keeps the old schema."""
+    table.append(_mk(spark, [("a", "en")]), part_col="lang")
+    evolved = spark.createDataFrame(
+        [Row(url="b", lang="de", n=9, quality=0.5)]
+    )
+    table.append(evolved, part_col="lang")
+    out = table.read()
+    assert out.columns == ["url", "lang", "n", "quality"]
+    got = {r["url"]: r["quality"] for r in out.collect()}
+    assert got == {"a": None, "b": 0.5}
+    # time travel: snapshot 0 still has the ORIGINAL schema
+    assert table.read(snapshot=0).columns == ["url", "lang", "n"]
+
+
+def test_schema_evolution_rejects_type_change(spark, table):
+    table.append(_mk(spark, [("a", "en")]), part_col="lang")
+    bad = spark.createDataFrame([Row(url="b", lang="de", n="nine")])
+    with pytest.raises(ValueError, match="cannot change column 'n'"):
+        table.append(bad, part_col="lang")
+    # failed evolution left no commit behind
+    assert table.current_snapshot() == 0
+
+
+def test_schema_evolution_rejects_non_nullable_addition(spark, table):
+    from pyspark.sql import types as T
+
+    table.append(_mk(spark, [("a", "en")]), part_col="lang")
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("rank", T.LongType(), nullable=False),
+        ]
+    )
+    bad = spark.createDataFrame([("b", "de", 1, 7)], schema)
+    with pytest.raises(ValueError, match="must be nullable"):
+        table.append(bad, part_col="lang")

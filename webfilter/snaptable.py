@@ -238,15 +238,51 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ operators
 
+    def _evolved_schema(self, df: DataFrame) -> str:
+        """Iceberg-style additive schema evolution: a write may ADD
+        nullable columns; existing columns must keep their type.  The
+        snapshot records the union schema (old field order first), so
+        reads over pre-evolution files null-fill the new columns (the
+        explicit-schema parquet reader does this natively) — no file
+        is ever rewritten for a schema change.  Type changes and
+        non-nullable additions raise: silent widening is how a
+        10^12-doc table corrupts quietly."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return df.schema.json()
+        old = T.StructType.fromJson(
+            json.loads(self._load_snapshot(cur)["schema"])
+        )
+        new_by_name = {f.name: f for f in df.schema.fields}
+        for f in old.fields:
+            g = new_by_name.get(f.name)
+            if g is not None and g.dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution cannot change column {f.name!r}: "
+                    f"{f.dataType.simpleString()} -> "
+                    f"{g.dataType.simpleString()}"
+                )
+        old_names = {f.name for f in old.fields}
+        added = [f for f in df.schema.fields if f.name not in old_names]
+        for f in added:
+            if not f.nullable:
+                raise ValueError(
+                    f"new column {f.name!r} must be nullable (existing "
+                    "files have no values for it)"
+                )
+        return T.StructType(list(old.fields) + added).json()
+
     def append(self, df: DataFrame, part_col: str | None = None) -> int:
+        schema = self._evolved_schema(df)
         added = self._write_data(df, part_col)
-        return self._commit("append", added, None, df.schema.json())
+        return self._commit("append", added, None, schema)
 
     def overwrite_partitions(self, df: DataFrame, part_col: str) -> int:
         """Dynamic partition overwrite: replace exactly the partition
         values present in ``df`` — older files of those partitions
         become invisible via tombstones (and reclaimable by vacuum),
         all other partitions' files are untouched AND unrewritten."""
+        schema = self._evolved_schema(df)
         added = self._write_data(df, part_col)
         values = sorted(
             {e["partition"]["value"] for e in added},
@@ -254,7 +290,7 @@ class SnapshotTable:
         )
         deletes = {"part_col": part_col, "values": values}
         return self._commit(
-            "overwrite_partitions", added, deletes, df.schema.json()
+            "overwrite_partitions", added, deletes, schema
         )
 
     def merge_upsert(
