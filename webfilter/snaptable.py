@@ -369,6 +369,34 @@ class SnapshotTable:
         seq = self.current_snapshot() if snapshot is None else snapshot
         return len(self._resolve(seq)[0])
 
+    def foreach_batch_merge(
+        self,
+        key_cols: list[str],
+        order_cols: list[str],
+        part_col: str,
+    ):
+        """Streaming sink: a ``foreachBatch`` function that MERGEs
+        each micro-batch into the table as one atomic snapshot
+        commit — the S7 upsert sink (streaming.upsert_batch) on the
+        snapshot format.
+
+        Exactly-once composition: the stream checkpoint makes
+        delivery at-least-once across restarts; the merge is
+        latest-wins per key, so a REPLAYED batch commits a snapshot
+        with identical visible content (idempotent), and a crash
+        between data-file staging and the manifest-list rename leaves
+        the table at the previous epoch's snapshot — no torn epoch is
+        ever readable.  Each epoch is one snapshot: `snapshots()` is
+        the stream's commit history and time travel replays the table
+        as of any epoch."""
+
+        def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.merge_upsert(batch_df, key_cols, order_cols, part_col)
+
+        return _sink
+
     def vacuum(self, keep_last: int = 1) -> dict:
         """Expire all but the last ``keep_last`` snapshots and delete
         every data/manifest file they alone referenced.  Time travel
