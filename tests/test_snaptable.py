@@ -451,3 +451,41 @@ def test_streaming_merge_sink_epochs_and_replay(spark, table, tmp_path):
     assert table.current_snapshot() > n_epoch_snaps
     first = table.read(snapshot=0).collect()
     assert {r["url"] for r in first} <= {"u1", "u2", "u3"}
+
+
+def test_compact_manifests_metadata_only(spark, table):
+    """rewrite_manifests analog: after N commits the snapshot's
+    manifest list folds to length 1, zero data files move, reads are
+    identical, and PRIOR snapshots still resolve their own chains."""
+    table.append(_mk(spark, [("a", "en"), ("b", "de")]), part_col="lang")
+    table.overwrite_partitions(_mk(spark, [("a2", "en")]), part_col="lang")
+    table.append(_mk(spark, [("c", "fr")]), part_col="lang")
+    before = _rows(table.read())
+    files_before = {
+        e["path"]: os.path.getmtime(os.path.join(table.dir, e["path"]))
+        for e in table._resolve(2)[0]
+    }
+    assert len(table._load_snapshot(2)["manifests"]) == 3
+    seq = table.compact_manifests()
+    assert seq == 3
+    assert len(table._load_snapshot(3)["manifests"]) == 1
+    assert _rows(table.read()) == before
+    files_after = {
+        e["path"]: os.path.getmtime(os.path.join(table.dir, e["path"]))
+        for e in table._resolve(3)[0]
+    }
+    assert files_after == files_before  # metadata-only
+    # tombstone-shadowed entries are gone from the folded manifest
+    with open(
+        os.path.join(table.meta_dir, table._load_snapshot(3)["manifests"][0])
+    ) as fh:
+        folded = json.load(fh)
+    assert folded["deletes"] is None
+    urls_in_folded = len(folded["files"])
+    assert urls_in_folded == len(files_after)
+    # pre-compaction snapshots unaffected
+    assert {r["url"] for r in table.read(snapshot=0).collect()} == {"a", "b"}
+    # and vacuum after compaction drops the dead 'en' v1 files
+    stats = table.vacuum(keep_last=1)
+    assert stats["snapshots_expired"] == 3
+    assert {r["url"] for r in table.read().collect()} == {"a2", "b", "c"}

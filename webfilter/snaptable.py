@@ -397,6 +397,37 @@ class SnapshotTable:
 
         return _sink
 
+    def compact_manifests(self) -> int:
+        """Fold the current snapshot's resolved entries into ONE
+        manifest file and commit — Iceberg's ``rewrite_manifests``.
+        Metadata-only: zero data files move.  This is what bounds
+        snapshot-resolution cost over a long commit history: the new
+        snapshot's list has length 1 (tombstone-shadowed entries are
+        gone), while older snapshots keep their original chains until
+        ``vacuum`` expires them."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise ValueError("table has no snapshots")
+        entries, snap = self._resolve(cur)
+        seq = cur + 1
+        mf_name = f"m-{seq:010d}-{uuid.uuid4().hex}.json"
+        with open(os.path.join(self.meta_dir, mf_name), "w") as fh:
+            json.dump({"files": entries, "deletes": None}, fh)
+        new_snap = {
+            "seq": seq,
+            "operation": "compact_manifests",
+            "parent": cur,
+            "manifests": [mf_name],
+            "schema": snap["schema"],
+            "added_files": 0,
+            "added_rows": 0,
+        }
+        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(new_snap, fh)
+        os.replace(tmp, os.path.join(self.meta_dir, f"s-{seq:010d}.json"))
+        return seq
+
     def vacuum(self, keep_last: int = 1) -> dict:
         """Expire all but the last ``keep_last`` snapshots and delete
         every data/manifest file they alone referenced.  Time travel
