@@ -489,3 +489,50 @@ def test_compact_manifests_metadata_only(spark, table):
     stats = table.vacuum(keep_last=1)
     assert stats["snapshots_expired"] == 3
     assert {r["url"] for r in table.read().collect()} == {"a2", "b", "c"}
+
+
+def test_range_filter_stats_file_skipping(spark, table):
+    """Iceberg-style stats-based file skipping: footer min/max
+    recorded in the manifest prunes files outside the predicate
+    range, and pruning never changes semantics (caller still
+    filters rows)."""
+    # three appends with disjoint warc_ts ranges -> 3+ files
+    for lo in (0, 100, 200):
+        df = spark.createDataFrame(
+            [Row(url=f"u{lo}_{i}", warc_ts=lo + i, lang="en") for i in range(5)]
+        ).coalesce(1)
+        table.append(df, part_col="lang")
+    full = table.read()
+    pruned = table.read(range_filter={"warc_ts": (100, 150)})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    got = {r["url"] for r in pruned.filter(
+        (F.col("warc_ts") >= 100) & (F.col("warc_ts") <= 150)).collect()}
+    want = {r["url"] for r in full.filter(
+        (F.col("warc_ts") >= 100) & (F.col("warc_ts") <= 150)).collect()}
+    assert got == want and len(want) == 5
+    # open-ended bounds
+    tail = table.read(range_filter={"warc_ts": (200, None)})
+    assert {r["url"] for r in tail.collect()} == {f"u200_{i}" for i in range(5)}
+    # a column with no recorded stats is conservatively unpruned
+    nostats = table.read(range_filter={"nosuchcol": (0, 1)})
+    assert len(nostats.inputFiles()) == len(full.inputFiles())
+
+
+def test_range_and_partition_filters_compose(spark, table):
+    for lang, lo in (("en", 0), ("de", 100)):
+        df = spark.createDataFrame(
+            [Row(url=f"{lang}{i}", warc_ts=lo + i, lang=lang) for i in range(4)]
+        ).coalesce(1)
+        table.append(df, part_col="lang")
+    out = table.read(
+        partition_filter={"lang": ["de"]}, range_filter={"warc_ts": (100, 101)}
+    )
+    # partition pruning keeps only de's file; stats keep it (overlap)
+    assert {r["url"] for r in out.filter(F.col("warc_ts") <= 101).collect()} == {
+        "de0",
+        "de1",
+    }
+    none = table.read(
+        partition_filter={"lang": ["de"]}, range_filter={"warc_ts": (0, 50)}
+    )
+    assert none.count() == 0  # stats exclude de's only file

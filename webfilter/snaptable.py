@@ -67,6 +67,41 @@ from pyspark.sql import types as T
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _footer_min_max(meta) -> dict:
+    """Per-file column min/max from the parquet footer (aggregated
+    over row groups) — the file-level stats Iceberg keeps in its
+    manifests for scan planning.  Only JSON-native scalar types
+    (int/float/str) are recorded; other types simply carry no stats
+    and are never pruned on (conservative)."""
+    out: dict[str, list] = {}
+    seen: dict[str, int] = {}
+    for rg in range(meta.num_row_groups):
+        row_group = meta.row_group(rg)
+        for c in range(row_group.num_columns):
+            col = row_group.column(c)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if not isinstance(lo, (int, float, str)) or isinstance(
+                lo, bool
+            ):
+                continue
+            name = col.path_in_schema
+            seen[name] = seen.get(name, 0) + 1
+            if name in out:
+                prev = out[name]
+                out[name] = [min(prev[0], lo), max(prev[1], hi)]
+            else:
+                out[name] = [lo, hi]
+    # a column missing stats in ANY row group has an unknown true
+    # range — dropping it keeps pruning sound (never skip a file that
+    # might match)
+    return {
+        k: v for k, v in out.items() if seen[k] == meta.num_row_groups
+    }
+
+
 def _latest_per_key(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
     """Newest row per key, ``order_cols`` descending (deterministic
     when the last order col is unique per key — callers pass a
@@ -196,6 +231,7 @@ class SnapshotTable:
                         "partition": partition,
                         "rows": meta.num_rows,
                         "bytes": os.path.getsize(full),
+                        "stats": _footer_min_max(meta),
                     }
                 )
         entries.sort(key=lambda e: e["path"])
@@ -340,10 +376,17 @@ class SnapshotTable:
         self,
         snapshot: int | None = None,
         partition_filter: dict[str, list] | None = None,
+        range_filter: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """DataFrame over one snapshot's exact file set (latest by
         default).  ``partition_filter={"col": [v, ...]}`` prunes at
-        the MANIFEST layer: non-matching files never reach the scan."""
+        the MANIFEST layer: non-matching files never reach the scan.
+        ``range_filter={"col": (lo, hi)}`` additionally skips files
+        whose footer min/max (recorded in the manifest at write time)
+        cannot overlap [lo, hi] — Iceberg's stats-based file skipping;
+        files without stats for the column are conservatively kept.
+        Pruning is metadata-only: the caller still applies the actual
+        row predicate (pruning narrows I/O, never semantics)."""
         cur = self.current_snapshot()
         if cur is None:
             raise ValueError("table has no snapshots")
@@ -359,6 +402,14 @@ class SnapshotTable:
                 and e["partition"]["col"] == col
                 and e["partition"]["value"] in wanted
             ]
+        if range_filter:
+            for col, (lo, hi) in range_filter.items():
+                entries = [
+                    e
+                    for e in entries
+                    if (s := e.get("stats", {}).get(col)) is None
+                    or ((hi is None or s[0] <= hi) and (lo is None or s[1] >= lo))
+                ]
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
         if not entries:
             return self.spark.createDataFrame([], schema)
