@@ -536,3 +536,35 @@ def test_range_and_partition_filters_compose(spark, table):
         partition_filter={"lang": ["de"]}, range_filter={"warc_ts": (0, 50)}
     )
     assert none.count() == 0  # stats exclude de's only file
+
+
+def test_zorder_clustered_append_composes_with_file_skipping(spark, table):
+    """zorder_write's clustering discipline + manifest stats =
+    metadata-layer data skipping: a 2-D range predicate over
+    z-clustered files opens a small fraction of them, with results
+    identical to the unpruned scan."""
+    from webfilter.zorder import with_zorder
+
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.xxhash64("id") % 1000).alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 1000).alias("y"),
+    ).withColumn("x", F.abs("x")).withColumn("y", F.abs("y"))
+    clustered = (
+        with_zorder(df, ["x", "y"], bits=10)
+        .repartitionByRange(16, F.col("zval"))
+        .sortWithinPartitions("zval")
+        .drop("zval")
+    )
+    table.append(clustered)
+    full = table.read()
+    assert len(full.inputFiles()) == 16
+    pred = (F.col("x") < 100) & (F.col("y") < 100)
+    pruned = table.read(
+        range_filter={"x": (0, 99), "y": (0, 99)}
+    )
+    assert len(pruned.inputFiles()) <= 8  # z-locality: most files skip
+    got = {r["id"] for r in pruned.filter(pred).collect()}
+    want = {r["id"] for r in full.filter(pred).collect()}
+    assert got == want and want
