@@ -7339,6 +7339,90 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "boilerplate_clean": (q_boilerplate_clean, SQL_BOILERPLATE_CLEAN),
 }
 
+def q_dq_verify(spark, sf_dir):
+    """Declarative data-quality constraint verification (Deequ-style;
+    differential form per the ICDE'19 partitioned-verification paper
+    — webfilter/dq.py): a 4-constraint suite over documents —
+    completeness(lang), range(n_chars in [0, 10^6]),
+    satisfies(length(text) > 0), approx-unique(doc_id) via the
+    cross-engine md5 HLL (m=256) — evaluated from per-bucket
+    (doc_id % 8) MERGEABLE state, so the same verify() runs a full
+    table or a differential refresh of changed buckets identically
+    (refresh == recompute proven in tests/test_dq.py). The unique
+    metric rounds the 2dp register estimate against exact n, the
+    hll_distinct_terms replay precedent."""
+    from .dq import Complete, InRange, Satisfies, Unique, bucket_state, verify
+
+    suite = [
+        Complete("lang", 0.50),
+        InRange("n_chars", 0, 1_000_000, max_violation_fraction=0.0),
+        Satisfies("has_text", "length(text) > 0", 0.50),
+        Unique("doc_id", 0.90),
+    ]
+    docs = _docs(spark, sf_dir).withColumn(
+        "bucket_id", F.pmod(F.col("doc_id"), F.lit(8))
+    )
+    return verify(bucket_state(docs, suite), suite).orderBy("constraint")
+
+
+SQL_DQ_VERIFY = """
+WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+comp AS (
+  SELECT 'complete_lang' AS "constraint",
+    round(count(lang)::DOUBLE / n.n, 6) AS metric, 0.5::DOUBLE AS threshold,
+    count(lang)::DOUBLE / n.n >= 0.5 AS passed
+  FROM documents, n GROUP BY n.n),
+rng AS (
+  SELECT 'in_range_n_chars' AS "constraint",
+    round(sum(CASE WHEN n_chars IS NOT NULL
+                    AND (n_chars < 0 OR n_chars > 1000000)
+              THEN 1 ELSE 0 END)::DOUBLE / n.n, 6) AS metric,
+    0.0::DOUBLE AS threshold,
+    sum(CASE WHEN n_chars IS NOT NULL
+              AND (n_chars < 0 OR n_chars > 1000000)
+        THEN 1 ELSE 0 END)::DOUBLE / n.n <= 0.0 AS passed
+  FROM documents, n GROUP BY n.n),
+sat AS (
+  SELECT 'satisfies_has_text' AS "constraint",
+    round(sum(coalesce(length(text) > 0, FALSE)::INT)::DOUBLE / n.n, 6)
+      AS metric, 0.5::DOUBLE AS threshold,
+    sum(coalesce(length(text) > 0, FALSE)::INT)::DOUBLE / n.n >= 0.5
+      AS passed
+  FROM documents, n GROUP BY n.n),
+h AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM documents WHERE doc_id IS NOT NULL),
+regs AS (
+  SELECT h & 255 AS reg,
+    max(CASE WHEN (h >> 8) = 0 THEN 53
+        ELSE 53 - length(bin(h >> 8)) END) AS m_j
+  FROM h GROUP BY 1),
+state AS (
+  SELECT count(*)::BIGINT AS regs_hit, 256 - count(*)::BIGINT AS v_zero,
+    (sum(1::BIGINT << (53 - m_j)::INT)
+     + (256 - count(*)) * (1::BIGINT << 53))::BIGINT AS s_denom
+  FROM regs),
+est AS (
+  SELECT round(CASE
+    WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+         / s_denom::DOUBLE <= 640.0 AND v_zero > 0
+    THEN 256.0 * ln(256.0 / v_zero::DOUBLE)
+    ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+         / s_denom::DOUBLE END, 2) AS e
+  FROM state),
+uniq AS (
+  SELECT 'unique_doc_id' AS "constraint",
+    round(est.e / n.n, 6) AS metric, 0.9::DOUBLE AS threshold,
+    est.e / n.n >= 0.9 AS passed
+  FROM est, n)
+SELECT * FROM comp UNION ALL SELECT * FROM rng
+UNION ALL SELECT * FROM sat UNION ALL SELECT * FROM uniq
+ORDER BY "constraint"
+"""
+
+
+REGISTRY["dq_verify"] = (q_dq_verify, SQL_DQ_VERIFY)
+
 # The driver oracle-grades exactly the first 50 entries in insertion
 # order (VERDICT r3 #2, verified: list(REGISTRY)[:50] == CORRECTNESS
 # keys). Keep every oracle-backed query ahead of the rows-only ones so
