@@ -119,6 +119,14 @@ def main(argv: list[str] | None = None) -> int:
         "max_payload_bytes and their bytes never enter an Arrow batch",
     )
     ap.add_argument(
+        "--dq-check", action="store_true",
+        help="after the decisions write, verify a declarative "
+        "data-quality constraint suite over this run's rows "
+        "(completeness/range/uniqueness, webfilter/dq.py) and append "
+        "the results to the dq_audit table; reported in the summary, "
+        "never a rollback",
+    )
+    ap.add_argument(
         "--warmup", action="store_true",
         help="run the pipeline once into a scratch dir first (JIT / "
         "python-worker warmup) so the reported timing is steady-state",
@@ -216,6 +224,7 @@ def main(argv: list[str] | None = None) -> int:
         layout_sort=args.layout_sort.split(",") if args.layout_sort else None,
         robots_path=args.robots, robots_agent=args.robots_agent,
         input_format="wet" if args.wet else "pages",
+        dq_check=args.dq_check,
     )
     res["wall_s"] = round(time.time() - t0, 2)
     res["docs_per_s"] = round(res["docs"] / max(res["wall_s"], 1e-9), 1)

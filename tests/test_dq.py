@@ -150,3 +150,41 @@ def test_in_range_requires_a_bound():
         from webfilter.dq import _scalar_aggs
 
         _scalar_aggs([InRange("x")])
+
+
+def test_pipeline_dq_check_flag(spark, synth_dir, tmp_path):
+    """--dq-check: the production job verifies its own decisions
+    table post-write and records the results as dq_audit lineage;
+    default runs are unchanged (no dq key, no table)."""
+    from webfilter import pipeline
+    from webfilter.tables import ParquetCatalog
+
+    out = tmp_path / "dqrun"
+    res = pipeline.run_filter(
+        spark,
+        f"{synth_dir}/pages.parquet",
+        str(out),
+        n_buckets=8,
+        run_id="dq1",
+        dq_check=True,
+    )
+    assert set(res["dq"]) == {
+        "complete_url",
+        "complete_keep",
+        "in_range_langid_conf",
+        "unique_url",
+    }
+    assert all(v["passed"] for v in res["dq"].values()), res["dq"]
+    assert res["dq"]["complete_url"]["metric"] == 1.0
+    cat = ParquetCatalog(spark, str(out))
+    audit = cat.read("dq_audit")
+    assert audit.count() == 4
+    assert {r["run_id"] for r in audit.collect()} == {"dq1"}
+    # default path untouched
+    out2 = tmp_path / "plain"
+    res2 = pipeline.run_filter(
+        spark, f"{synth_dir}/pages.parquet", str(out2), n_buckets=8,
+        run_id="p1",
+    )
+    assert "dq" not in res2
+    assert not ParquetCatalog(spark, str(out2)).exists("dq_audit")

@@ -218,6 +218,7 @@ def run_filter(
     robots_path: str | None = None,
     robots_agent: str = "webfilter",
     input_format: str = "pages",
+    dq_check: bool = False,
 ) -> dict:
     """Resumable filter run. ``only_buckets`` limits this invocation
     (used by the kill/resume tests to simulate a mid-run crash).
@@ -406,6 +407,57 @@ def run_filter(
 
     # pending buckets with zero rows are still complete
     manifest.mark(run_id, "filter", sorted(pending), DONE)
+
+    summary: dict = {}
+    if dq_check:
+        # post-write data-quality gate (opt-in): declarative
+        # constraints over THIS run's decision rows, evaluated from
+        # per-bucket mergeable state (webfilter/dq.py) — one extra
+        # bucket-grouped agg + a metadata-sized verify; results land
+        # in the dq_audit table as run lineage. Monitoring, not
+        # gating: a red constraint is reported, never a rollback
+        # (the decisions write is already committed + manifest-marked,
+        # and at 10^12 docs the right reaction to a drifted metric is
+        # triage, not an automatic table rewrite).
+        t0 = _time.time()
+        from . import dq
+
+        suite = [
+            dq.Complete("url", 1.0),
+            dq.Complete("keep", 1.0),
+            dq.InRange("langid_conf", 0.0, 1.0),
+            dq.Unique("url", 0.90),
+        ]
+        dq_rows = dq.verify(
+            dq.bucket_state(dec, suite, "bucket_id"), suite
+        ).collect()  # bounded: one row per constraint
+        dq_schema = pa.schema(
+            [
+                ("constraint", pa.string()),
+                ("metric", pa.float64()),
+                ("threshold", pa.float64()),
+                ("passed", pa.bool_()),
+                ("run_id", pa.string()),
+                ("processed_at", pa.timestamp("us", tz="UTC")),
+            ]
+        )
+        catalog.append_rows(
+            [
+                {**r.asDict(), "run_id": run_id, "processed_at": now}
+                for r in dq_rows
+            ],
+            dq_schema,
+            "dq_audit",
+        )
+        summary["dq"] = {
+            r["constraint"]: {
+                "metric": r["metric"],
+                "passed": r["passed"],
+            }
+            for r in dq_rows
+        }
+        timings["dq_check"] = round(_time.time() - t0, 2)
+
     timings["total"] = round(_time.time() - t_all, 2)
     n_docs = sum(r["n_docs"] for r in audit_rows)
     return {
@@ -413,6 +465,7 @@ def run_filter(
         "buckets": len(pending),
         "docs": n_docs,
         "timings": timings,
+        **summary,
     }
 
 
