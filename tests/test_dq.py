@@ -172,13 +172,32 @@ def test_pipeline_dq_check_flag(spark, synth_dir, tmp_path):
         "complete_url",
         "complete_keep",
         "in_range_langid_conf",
+        "satisfies_pii_scrubbed",
         "unique_url",
     }
     assert all(v["passed"] for v in res["dq"].values()), res["dq"]
     assert res["dq"]["complete_url"]["metric"] == 1.0
+    assert res["dq"]["satisfies_pii_scrubbed"]["metric"] == 1.0
+    # non-vacuous: the same check over the RAW text fails (the synth
+    # corpus plants real emails/SSNs), so a scrub regression would
+    # flip the constraint red
+    from webfilter.dq import Satisfies, bucket_state as bs, verify as vf
+
+    raw = Satisfies(
+        "pii_raw",
+        "text NOT RLIKE '[A-Za-z0-9._%+\\\\-]+@[A-Za-z0-9.\\\\-]+"
+        "\\\\.[A-Za-z]{2,}'",
+        1.0,
+    )
+    decisions = spark.read.parquet(str(out / "decisions.parquet"))
+    rawres = {
+        r["constraint"]: r
+        for r in vf(bs(decisions, [raw], "bucket_id"), [raw]).collect()
+    }
+    assert not rawres["satisfies_pii_raw"]["passed"]
     cat = ParquetCatalog(spark, str(out))
     audit = cat.read("dq_audit")
-    assert audit.count() == 4
+    assert audit.count() == 5
     assert {r["run_id"] for r in audit.collect()} == {"dq1"}
     # default path untouched
     out2 = tmp_path / "plain"

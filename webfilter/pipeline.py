@@ -422,10 +422,23 @@ def run_filter(
         t0 = _time.time()
         from . import dq
 
+        # the scrub-invariant constraint re-runs the email/SSN
+        # patterns over the SHIPPED text: a wrong-order pattern edit
+        # or a scrub regression shows up here as a red audit row on
+        # the very next run (escapes doubled: Spark SQL literals
+        # consume one level of backslash)
+        _email = r"[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}"
+        _ssn = r"\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
         suite = [
             dq.Complete("url", 1.0),
             dq.Complete("keep", 1.0),
             dq.InRange("langid_conf", 0.0, 1.0),
+            dq.Satisfies(
+                "pii_scrubbed",
+                "scrubbed_text IS NULL OR (scrubbed_text NOT RLIKE "
+                f"'{_email}' AND scrubbed_text NOT RLIKE '{_ssn}')",
+                1.0,
+            ),
             dq.Unique("url", 0.90),
         ]
         dq_rows = dq.verify(
