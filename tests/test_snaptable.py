@@ -568,3 +568,116 @@ def test_zorder_clustered_append_composes_with_file_skipping(spark, table):
     got = {r["id"] for r in pruned.filter(pred).collect()}
     want = {r["id"] for r in full.filter(pred).collect()}
     assert got == want and want
+
+
+# ------------------------------------------------- model-based walk
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_random_op_walk_matches_model(spark, table, seed):
+    """Model-based check: a seeded random interleaving of
+    append / overwrite_partitions / merge_upsert / compact_manifests
+    must equal a plain python dict model at EVERY intermediate
+    snapshot (time travel included)."""
+    import random
+
+    rng = random.Random(seed)
+    langs = ["en", "de", "fr"]
+    model: dict[tuple, tuple] = {}  # url -> (lang, n)
+    snapshots: list[dict] = []
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [Row(url=u, lang=lang, n=n) for (u, lang, n) in rows]
+        )
+
+    next_id = 0
+    for _step in range(8):
+        op = rng.choice(["append", "overwrite", "merge", "compact"])
+        if op == "compact" and not snapshots:
+            op = "append"
+        if op == "append":
+            rows = []
+            for _ in range(rng.randint(1, 4)):
+                rows.append((f"u{next_id}", rng.choice(langs), next_id))
+                next_id += 1
+            table.append(df_of(rows), part_col="lang")
+            for u, lang, n in rows:
+                model[u] = (lang, n)
+        elif op == "overwrite":
+            lang = rng.choice(langs)
+            rows = [(f"o{next_id}", lang, next_id)]
+            next_id += 1
+            table.overwrite_partitions(df_of(rows), part_col="lang")
+            model = {
+                u: v for u, v in model.items() if v[0] != lang
+            }
+            for u, lg, n in rows:
+                model[u] = (lg, n)
+        elif op == "merge":
+            # upsert an existing url (if any) with a higher n plus one
+            # fresh url; latest-wins on n
+            rows = [(f"m{next_id}", rng.choice(langs), next_id)]
+            next_id += 1
+            if model:
+                u = rng.choice(sorted(model))
+                # merge keys must keep their partition (documented
+                # contract): reuse the model's lang for u
+                rows.append((u, model[u][0], next_id))
+                next_id += 1
+            table.merge_upsert(
+                df_of(rows), ["url"], ["n"], part_col="lang"
+            )
+            for u, lg, n in rows:
+                cur = model.get(u)
+                if cur is None or n >= cur[1]:
+                    model[u] = (lg, n)
+        else:
+            table.compact_manifests()
+        snapshots.append(dict(model))
+        got = {
+            r["url"]: (r["lang"], r["n"]) for r in table.read().collect()
+        }
+        assert got == model, (seed, _step, op)
+    # time travel: every recorded snapshot still replays its model
+    for seq, m in enumerate(snapshots):
+        got = {
+            r["url"]: (r["lang"], r["n"])
+            for r in table.read(snapshot=seq).collect()
+        }
+        assert got == m, (seed, seq)
+
+
+def test_merge_crash_before_publish_leaves_premerge_snapshot(
+    spark, table, monkeypatch
+):
+    """Inject a crash at the commit point of a MERGE (the manifest-
+    list rename): data files are staged but the table must still read
+    as the pre-merge snapshot."""
+    import os as _os
+
+    table.merge_upsert(
+        _pages(spark, [("u1", 10, "a"), ("u2", 10, "b")]),
+        ["url"],
+        ["warc_ts", "payload"],
+        part_col="bucket_id",
+    )
+    real_replace = _os.replace
+
+    def boom(src, dst):
+        if "/s-" in dst or dst.endswith(".json") and "_meta" in dst:
+            raise OSError("injected crash at commit point")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr("webfilter.snaptable.os.replace", boom)
+    with pytest.raises(OSError, match="injected crash"):
+        table.merge_upsert(
+            _pages(spark, [("u1", 99, "evil")]),
+            ["url"],
+            ["warc_ts", "payload"],
+            part_col="bucket_id",
+        )
+    monkeypatch.undo()
+    assert table.current_snapshot() == 0
+    got = {r["url"]: r["payload"] for r in table.read().collect()}
+    assert got == {"u1": "a", "u2": "b"}
