@@ -662,14 +662,10 @@ def test_merge_crash_before_publish_leaves_premerge_snapshot(
         ["warc_ts", "payload"],
         part_col="bucket_id",
     )
-    real_replace = _os.replace
-
     def boom(src, dst):
-        if "/s-" in dst or dst.endswith(".json") and "_meta" in dst:
-            raise OSError("injected crash at commit point")
-        return real_replace(src, dst)
+        raise OSError("injected crash at commit point")
 
-    monkeypatch.setattr("webfilter.snaptable.os.replace", boom)
+    monkeypatch.setattr("webfilter.snaptable.os.link", boom)
     with pytest.raises(OSError, match="injected crash"):
         table.merge_upsert(
             _pages(spark, [("u1", 99, "evil")]),
@@ -681,3 +677,74 @@ def test_merge_crash_before_publish_leaves_premerge_snapshot(
     assert table.current_snapshot() == 0
     got = {r["url"]: r["payload"] for r in table.read().collect()}
     assert got == {"u1": "a", "u2": "b"}
+
+
+# --------------------------------------------- optimistic concurrency
+
+
+def test_stale_merge_raises_commit_conflict(spark, table, tmp_path):
+    """Two writers on one table: B merges from a snapshot A has since
+    advanced past -> B's commit raises CommitConflict instead of
+    silently dropping A's rows; B's retry (re-read) then succeeds and
+    preserves BOTH writers' changes."""
+    from webfilter.snaptable import CommitConflict, SnapshotTable
+
+    table.merge_upsert(
+        _pages(spark, [("u1", 10, "a")]), ["url"],
+        ["warc_ts", "payload"], part_col="bucket_id",
+    )
+    writer_b = SnapshotTable(spark, str(tmp_path), "pages_meta")
+    b_updates = _pages(spark, [("u2", 10, "b")])
+    # B resolves its merge inputs at snapshot 0... simulate the race
+    # by letting A commit FIRST, while B still believes parent is 0
+    base_seen_by_b = writer_b.current_snapshot()
+    table.merge_upsert(  # A's concurrent commit -> snapshot 1
+        _pages(spark, [("u3", 10, "c")]), ["url"],
+        ["warc_ts", "payload"], part_col="bucket_id",
+    )
+    merged = b_updates  # B's (stale) computed content
+    with pytest.raises(CommitConflict, match="advanced"):
+        writer_b.overwrite_partitions(
+            merged, "bucket_id", expected_parent=base_seen_by_b
+        )
+    # the retry loop: re-read, recompute, commit
+    writer_b.merge_upsert(
+        b_updates, ["url"], ["warc_ts", "payload"], part_col="bucket_id"
+    )
+    got = {r["url"] for r in table.read().collect()}
+    assert got == {"u1", "u2", "u3"}  # nothing lost
+
+
+def test_same_seq_publish_race_loses_cleanly(spark, table, tmp_path):
+    """Even past the expected-parent check, two commits claiming the
+    same sequence number cannot overwrite each other: the hard-link
+    CAS makes the loser raise instead of clobbering the winner."""
+    import json as _json
+    import os as _os
+
+    from webfilter.snaptable import CommitConflict
+
+    table.append(_mk(spark, [("a", "en")]), part_col="lang")
+    # forge a competing snapshot file for seq 1, as a racing writer
+    # that won the link first would have left it
+    s1 = _os.path.join(table.meta_dir, "s-0000000001.json")
+    with open(s1, "w") as fh:
+        _json.dump(table._load_snapshot(0) | {"seq": 1, "parent": 0}, fh)
+    with pytest.raises(CommitConflict, match="another writer"):
+        table._publish({"seq": 1, "manifests": [], "schema": "{}"}, 1)
+    # winner's file intact
+    assert table._load_snapshot(1)["parent"] == 0
+
+
+def test_appends_never_conflict(spark, table, tmp_path):
+    """Delta-manifest appends from two handles interleave freely:
+    each stacks on the then-current snapshot, no conflicts, all rows
+    present."""
+    from webfilter.snaptable import SnapshotTable
+
+    b = SnapshotTable(spark, str(tmp_path), "pages_meta")
+    table.append(_mk(spark, [("a", "en")]), part_col="lang")
+    b.append(_mk(spark, [("b", "de")]), part_col="lang")
+    table.append(_mk(spark, [("c", "en")]), part_col="lang")
+    assert {r["url"] for r in b.read().collect()} == {"a", "b", "c"}
+    assert b.current_snapshot() == 2

@@ -18,10 +18,12 @@ scale — as executed, tested code:
   files it ADDED plus partition-value tombstones for what it
   logically REMOVED) and then one *manifest list* naming every
   manifest file visible in the new snapshot.  The manifest list is
-  renamed into place (`os.replace`) — readers see the previous
-  snapshot or the new one, never a torn state.  This is the
-  single-writer Hadoop-catalog discipline Iceberg uses when no
-  metastore is available: the rename IS the commit point.
+  published with an atomic hard-link CAS (`os.link` to a name that
+  encodes the sequence number) — readers see the previous snapshot
+  or the new one, never a torn state, and two racing writers cannot
+  overwrite each other's snapshot.  This is the Hadoop-catalog
+  discipline Iceberg uses when no metastore is available: the
+  link IS the commit point.
 * **Snapshot isolation / time travel.**  `read(name, snapshot=s)`
   resolves the file set of snapshot `s` exactly as it was; a reader
   that resolved its file list before a later overwrite keeps reading
@@ -48,8 +50,12 @@ basePath reconstruction and lose nothing.  Rows-per-file comes from
 parquet footers (pyarrow), mirroring the file-level stats Iceberg
 keeps in its manifests.
 
-Single-writer by design (documented, like the Hadoop catalog without
-a lock server); readers are unlimited and lock-free.
+Concurrency: readers are unlimited and lock-free; writers use
+optimistic concurrency — appends compose with any parent (delta
+manifests), while content-replacing commits (overwrite, MERGE)
+validate their expected parent and publish via a hard-link CAS, so a
+racing commit surfaces as CommitConflict (re-read and retry, the
+Iceberg loop) instead of a lost update.
 """
 
 from __future__ import annotations
@@ -65,6 +71,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+_UNSET = object()  # "no expected-parent validation" sentinel
+
+
+class CommitConflict(Exception):
+    """Another writer committed since this operation read the table.
+
+    Raised by content-replacing commits (overwrite_partitions,
+    merge_upsert) whose result was computed against a snapshot that
+    is no longer current — publishing it would silently drop the
+    concurrent commit's changes.  The caller re-reads and retries
+    (Iceberg's optimistic-concurrency loop).  Plain appends never
+    conflict: their delta manifest stacks on whatever the latest
+    snapshot is."""
 
 
 def _footer_min_max(meta) -> dict:
@@ -237,19 +258,56 @@ class SnapshotTable:
         entries.sort(key=lambda e: e["path"])
         return entries
 
+    def _publish(self, snap: dict, seq: int) -> None:
+        """Atomically publish a snapshot file via hard-link CAS:
+        ``os.link(tmp, final)`` fails with FileExistsError if another
+        writer already claimed this sequence number, so two racing
+        commits can never overwrite each other's snapshot — the loser
+        surfaces as a CommitConflict instead of a lost update.  A
+        crash before the link leaves only an unread .tmp-* file."""
+        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(snap, fh)
+        final = os.path.join(self.meta_dir, f"s-{seq:010d}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise CommitConflict(
+                f"snapshot {seq} was committed by another writer"
+            ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
     def _commit(
         self,
         operation: str,
         added: list[dict],
         deletes: dict | None,
         schema_json: str,
+        expected_parent=_UNSET,
     ) -> int:
         """Write one manifest file, then atomically publish the new
-        manifest list.  ``os.replace`` of the list is the commit
-        point — a crash before it leaves the table at the previous
-        snapshot with only unreferenced staging files on disk (which
-        ``vacuum`` later removes)."""
+        manifest list (the commit point — a crash before it leaves
+        the table at the previous snapshot with only unreferenced
+        staging files on disk, which ``vacuum`` later removes).
+
+        ``expected_parent`` (pass the snapshot the operation READ):
+        content-replacing commits validate that the table has not
+        advanced since — if it has, their computed content is stale
+        and publishing would drop the concurrent commit, so they
+        raise CommitConflict for the caller to retry.  The default
+        (unset) skips validation — correct for appends, whose delta
+        manifest composes with any parent."""
         cur = self.current_snapshot()
+        if expected_parent is not _UNSET and cur != expected_parent:
+            raise CommitConflict(
+                f"table advanced to snapshot {cur} since this "
+                f"operation read snapshot {expected_parent}; "
+                "re-read and retry"
+            )
         prev_manifests: list[str] = (
             self._load_snapshot(cur)["manifests"] if cur is not None else []
         )
@@ -266,10 +324,7 @@ class SnapshotTable:
             "added_files": len(added),
             "added_rows": sum(e["rows"] for e in added),
         }
-        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            json.dump(snap, fh)
-        os.replace(tmp, os.path.join(self.meta_dir, f"s-{seq:010d}.json"))
+        self._publish(snap, seq)
         return seq
 
     # ------------------------------------------------------------ operators
@@ -313,11 +368,21 @@ class SnapshotTable:
         added = self._write_data(df, part_col)
         return self._commit("append", added, None, schema)
 
-    def overwrite_partitions(self, df: DataFrame, part_col: str) -> int:
+    def overwrite_partitions(
+        self, df: DataFrame, part_col: str, expected_parent=_UNSET
+    ) -> int:
         """Dynamic partition overwrite: replace exactly the partition
         values present in ``df`` — older files of those partitions
         become invisible via tombstones (and reclaimable by vacuum),
-        all other partitions' files are untouched AND unrewritten."""
+        all other partitions' files are untouched AND unrewritten.
+
+        Content-replacing, so it validates optimistically: the
+        expected parent defaults to the snapshot current at entry
+        (callers that computed ``df`` from an earlier read — e.g.
+        merge_upsert — pass that snapshot instead), and the commit
+        raises CommitConflict if the table advanced past it."""
+        if expected_parent is _UNSET:
+            expected_parent = self.current_snapshot()
         schema = self._evolved_schema(df)
         added = self._write_data(df, part_col)
         values = sorted(
@@ -326,7 +391,8 @@ class SnapshotTable:
         )
         deletes = {"part_col": part_col, "values": values}
         return self._commit(
-            "overwrite_partitions", added, deletes, schema
+            "overwrite_partitions", added, deletes, schema,
+            expected_parent=expected_parent,
         )
 
     def merge_upsert(
@@ -359,18 +425,28 @@ class SnapshotTable:
         The distinct-partitions collect is bounded by partition
         cardinality (= the bucket count at scale), the manifest
         granularity the pipeline already tracks."""
+        base = self.current_snapshot()
         merged_new = _latest_per_key(updates, key_cols, order_cols)
-        if self.current_snapshot() is None:
-            return self.overwrite_partitions(merged_new, part_col)
+        if base is None:
+            return self.overwrite_partitions(
+                merged_new, part_col, expected_parent=None
+            )
         touched = sorted(
             (r[0] for r in updates.select(part_col).distinct().collect()),
             key=lambda v: (v is None, str(v)),
         )
-        current = self.read(partition_filter={part_col: touched})
+        current = self.read(
+            snapshot=base, partition_filter={part_col: touched}
+        )
         merged = _latest_per_key(
             current.unionByName(updates), key_cols, order_cols
         )
-        return self.overwrite_partitions(merged, part_col)
+        # merged was computed against `base`: a commit that landed
+        # since would be silently dropped by publishing it, so the
+        # overwrite validates against base (CommitConflict -> retry)
+        return self.overwrite_partitions(
+            merged, part_col, expected_parent=base
+        )
 
     def read(
         self,
@@ -473,10 +549,7 @@ class SnapshotTable:
             "added_files": 0,
             "added_rows": 0,
         }
-        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            json.dump(new_snap, fh)
-        os.replace(tmp, os.path.join(self.meta_dir, f"s-{seq:010d}.json"))
+        self._publish(new_snap, seq)  # CAS: racing commit -> conflict
         return seq
 
     def vacuum(self, keep_last: int = 1) -> dict:
