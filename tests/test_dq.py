@@ -207,3 +207,26 @@ def test_pipeline_dq_check_flag(spark, synth_dir, tmp_path):
     )
     assert "dq" not in res2
     assert not ParquetCatalog(spark, str(out2)).exists("dq_audit")
+
+
+def test_epochwise_partial_states_accumulate(spark):
+    """Online monitoring shape: per-epoch PARTIAL states simply
+    append to the state tables — verify() re-aggregates sums and
+    re-merges register maxes, so the union of three ingestion
+    epochs' states verifies identically to one state over the full
+    corpus. No per-epoch re-read of earlier data, ever."""
+    full = _corpus(spark, n=300, null_lang_every=5, dup_every=3)
+    epochs = [
+        full.filter(F.col("n_chars") % 3 == k) for k in range(3)
+    ]
+    acc_scalars = acc_regs = None
+    for e in epochs:
+        s, r = bucket_state(e, SUITE)
+        acc_scalars = s if acc_scalars is None else acc_scalars.unionByName(s)
+        acc_regs = r if acc_regs is None else acc_regs.unionByName(r)
+    got = _results(verify((acc_scalars, acc_regs), SUITE))
+    want = _results(verify(bucket_state(full, SUITE), SUITE))
+    assert got == want
+    # the accumulated state holds MULTIPLE rows per bucket (one per
+    # epoch that touched it) — that is the point: append-only state
+    assert acc_scalars.count() > bucket_state(full, SUITE)[0].count()

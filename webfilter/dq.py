@@ -21,6 +21,13 @@ granularity):
   from data and swapped in; the other n-k states are reused
   verbatim.  `tests/test_dq.py` proves refresh == full recompute —
   the algebraic-state property that makes this sound.
+* **Append-only accumulation** (the streaming shape): state tables
+  may hold MULTIPLE partial rows per bucket — one per ingestion
+  epoch — because `verify()` re-aggregates sums and re-merges
+  register maxes; the union of every epoch's partial state verifies
+  identically to one full-corpus state (tested), so online
+  monitoring appends a tiny state delta per epoch and never re-reads
+  earlier data.
 
 Uniqueness reuses the cross-engine md5 HLL register algebra from
 `webfilter/sketches.py` (hash-checked against DuckDB by the
