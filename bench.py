@@ -353,6 +353,7 @@ def main() -> None:
         "host_lang_outliers",
         "kmeans_assign",
         "semdedup_kmeans",
+        "dq_verify",
     ]
     for name in bench_queries:
         walls: list[float] = []
@@ -419,9 +420,22 @@ def main() -> None:
         "cpus": CPUS,
     }
     line = json.dumps(headline, separators=(",", ":"))
-    if len(line) > 1800:  # never outgrow the tail window again
-        headline["queries"] = {"n_queries": len(timings)}
-        line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1800:  # never outgrow the tail window again —
+        # keep the slowest queries (the ones perf comparisons hinge
+        # on) and the count; the full map is on the earlier stdout
+        # line and in BENCH/last_run_full*.json
+        slow = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:40]
+        )
+        while True:
+            headline["queries"] = {
+                "n_queries": len(timings),
+                **{k: round(v, 2) for k, v in slow.items()},
+            }
+            line = json.dumps(headline, separators=(",", ":"))
+            if len(line) <= 1800 or not slow:
+                break
+            slow.pop(min(slow, key=slow.get))
     print(line)
 
 
