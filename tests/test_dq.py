@@ -230,3 +230,53 @@ def test_epochwise_partial_states_accumulate(spark):
     # the accumulated state holds MULTIPLE rows per bucket (one per
     # epoch that touched it) — that is the point: append-only state
     assert acc_scalars.count() > bucket_state(full, SUITE)[0].count()
+
+
+def test_unique_only_suite(spark):
+    """A uniqueness-only suite must verify (review finding #4: the
+    zero-struct explode used to crash star-expansion)."""
+    df = _corpus(spark, null_lang_every=0)
+    suite = [Unique("url", 0.90)]
+    got = _results(verify(bucket_state(df, suite), suite))
+    assert set(got) == {"unique_url"}
+    assert got["unique_url"][1] is True
+
+
+def test_refresh_preserves_null_bucket_state(spark):
+    """State rows with a NULL bucket survive a differential refresh
+    of other buckets (review finding #6: ~isin() is NULL for NULL
+    keys and used to silently drop them)."""
+    rows = [
+        Row(url=f"u{i}", lang="en", n_chars=i, text="x", bucket_id=i % 3)
+        for i in range(30)
+    ] + [
+        Row(url=f"n{i}", lang=None, n_chars=i, text="x", bucket_id=None)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows)
+    state = bucket_state(df, SUITE)
+    # refresh bucket 1 with unchanged rows: result must equal full
+    diff = verify(
+        refresh(state, df.filter(F.col("bucket_id") == 1), SUITE, [1]),
+        SUITE,
+    )
+    full = verify(bucket_state(df, SUITE), SUITE)
+    assert _results(diff) == _results(full)
+    # and the NULL bucket itself is addressable via changed=[None]
+    mutated = df.withColumn(
+        "lang",
+        F.when(F.col("bucket_id").isNull(), F.lit("de")).otherwise(
+            F.col("lang")
+        ),
+    )
+    diff2 = verify(
+        refresh(
+            state,
+            mutated.filter(F.col("bucket_id").isNull()),
+            SUITE,
+            [None],
+        ),
+        SUITE,
+    )
+    full2 = verify(bucket_state(mutated, SUITE), SUITE)
+    assert _results(diff2) == _results(full2)

@@ -748,3 +748,91 @@ def test_appends_never_conflict(spark, table, tmp_path):
     table.append(_mk(spark, [("c", "en")]), part_col="lang")
     assert {r["url"] for r in b.read().collect()} == {"a", "b", "c"}
     assert b.current_snapshot() == 2
+
+
+# ------------------------------------------- code-review r4 fixes
+
+
+def test_merge_after_schema_evolution(spark, table):
+    """Old-shape update batches keep merging after an additive
+    evolution (review finding #1): missing columns null-fill on
+    either side of the merge union."""
+    base = spark.createDataFrame(
+        [Row(url="u1", warc_ts=10, payload="a", bucket_id=0)]
+    )
+    table.merge_upsert(base, ["url"], ["warc_ts"], part_col="bucket_id")
+    evolved = spark.createDataFrame(
+        [Row(url="u2", warc_ts=10, payload="b", bucket_id=0, quality=0.7)]
+    )
+    table.merge_upsert(evolved, ["url"], ["warc_ts"], part_col="bucket_id")
+    # old-shape batch against the evolved table
+    old_shape = spark.createDataFrame(
+        [Row(url="u1", warc_ts=20, payload="a2", bucket_id=0)]
+    )
+    table.merge_upsert(old_shape, ["url"], ["warc_ts"], part_col="bucket_id")
+    got = {
+        r["url"]: (r["warc_ts"], r["payload"], r["quality"])
+        for r in table.read().collect()
+    }
+    assert got == {"u1": (20, "a2", None), "u2": (10, "b", 0.7)}
+
+
+def test_mixed_partitioning_rejected(spark, table):
+    """Partition-level ops on a table holding unpartitioned files
+    must refuse loudly, not silently exempt those files (review
+    finding #5)."""
+    table.append(_mk(spark, [("a", "en")]))  # no part_col
+    with pytest.raises(ValueError, match="unpartitioned"):
+        table.read(partition_filter={"lang": ["en"]})
+    with pytest.raises(ValueError, match="unpartitioned"):
+        table.overwrite_partitions(
+            _mk(spark, [("b", "en")]), part_col="lang"
+        )
+    with pytest.raises(ValueError, match="unpartitioned"):
+        table.merge_upsert(
+            _mk(spark, [("b", "en")]), ["url"], ["n"], part_col="lang"
+        )
+
+
+def test_vacuum_grace_protects_inflight_staging(spark, table):
+    """An orphan staged file with a fresh mtime (a possibly in-flight
+    concurrent commit) survives vacuum; once past the grace window it
+    is reclaimed (review finding #2)."""
+    import os as _os
+
+    table.append(_mk(spark, [("a", "en")]), part_col="lang")
+    table.append(_mk(spark, [("b", "de")]), part_col="lang")
+    staged = table._write_data(_mk(spark, [("ghost", "en")]), "lang")
+    ghost = _os.path.join(table.dir, staged[0]["path"])
+    table.vacuum(keep_last=1)
+    assert _os.path.exists(ghost)  # fresh orphan: grace-protected
+    _os.utime(ghost, (1, 1))  # age it past any grace window
+    stats = table.vacuum(keep_last=1, orphan_grace_seconds=0.0)
+    assert not _os.path.exists(ghost)
+    # live snapshot unaffected throughout
+    assert {r["url"] for r in table.read().collect()} == {"a", "b"}
+
+
+def test_vacuum_keep_last_zero_rejected(spark, table):
+    table.append(_mk(spark, [("a", "en")]), part_col="lang")
+    with pytest.raises(ValueError, match="keep_last"):
+        table.vacuum(keep_last=0)
+
+
+def test_append_retries_past_sequence_race(spark, table):
+    """An append that loses the sequence-number CAS (a forged
+    competing snapshot claims seq 1) retries against the new parent
+    and commits at seq 2 — appends never surface CommitConflict
+    (review finding #3)."""
+    import json as _json
+    import os as _os
+
+    table.append(_mk(spark, [("a", "en")]), part_col="lang")
+    # forge a competing writer's snapshot at seq 1 reusing snapshot
+    # 0's manifest list (content: still just 'a')
+    s0 = table._load_snapshot(0)
+    with open(_os.path.join(table.meta_dir, "s-0000000001.json"), "w") as fh:
+        _json.dump(s0 | {"seq": 1, "parent": 0}, fh)
+    seq = table.append(_mk(spark, [("b", "de")]), part_col="lang")
+    assert seq == 2
+    assert {r["url"] for r in table.read().collect()} == {"a", "b"}

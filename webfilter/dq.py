@@ -42,7 +42,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .sketches import HLL_M, _W_BITS, hll_estimate, md5_prefix_hash
+from .sketches import hll_estimate, hll_reg_rho, md5_prefix_hash
 
 
 @dataclass(frozen=True)
@@ -160,23 +160,17 @@ def bucket_state(
         return scalars, regs
     parts = []
     for c in uniq:
-        h = md5_prefix_hash(F.col(c.col).cast("string"))
+        reg, rho = hll_reg_rho(md5_prefix_hash(F.col(c.col).cast("string")))
         parts.append(
             df.filter(F.col(c.col).isNotNull())
             .select(
                 F.col(part_col).alias("part"),
                 F.lit(c.label).alias("cname"),
-                h.bitwiseAND(F.lit(HLL_M - 1)).cast("int").alias("reg"),
-                F.shiftright(h, 8).alias("w"),
-            )
-            .withColumn(
-                "rho",
-                F.when(F.col("w") == 0, F.lit(_W_BITS + 1)).otherwise(
-                    _W_BITS + 1 - F.length(F.bin(F.col("w")))
-                ),
+                reg.cast("int").alias("reg"),
+                rho.cast("int").alias("rho"),
             )
             .groupBy("part", "cname", "reg")
-            .agg(F.max("rho").cast("int").alias("m_j"))
+            .agg(F.max("rho").alias("m_j"))
         )
     regs = parts[0]
     for p in parts[1:]:
@@ -197,12 +191,24 @@ def refresh(
     verbatim.  Sound because every metric is algebraic over buckets —
     proven equal to a full recompute in tests/test_dq.py."""
     scalars, regs = state
+
+    def _in_changed(col: Column) -> Column:
+        # null-safe membership: isin() is NULL for a NULL key, which
+        # a plain ~ filter would silently DROP (code-review r4
+        # finding #6); a NULL bucket is changed only if None is
+        # explicitly listed
+        non_null = [c for c in changed if c is not None]
+        m = col.isin(non_null) if non_null else F.lit(False)
+        if any(c is None for c in changed):
+            m = m | col.isNull()
+        return F.coalesce(m, F.lit(False))
+
     new_scalars, new_regs = bucket_state(
-        df_changed.filter(F.col(part_col).isin(changed)),
+        df_changed.filter(_in_changed(F.col(part_col))),
         constraints,
         part_col,
     )
-    keep = ~F.col("part").isin(changed)
+    keep = ~_in_changed(F.col("part"))
     return (
         scalars.filter(keep).unionByName(new_scalars),
         regs.filter(keep).unionByName(new_regs),
@@ -243,9 +249,21 @@ def verify(
                 passed.alias("passed"),
             )
         )
-    out = merged.select(
-        F.explode(F.array(*results)).alias("r"), F.col("n")
-    ).select("r.*", "n")
+    if results:
+        out = merged.select(
+            F.explode(F.array(*results)).alias("r"), F.col("n")
+        ).select("r.*", "n")
+    else:
+        # Unique-only suite: F.array() of zero structs cannot be
+        # star-expanded, so start from an empty frame of the right
+        # shape (code-review r4 finding #4)
+        out = merged.select(
+            F.lit("").alias("constraint"),
+            F.lit(0.0).alias("metric"),
+            F.lit(0.0).alias("threshold"),
+            F.lit(True).alias("passed"),
+            F.col("n"),
+        ).limit(0)
     uniq = [c for c in constraints if isinstance(c, Unique)]
     if uniq:
         est = hll_estimate(
@@ -266,8 +284,11 @@ def verify(
             .select(F.explode(thr_rows).alias("t"), "n")
             .select("t.*", "n")
         )
+        # LEFT join from the constraint dim: a Unique row must never
+        # silently vanish when its register state is empty — it
+        # surfaces with NULL metric/passed instead
         u = (
-            est.join(F.broadcast(dim), "cname")
+            dim.join(est, "cname", "left")
             .select(
                 F.col("cname").alias("constraint"),
                 F.round(F.col("hll_estimate") / F.col("n"), 6).alias(

@@ -56,29 +56,34 @@ def shingles3_lower(text_col: Column) -> Column:
     )
 
 
+def hll_reg_rho(h: Column) -> tuple[Column, Column]:
+    """(register index, leading-zero rank) for one 60-bit md5-prefix
+    hash: reg = low 8 bits, rho = rank of the remaining 52 bits via
+    length(bin(w)) integer algebra.  THE single definition of the
+    register algebra — every consumer (hll_registers here, the dq
+    uniqueness constraint) builds from it, so the cross-engine DuckDB
+    replay cannot diverge between consumers."""
+    w = F.shiftright(h, 8)
+    reg = h.bitwiseAND(F.lit(HLL_M - 1))
+    rho = F.when(w == 0, F.lit(_W_BITS + 1)).otherwise(
+        _W_BITS + 1 - F.length(F.bin(w))
+    )
+    return reg, rho
+
+
 def hll_registers(
     df: DataFrame, text_col: str = "text", group_col: str = "lang"
 ) -> DataFrame:
     """(group, reg, m_j) HLL register state over the 3-gram shingle
-    universe: reg = low 8 hash bits, m_j = max leading-zero rank of
-    the remaining 52 bits (via length(bin(w)) — integer algebra).
-    One map-side-combining groupBy; at most group_cardinality * 256
-    output rows regardless of corpus size."""
+    universe (register algebra: hll_reg_rho).  One map-side-combining
+    groupBy; at most group_cardinality * 256 output rows regardless
+    of corpus size."""
     e = (
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
         .select(group_col, F.explode(shingles3_lower(F.col(text_col))).alias("tok"))
     )
-    h = md5_prefix_hash(F.col("tok"))
-    t = e.select(
-        group_col,
-        h.bitwiseAND(F.lit(HLL_M - 1)).alias("reg"),
-        F.shiftright(h, 8).alias("w"),
-    ).withColumn(
-        "rho",
-        F.when(F.col("w") == 0, F.lit(_W_BITS + 1)).otherwise(
-            _W_BITS + 1 - F.length(F.bin(F.col("w")))
-        ),
-    )
+    reg, rho = hll_reg_rho(md5_prefix_hash(F.col("tok")))
+    t = e.select(group_col, reg.alias("reg"), rho.alias("rho"))
     return t.groupBy(group_col, "reg").agg(F.max("rho").alias("m_j"))
 
 

@@ -300,32 +300,50 @@ class SnapshotTable:
         and publishing would drop the concurrent commit, so they
         raise CommitConflict for the caller to retry.  The default
         (unset) skips validation — correct for appends, whose delta
-        manifest composes with any parent."""
-        cur = self.current_snapshot()
-        if expected_parent is not _UNSET and cur != expected_parent:
-            raise CommitConflict(
-                f"table advanced to snapshot {cur} since this "
-                f"operation read snapshot {expected_parent}; "
-                "re-read and retry"
+        manifest composes with any parent; an append that loses the
+        sequence-number CAS therefore RETRIES against the new parent
+        automatically (its manifest file is parent-independent), so
+        plain appends genuinely never surface a conflict."""
+        mf_name = None
+        for _attempt in range(50):
+            cur = self.current_snapshot()
+            if expected_parent is not _UNSET and cur != expected_parent:
+                raise CommitConflict(
+                    f"table advanced to snapshot {cur} since this "
+                    f"operation read snapshot {expected_parent}; "
+                    "re-read and retry"
+                )
+            prev_manifests: list[str] = (
+                self._load_snapshot(cur)["manifests"]
+                if cur is not None
+                else []
             )
-        prev_manifests: list[str] = (
-            self._load_snapshot(cur)["manifests"] if cur is not None else []
+            seq = 0 if cur is None else cur + 1
+            if mf_name is None:  # written once, reused across retries
+                mf_name = f"m-{seq:010d}-{uuid.uuid4().hex}.json"
+                with open(
+                    os.path.join(self.meta_dir, mf_name), "w"
+                ) as fh:
+                    json.dump({"files": added, "deletes": deletes}, fh)
+            snap = {
+                "seq": seq,
+                "operation": operation,
+                "parent": cur,
+                "manifests": prev_manifests + [mf_name],
+                "schema": schema_json,
+                "added_files": len(added),
+                "added_rows": sum(e["rows"] for e in added),
+            }
+            try:
+                self._publish(snap, seq)
+                return seq
+            except CommitConflict:
+                if expected_parent is not _UNSET:
+                    raise  # content-replacing: caller must recompute
+                continue  # append: stack on the new parent and retry
+        raise CommitConflict(
+            "append lost the publish race 50 times in a row"
         )
-        seq = 0 if cur is None else cur + 1
-        mf_name = f"m-{seq:010d}-{uuid.uuid4().hex}.json"
-        with open(os.path.join(self.meta_dir, mf_name), "w") as fh:
-            json.dump({"files": added, "deletes": deletes}, fh)
-        snap = {
-            "seq": seq,
-            "operation": operation,
-            "parent": cur,
-            "manifests": prev_manifests + [mf_name],
-            "schema": schema_json,
-            "added_files": len(added),
-            "added_rows": sum(e["rows"] for e in added),
-        }
-        self._publish(snap, seq)
-        return seq
 
     # ------------------------------------------------------------ operators
 
@@ -383,6 +401,7 @@ class SnapshotTable:
         raises CommitConflict if the table advanced past it."""
         if expected_parent is _UNSET:
             expected_parent = self.current_snapshot()
+        self._require_partitioning(expected_parent, part_col)
         schema = self._evolved_schema(df)
         added = self._write_data(df, part_col)
         values = sorted(
@@ -394,6 +413,27 @@ class SnapshotTable:
             "overwrite_partitions", added, deletes, schema,
             expected_parent=expected_parent,
         )
+
+    def _require_partitioning(
+        self, seq: int | None, part_col: str
+    ) -> None:
+        """Overwrite/MERGE semantics (partition tombstones, pruned
+        merge reads) are only sound when every live file carries the
+        SAME partition column — a mixed table would silently exempt
+        unpartitioned or differently-partitioned files from
+        tombstones and from the merge's current-rows read.  Refuse
+        loudly instead (code-review r4 finding #5)."""
+        if seq is None:
+            return
+        for e in self._resolve(seq)[0]:
+            p = e["partition"]
+            if p is None or p["col"] != part_col:
+                have = "unpartitioned" if p is None else repr(p["col"])
+                raise ValueError(
+                    f"table has live files with {have} partitioning; "
+                    f"partition-level operations on {part_col!r} would "
+                    "silently miss them"
+                )
 
     def merge_upsert(
         self,
@@ -431,6 +471,7 @@ class SnapshotTable:
             return self.overwrite_partitions(
                 merged_new, part_col, expected_parent=None
             )
+        self._require_partitioning(base, part_col)
         touched = sorted(
             (r[0] for r in updates.select(part_col).distinct().collect()),
             key=lambda v: (v is None, str(v)),
@@ -438,8 +479,14 @@ class SnapshotTable:
         current = self.read(
             snapshot=base, partition_filter={part_col: touched}
         )
+        # allowMissingColumns: after additive schema evolution an
+        # old-shape update batch (or one introducing the new column)
+        # must still merge — missing columns null-fill on either side,
+        # matching the format's read-time semantics
         merged = _latest_per_key(
-            current.unionByName(updates), key_cols, order_cols
+            current.unionByName(updates, allowMissingColumns=True),
+            key_cols,
+            order_cols,
         )
         # merged was computed against `base`: a commit that landed
         # since would be silently dropped by publishing it, so the
@@ -471,12 +518,19 @@ class SnapshotTable:
         if partition_filter:
             (col, values), = partition_filter.items()
             wanted = {None if v is None else str(v) for v in values}
+            for e in entries:
+                p = e["partition"]
+                if p is None or p["col"] != col:
+                    have = "unpartitioned" if p is None else repr(p["col"])
+                    raise ValueError(
+                        f"partition_filter on {col!r} but the snapshot "
+                        f"has {have} files — pruning would silently "
+                        "drop them; read without partition_filter"
+                    )
             entries = [
                 e
                 for e in entries
-                if e["partition"] is not None
-                and e["partition"]["col"] == col
-                and e["partition"]["value"] in wanted
+                if e["partition"]["value"] in wanted
             ]
         if range_filter:
             for col, (lo, hi) in range_filter.items():
@@ -552,13 +606,29 @@ class SnapshotTable:
         self._publish(new_snap, seq)  # CAS: racing commit -> conflict
         return seq
 
-    def vacuum(self, keep_last: int = 1) -> dict:
+    def vacuum(
+        self, keep_last: int = 1, orphan_grace_seconds: float = 86400.0
+    ) -> dict:
         """Expire all but the last ``keep_last`` snapshots and delete
         every data/manifest file they alone referenced.  Time travel
-        to an expired snapshot then raises (documented contract)."""
+        to an expired snapshot then raises (documented contract).
+
+        Files referenced by NO snapshot at all (orphans) are a
+        different case: they may be a concurrent writer's staged-but-
+        not-yet-published commit, so they are only deleted when older
+        than ``orphan_grace_seconds`` (Iceberg's remove_orphan_files
+        ``older_than`` discipline — code-review r4 finding #2: an
+        ungraced vacuum could delete an in-flight commit's files and
+        let its subsequent publish reference deleted data)."""
+        import time as _time
+
+        if keep_last < 1:
+            raise ValueError(
+                "keep_last must be >= 1 (the current snapshot can "
+                "never be expired)"
+            )
         snaps = self._snapshot_files()
-        if len(snaps) <= keep_last:
-            return {"snapshots_expired": 0, "files_deleted": 0}
+        n_expired = max(0, len(snaps) - keep_last)
         keep = snaps[-keep_last:]
         keep_seqs = [int(s[2:-5]) for s in keep]
         live_files: set[str] = set()
@@ -567,23 +637,52 @@ class SnapshotTable:
             entries, snap = self._resolve(seq)
             live_files.update(e["path"] for e in entries)
             live_manifests.update(snap["manifests"])
+        # everything any snapshot (kept or expired) ever referenced is
+        # known-published; files outside that set are possibly
+        # in-flight and get the grace period
+        published_files: set[str] = set()
+        published_manifests: set[str] = set()
+        for s in snaps:
+            seq = int(s[2:-5])
+            entries, snap = self._resolve(seq)
+            published_files.update(e["path"] for e in entries)
+            published_manifests.update(snap["manifests"])
+        now = _time.time()
+
+        def _deletable(rel: str, full: str, published: set[str]) -> bool:
+            if rel in published:
+                return True  # expired-snapshot file: safe, was published
+            return now - os.path.getmtime(full) > orphan_grace_seconds
+
         deleted = 0
         for dirpath, _dirs, files in os.walk(self.data_dir):
             for fn in files:
                 full = os.path.join(dirpath, fn)
-                if os.path.relpath(full, self.dir) not in live_files:
+                rel = os.path.relpath(full, self.dir)
+                if rel not in live_files and _deletable(
+                    rel, full, published_files
+                ):
                     os.remove(full)
                     deleted += 1
         for fn in os.listdir(self.meta_dir):
             if fn.startswith("m-") and fn not in live_manifests:
-                os.remove(os.path.join(self.meta_dir, fn))
-        for s in snaps[:-keep_last]:
+                full = os.path.join(self.meta_dir, fn)
+                if _deletable(fn, full, published_manifests):
+                    os.remove(full)
+        for s in snaps[:n_expired]:
             os.remove(os.path.join(self.meta_dir, s))
         # drop now-empty staging dirs so the data tree stays walkable
+        # (grace-guarded too: a racing writer's staging dir can be
+        # momentarily empty between mkdir and its first file)
         for dirpath, dirs, files in list(os.walk(self.data_dir, topdown=False)):
-            if dirpath != self.data_dir and not dirs and not files:
+            if (
+                dirpath != self.data_dir
+                and not dirs
+                and not files
+                and now - os.path.getmtime(dirpath) > orphan_grace_seconds
+            ):
                 shutil.rmtree(dirpath, ignore_errors=True)
         return {
-            "snapshots_expired": len(snaps) - keep_last,
+            "snapshots_expired": n_expired,
             "files_deleted": deleted,
         }
