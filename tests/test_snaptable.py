@@ -836,3 +836,209 @@ def test_append_retries_past_sequence_race(spark, table):
     seq = table.append(_mk(spark, [("b", "de")]), part_col="lang")
     assert seq == 2
     assert {r["url"] for r in table.read().collect()} == {"a", "b"}
+
+
+# --------------------------------- equality deletes (merge-on-read)
+
+
+def _urls(df):
+    return {r["url"] for r in df.collect()}
+
+
+def test_delete_rows_merge_on_read(spark, table):
+    """delete_rows removes matching rows at read time without
+    rewriting any data file; time travel to the pre-delete snapshot
+    still sees them (Iceberg v2 equality-delete semantics)."""
+    table.append(
+        _mk(spark, [("a", "en"), ("b", "de"), ("c", "en")]),
+        part_col="lang",
+    )
+    files_before = table.file_count()
+    s = table.delete_rows(
+        spark.createDataFrame([Row(url="b")]), ["url"]
+    )
+    assert _urls(table.read()) == {"a", "c"}
+    assert table.file_count() == files_before  # no data rewrite
+    assert table.delete_file_count() == 1
+    assert _urls(table.read(snapshot=s - 1)) == {"a", "b", "c"}
+    # deleting a key that never existed is a harmless no-op
+    table.delete_rows(spark.createDataFrame([Row(url="zz")]), ["url"])
+    assert _urls(table.read()) == {"a", "c"}
+
+
+def test_delete_then_reinsert_resurrects(spark, table):
+    """Strict sequence applicability: a delete kills only rows from
+    OLDER data files, so re-inserting the key afterwards is visible."""
+    table.append(_mk(spark, [("a", "en")]), part_col="lang")
+    table.delete_rows(spark.createDataFrame([Row(url="a")]), ["url"])
+    assert _urls(table.read()) == set()
+    table.append(_mk(spark, [("a", "en")]), part_col="lang")
+    assert _urls(table.read()) == {"a"}
+    # and the delete still applies to the ORIGINAL file's rows: both
+    # snapshots coexist, each with its own view
+    assert table.delete_file_count() == 1
+
+
+def test_delete_composite_and_null_keys(spark, table):
+    """Composite keys match column-wise with null-safe equality: a
+    (url, lang)=(x, NULL) delete row kills exactly the NULL-lang x."""
+    rows = [
+        Row(url="x", lang="en", n=1),
+        Row(url="x", lang=None, n=2),
+        Row(url="y", lang="en", n=3),
+    ]
+    table.append(spark.createDataFrame(rows))
+    table.delete_rows(
+        spark.createDataFrame(
+            [("x", None)], "url string, lang string"
+        ),
+        ["url", "lang"],
+    )
+    got = {(r["url"], r["lang"]) for r in table.read().collect()}
+    assert got == {("x", "en"), ("y", "en")}
+
+
+def test_delete_applies_under_partition_filter(spark, table):
+    table.append(
+        _mk(spark, [("a", "en"), ("b", "de"), ("c", "en")]),
+        part_col="lang",
+    )
+    table.delete_rows(spark.createDataFrame([Row(url="c")]), ["url"])
+    got = _urls(table.read(partition_filter={"lang": ["en"]}))
+    assert got == {"a"}
+
+
+def test_delete_key_validation(spark, table):
+    table.append(_mk(spark, [("a", "en")]), part_col="lang")
+    with pytest.raises(ValueError, match="not in table schema"):
+        table.delete_rows(
+            spark.createDataFrame([Row(nope="a")]), ["nope"]
+        )
+    with pytest.raises(ValueError, match="must match the table type"):
+        table.delete_rows(spark.createDataFrame([Row(url=1)]), ["url"])
+    with pytest.raises(ValueError, match="empty table"):
+        SnapshotTable(
+            spark, table.dir + "_fresh", "t"
+        ).delete_rows(spark.createDataFrame([Row(url="a")]), ["url"])
+
+
+def test_merge_after_delete_respects_deletes(spark, table):
+    """merge_upsert reads through the delete-applied view: a deleted
+    key stays dead unless the update batch itself re-inserts it."""
+    table.merge_upsert(
+        spark.createDataFrame(
+            [Row(url="a", warc_ts=1, bucket_id=0),
+             Row(url="b", warc_ts=1, bucket_id=0)]
+        ),
+        ["url"], ["warc_ts"], part_col="bucket_id",
+    )
+    table.delete_rows(spark.createDataFrame([Row(url="a")]), ["url"])
+    table.merge_upsert(
+        spark.createDataFrame([Row(url="b", warc_ts=2, bucket_id=0)]),
+        ["url"], ["warc_ts"], part_col="bucket_id",
+    )
+    got = {(r["url"], r["warc_ts"]) for r in table.read().collect()}
+    assert got == {("b", 2)}
+
+
+# --------------------------------------------- rewrite_data_files
+
+
+def test_rewrite_data_files_binpacks_and_materializes(spark, table):
+    """Compaction: content identical before/after, small files
+    folded, pending equality deletes materialized away, pre-rewrite
+    snapshot intact for time travel."""
+    for i in range(6):  # 6 commits x 2 partitions -> many small files
+        table.append(
+            _mk(spark, [(f"a{i}", "en"), (f"b{i}", "de")]),
+            part_col="lang",
+        )
+    table.delete_rows(
+        spark.createDataFrame([Row(url="a3"), Row(url="b5")]), ["url"]
+    )
+    pre = table.current_snapshot()
+    before = _rows(table.read())
+    stats = table.rewrite_data_files()
+    assert _rows(table.read()) == before
+    assert stats["files_after"] <= 2  # one per partition value
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["delete_files_materialized"] == 1
+    assert table.delete_file_count() == 0
+    assert _rows(table.read(snapshot=pre)) == before
+    # a LATER delete still works against the rewritten files
+    table.delete_rows(spark.createDataFrame([Row(url="a1")]), ["url"])
+    assert "a1" not in _urls(table.read())
+
+
+def test_rewrite_conflicts_with_concurrent_commit(spark, table):
+    from webfilter.snaptable import CommitConflict
+
+    table.append(_mk(spark, [("a", "en")]), part_col="lang")
+    base = table.current_snapshot()
+    entries, dels, snap = table._resolve_full(base)
+    df = table.read(snapshot=base)
+    # concurrent append lands between the rewrite's read and commit
+    table.append(_mk(spark, [("z", "de")]), part_col="lang")
+    added = table._write_data(df, "lang")
+    with pytest.raises(CommitConflict):
+        table._commit(
+            "rewrite_data_files", added, None, snap["schema"],
+            expected_parent=base, replace=True,
+        )
+    # nothing lost
+    assert _urls(table.read()) == {"a", "z"}
+
+
+def test_vacuum_reclaims_delete_files_after_rewrite(spark, table):
+    table.append(_mk(spark, [("a", "en"), ("b", "en")]), part_col="lang")
+    table.delete_rows(spark.createDataFrame([Row(url="a")]), ["url"])
+    # live delete file survives vacuum while its snapshot is kept
+    table.vacuum(keep_last=10, orphan_grace_seconds=0.0)
+    assert table.delete_file_count() == 1
+    assert _urls(table.read()) == {"b"}
+    table.rewrite_data_files()
+    stats = table.vacuum(keep_last=1, orphan_grace_seconds=0.0)
+    assert stats["files_deleted"] > 0
+    assert _urls(table.read()) == {"b"}
+    # the delete parquet itself is gone from disk
+    leftover = [
+        f for _, _, fs in os.walk(table.data_dir) for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert len(leftover) == table.file_count()
+
+
+def test_compact_manifests_preserves_deletes(spark, table):
+    """Manifest compaction keeps LIVE delete entries (their seq
+    stamps untouched) and drops dangling ones after a rewrite."""
+    table.append(_mk(spark, [("a", "en"), ("b", "en")]), part_col="lang")
+    table.delete_rows(spark.createDataFrame([Row(url="a")]), ["url"])
+    table.compact_manifests()
+    assert _urls(table.read()) == {"b"}
+    assert table.delete_file_count() == 1
+    table.rewrite_data_files()
+    table.compact_manifests()  # delete now dangling -> dropped
+    assert table.delete_file_count() == 0
+    assert _urls(table.read()) == {"b"}
+
+
+def test_append_cas_race_does_not_lose_to_interleaved_delete(
+    spark, table
+):
+    """The seq-stamp correctness case that forces per-attempt
+    manifest rewrite: an append loses the publish CAS to a DELETE
+    commit.  The retried append must commit with a seq ABOVE the
+    delete's, so the delete cannot retroactively kill its rows."""
+    import json as _json
+
+    table.append(_mk(spark, [("a", "en")]), part_col="lang")
+    # forge the interleaved commit: a delete_rows snapshot at seq 1
+    # (as if it won the race against our append's first attempt)
+    table.delete_rows(spark.createDataFrame([Row(url="b")]), ["url"])
+    # now append url=b: its rows must survive the seq-1 delete
+    table.append(_mk(spark, [("b", "de")]), part_col="lang")
+    assert _urls(table.read()) == {"a", "b"}
+    # and the manifest stamps prove why: b's data seq > delete seq
+    entries, dels, _ = table._resolve_full(table.current_snapshot())
+    b_seq = max(e["seq"] for e in entries)
+    assert all(d["seq"] < b_seq for d in dels)

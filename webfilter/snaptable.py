@@ -41,6 +41,16 @@ scale — as executed, tested code:
 * **Vacuum.**  `vacuum(keep_last=k)` deletes data/manifest files
   unreferenced by the last k snapshots — Iceberg's
   `expire_snapshots`, the only deleting operation in the format.
+* **Row-level deletes, merge-on-read.**  `delete_rows(keys, cols)`
+  commits an Iceberg-v2-style EQUALITY DELETE file; reads apply it
+  via a broadcast anti-join gated on the strict data-file-seq <
+  delete-seq comparison (re-inserts resurrect).  At 10^12 docs a
+  takedown list cannot afford copy-on-write.
+* **Compaction.**  `rewrite_data_files` bin-packs small files (one
+  per partition value, split at max_rows_per_file) and materializes
+  pending deletes in one replace-commit — the maintenance pass that
+  bounds file count and keeps read-time delete joins empty under
+  streaming epoch commits.
 
 Partition handling: the writer duplicates the partition column into
 `__pv` and writes with `partitionBy("__pv")`, so the directory name
@@ -184,14 +194,29 @@ class SnapshotTable:
             return json.load(fh)
 
     def _resolve(self, seq: int) -> tuple[list[dict], dict]:
-        """File entries visible in snapshot ``seq``.
+        """Data-file entries visible in snapshot ``seq`` (compat
+        shim over :meth:`_resolve_full`)."""
+        entries, _dels, snap = self._resolve_full(seq)
+        return entries, snap
+
+    def _resolve_full(
+        self, seq: int
+    ) -> tuple[list[dict], list[dict], dict]:
+        """(data entries, equality-delete entries, snapshot) visible
+        in snapshot ``seq``.
 
         Manifest files are applied in commit order; a manifest's
-        partition tombstones hide matching entries from every EARLIER
-        manifest (exactly Iceberg's overwrite semantics: logical
-        delete by partition predicate, physical files untouched)."""
+        partition tombstones hide matching DATA entries from every
+        EARLIER manifest (exactly Iceberg's overwrite semantics:
+        logical delete by partition predicate, physical files
+        untouched).  Equality-delete entries are never tombstoned —
+        their applicability is governed purely by the strict
+        sequence-number comparison at read time (a delete can only
+        kill rows from data files with a smaller ``seq``), so a
+        partition overwrite naturally outruns every earlier delete."""
         snap = self._load_snapshot(seq)
         entries: list[dict] = []
+        del_entries: list[dict] = []
         for mf in snap["manifests"]:
             with open(os.path.join(self.meta_dir, mf)) as fh:
                 man = json.load(fh)
@@ -208,12 +233,14 @@ class SnapshotTable:
                     )
                 ]
             entries.extend(man["files"])
-        return entries, snap
+            del_entries.extend(man.get("eq_deletes") or [])
+        return entries, del_entries, snap
 
     # ----------------------------------------------------------- data write
 
     def _write_data(
-        self, df: DataFrame, part_col: str | None
+        self, df: DataFrame, part_col: str | None,
+        max_records: int | None = None,
     ) -> list[dict]:
         """Write immutable data files for one commit; return manifest
         entries [{path, partition, rows, bytes}] with footer stats."""
@@ -222,13 +249,17 @@ class SnapshotTable:
         if part_col is not None:
             from pyspark.sql import functions as F
 
-            (
-                df.withColumn("__pv", F.col(part_col).cast("string"))
-                .write.partitionBy("__pv")
-                .parquet(out)
-            )
+            w = df.withColumn(
+                "__pv", F.col(part_col).cast("string")
+            ).write.partitionBy("__pv")
+            if max_records:
+                w = w.option("maxRecordsPerFile", max_records)
+            w.parquet(out)
         else:
-            df.write.parquet(out)
+            w = df.write
+            if max_records:
+                w = w.option("maxRecordsPerFile", max_records)
+            w.parquet(out)
         entries = []
         for dirpath, _dirs, files in os.walk(out):
             for fn in files:
@@ -288,6 +319,8 @@ class SnapshotTable:
         deletes: dict | None,
         schema_json: str,
         expected_parent=_UNSET,
+        eq_deletes: list[dict] | None = None,
+        replace: bool = False,
     ) -> int:
         """Write one manifest file, then atomically publish the new
         manifest list (the commit point — a crash before it leaves
@@ -303,7 +336,15 @@ class SnapshotTable:
         manifest composes with any parent; an append that loses the
         sequence-number CAS therefore RETRIES against the new parent
         automatically (its manifest file is parent-independent), so
-        plain appends genuinely never surface a conflict."""
+        plain appends genuinely never surface a conflict.
+
+        Every file entry is stamped with the commit's TRUE sequence
+        number (``"seq"``) — the fact equality-delete applicability
+        keys on (a delete kills only rows from files with a strictly
+        SMALLER seq).  A retried append commits at a later seq than
+        its first attempt, so the manifest is rewritten per attempt
+        (the stale attempt's manifest is unlinked; a crash leaves at
+        most one orphan for vacuum's grace window)."""
         mf_name = None
         for _attempt in range(50):
             cur = self.current_snapshot()
@@ -319,17 +360,30 @@ class SnapshotTable:
                 else []
             )
             seq = 0 if cur is None else cur + 1
-            if mf_name is None:  # written once, reused across retries
-                mf_name = f"m-{seq:010d}-{uuid.uuid4().hex}.json"
-                with open(
-                    os.path.join(self.meta_dir, mf_name), "w"
-                ) as fh:
-                    json.dump({"files": added, "deletes": deletes}, fh)
+            if mf_name is not None:  # stale attempt: wrong seq stamps
+                try:
+                    os.unlink(os.path.join(self.meta_dir, mf_name))
+                except OSError:
+                    pass
+            mf_name = f"m-{seq:010d}-{uuid.uuid4().hex}.json"
+            with open(os.path.join(self.meta_dir, mf_name), "w") as fh:
+                json.dump(
+                    {
+                        "files": [e | {"seq": seq} for e in added],
+                        "eq_deletes": [
+                            e | {"seq": seq} for e in (eq_deletes or [])
+                        ],
+                        "deletes": deletes,
+                    },
+                    fh,
+                )
             snap = {
                 "seq": seq,
                 "operation": operation,
                 "parent": cur,
-                "manifests": prev_manifests + [mf_name],
+                "manifests": (
+                    [mf_name] if replace else prev_manifests + [mf_name]
+                ),
                 "schema": schema_json,
                 "added_files": len(added),
                 "added_rows": sum(e["rows"] for e in added),
@@ -509,12 +563,20 @@ class SnapshotTable:
         cannot overlap [lo, hi] — Iceberg's stats-based file skipping;
         files without stats for the column are conservatively kept.
         Pruning is metadata-only: the caller still applies the actual
-        row predicate (pruning narrows I/O, never semantics)."""
+        row predicate (pruning narrows I/O, never semantics).
+
+        Merge-on-read: if the snapshot carries equality-delete files
+        (see :meth:`delete_rows`), matching rows are filtered out here
+        via a broadcast anti-join — Iceberg v2's read-time delete
+        application.  A delete only kills rows from data files with a
+        strictly SMALLER commit sequence number, so re-inserting a
+        deleted key later resurrects it.  Snapshots without applicable
+        deletes take the exact same plan as before (no extra join)."""
         cur = self.current_snapshot()
         if cur is None:
             raise ValueError("table has no snapshots")
         seq = cur if snapshot is None else snapshot
-        entries, snap = self._resolve(seq)
+        entries, del_entries, snap = self._resolve_full(seq)
         if partition_filter:
             (col, values), = partition_filter.items()
             wanted = {None if v is None else str(v) for v in values}
@@ -544,7 +606,84 @@ class SnapshotTable:
         if not entries:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.dir, e["path"]) for e in entries]
-        return self.spark.read.schema(schema).parquet(*paths)
+        df = self.spark.read.schema(schema).parquet(*paths)
+        min_seq = min(e.get("seq", 0) for e in entries)
+        applicable = [
+            d for d in del_entries if d.get("seq", 0) > min_seq
+        ]
+        if applicable:
+            df = self._apply_eq_deletes(df, entries, applicable)
+        return df
+
+    def _apply_eq_deletes(
+        self,
+        df: DataFrame,
+        entries: list[dict],
+        del_entries: list[dict],
+    ) -> DataFrame:
+        """Filter out rows matched by equality-delete files: one
+        broadcast LEFT ANTI join per distinct key-column set, with the
+        strict-sequence condition ``delete.seq > data-file.seq``.
+
+        The per-row data-file seq comes from a broadcast path→seq dim
+        joined on ``_metadata.file_path`` (Spark's hidden file
+        metadata column, URI-normalized to an absolute path) — no
+        per-row Python, no extra scan.  Delete files are the SMALL
+        side by design (takedown/GDPR key lists;
+        ``rewrite_data_files`` folds them away), so every added join
+        is a broadcast."""
+        from pyspark.sql import functions as F
+
+        path_seq = [
+            (os.path.join(self.dir, e["path"]), e.get("seq", 0))
+            for e in entries
+        ]
+        dim = self.spark.createDataFrame(
+            path_seq, "__apath string, __fseq long"
+        )
+        max_seq = max(s for _, s in path_seq)
+        df = (
+            df.withColumn(
+                "__apath",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"),
+                    "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/",
+                ),
+            )
+            .join(F.broadcast(dim), "__apath", "left")
+            # a URI-normalization miss must NEVER silently drop rows
+            # (inner join) or wrongly delete them: unmatched rows act
+            # as newest-possible, so no delete applies to them — and
+            # the delete tests pin that matching actually works
+            .withColumn(
+                "__fseq", F.coalesce(F.col("__fseq"), F.lit(max_seq + 1))
+            )
+        )
+        by_keys: dict[tuple[str, ...], list[dict]] = {}
+        for d in del_entries:
+            by_keys.setdefault(tuple(d["key_cols"]), []).append(d)
+        for key_cols, dels in sorted(by_keys.items()):
+            parts = [
+                self.spark.read.parquet(
+                    os.path.join(self.dir, d["path"])
+                )
+                .select(*key_cols)
+                .withColumn("__dseq", F.lit(d.get("seq", 0)))
+                for d in dels
+            ]
+            ddf = parts[0]
+            for p in parts[1:]:
+                ddf = ddf.unionByName(p)
+            ddf = ddf.alias("__del")
+            cond = F.col("__del.__dseq") > F.col("__dat.__fseq")
+            for k in key_cols:
+                cond = cond & F.col(f"__dat.{k}").eqNullSafe(
+                    F.col(f"__del.{k}")
+                )
+            df = df.alias("__dat").join(
+                F.broadcast(ddf), cond, "left_anti"
+            )
+        return df.drop("__apath", "__fseq")
 
     def file_count(self, snapshot: int | None = None) -> int:
         seq = self.current_snapshot() if snapshot is None else snapshot
@@ -578,6 +717,120 @@ class SnapshotTable:
 
         return _sink
 
+    def delete_rows(
+        self, keys_df: DataFrame, key_cols: list[str]
+    ) -> int:
+        """Row-level delete, merge-on-read — Iceberg v2's EQUALITY
+        DELETE file.  Writes the distinct key tuples as a small
+        parquet delete file and commits; no data file is rewritten
+        (at 10^12 docs a takedown/GDPR list cannot afford copy-on-
+        write).  Reads apply the deletes via broadcast anti-join
+        (:meth:`_apply_eq_deletes`); ``rewrite_data_files`` later
+        materializes them away.
+
+        Applicability is by strict sequence number: the delete kills
+        matching rows only in data files committed BEFORE it, so a
+        subsequent re-insert of the same key is visible.  Like an
+        append, the commit composes with any parent (deleting key K
+        concurrently with an insert of K linearizes as
+        insert-then-delete), so it retries through CAS races rather
+        than raising CommitConflict."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise ValueError("cannot delete from an empty table")
+        snap = self._load_snapshot(cur)
+        table_schema = T.StructType.fromJson(json.loads(snap["schema"]))
+        by_name = {f.name: f for f in table_schema.fields}
+        for k in key_cols:
+            f = by_name.get(k)
+            if f is None:
+                raise ValueError(
+                    f"delete key column {k!r} not in table schema"
+                )
+            g = dict(
+                (x.name, x) for x in keys_df.schema.fields
+            ).get(k)
+            if g is None or g.dataType != f.dataType:
+                raise ValueError(
+                    f"delete key column {k!r} must match the table "
+                    f"type {f.dataType.simpleString()}"
+                )
+        keys = keys_df.select(*key_cols).distinct().coalesce(1)
+        dentries = [
+            e | {"key_cols": list(key_cols)}
+            for e in self._write_data(keys, None)
+        ]
+        return self._commit(
+            "delete_rows", [], None, snap["schema"],
+            eq_deletes=dentries,
+        )
+
+    def rewrite_data_files(
+        self,
+        max_rows_per_file: int = 512_000,
+        part_col: str | None = None,
+    ) -> dict:
+        """Bin-pack compaction — Iceberg's ``rewrite_data_files``:
+        rewrite the CURRENT snapshot's content into right-sized files
+        (one commit, ``replace``-style manifest list of length 1) and
+        MATERIALIZE pending equality deletes (the new files carry the
+        new commit's seq, so no earlier delete applies to them; the
+        delete files themselves drop out of the manifest chain and
+        become vacuum-reclaimable).  This is the maintenance pass that
+        keeps a 10^12-doc table's file count bounded under streaming
+        epoch commits and keeps the read-time delete joins empty.
+
+        Partitioned tables repartition BY the partition column so
+        each value's rows land in one task (one file per value, split
+        at ``max_rows_per_file`` by the writer); ``part_col`` is
+        inferred when every live file agrees.  Content-replacing, so
+        a concurrent commit surfaces as CommitConflict (coarser than
+        Iceberg's per-file conflict detection — documented trade)."""
+        import math
+
+        base = self.current_snapshot()
+        if base is None:
+            raise ValueError("table has no snapshots")
+        entries, del_entries, snap = self._resolve_full(base)
+        if part_col is None:
+            pcols = {
+                e["partition"]["col"] if e["partition"] else None
+                for e in entries
+            }
+            if len(pcols) > 1:
+                raise ValueError(
+                    "mixed partitioning; pass part_col explicitly to "
+                    "heal the layout"
+                )
+            part_col = pcols.pop() if pcols else None
+        files_before = len(entries)
+        df = self.read(snapshot=base)
+        from pyspark.sql import functions as F
+
+        if part_col is not None:
+            df = df.repartition(F.col(part_col))
+        else:
+            total = sum(e["rows"] for e in entries)
+            df = df.repartition(
+                max(1, math.ceil(total / max_rows_per_file))
+            )
+        added = self._write_data(df, part_col, max_records=max_rows_per_file)
+        seq = self._commit(
+            "rewrite_data_files", added, None, snap["schema"],
+            expected_parent=base, replace=True,
+        )
+        return {
+            "snapshot": seq,
+            "files_before": files_before,
+            "files_after": len(added),
+            "delete_files_materialized": len(del_entries),
+            "rows": sum(e["rows"] for e in added),
+        }
+
+    def delete_file_count(self, snapshot: int | None = None) -> int:
+        seq = self.current_snapshot() if snapshot is None else snapshot
+        return len(self._resolve_full(seq)[1])
+
     def compact_manifests(self) -> int:
         """Fold the current snapshot's resolved entries into ONE
         manifest file and commit — Iceberg's ``rewrite_manifests``.
@@ -585,15 +838,32 @@ class SnapshotTable:
         snapshot-resolution cost over a long commit history: the new
         snapshot's list has length 1 (tombstone-shadowed entries are
         gone), while older snapshots keep their original chains until
-        ``vacuum`` expires them."""
+        ``vacuum`` expires them.  Entries keep their ORIGINAL commit
+        seq stamps (delete applicability must not shift); equality-
+        delete entries ride along, minus dangling ones no live data
+        file is old enough to be affected by (Iceberg's dangling-
+        delete drop)."""
         cur = self.current_snapshot()
         if cur is None:
             raise ValueError("table has no snapshots")
-        entries, snap = self._resolve(cur)
+        entries, del_entries, snap = self._resolve_full(cur)
+        min_seq = min(
+            (e.get("seq", 0) for e in entries), default=0
+        )
+        live_dels = [
+            d for d in del_entries if d.get("seq", 0) > min_seq
+        ]
         seq = cur + 1
         mf_name = f"m-{seq:010d}-{uuid.uuid4().hex}.json"
         with open(os.path.join(self.meta_dir, mf_name), "w") as fh:
-            json.dump({"files": entries, "deletes": None}, fh)
+            json.dump(
+                {
+                    "files": entries,
+                    "eq_deletes": live_dels,
+                    "deletes": None,
+                },
+                fh,
+            )
         new_snap = {
             "seq": seq,
             "operation": "compact_manifests",
@@ -634,8 +904,9 @@ class SnapshotTable:
         live_files: set[str] = set()
         live_manifests: set[str] = set()
         for seq in keep_seqs:
-            entries, snap = self._resolve(seq)
+            entries, dels, snap = self._resolve_full(seq)
             live_files.update(e["path"] for e in entries)
+            live_files.update(d["path"] for d in dels)
             live_manifests.update(snap["manifests"])
         # everything any snapshot (kept or expired) ever referenced is
         # known-published; files outside that set are possibly
@@ -644,8 +915,9 @@ class SnapshotTable:
         published_manifests: set[str] = set()
         for s in snaps:
             seq = int(s[2:-5])
-            entries, snap = self._resolve(seq)
+            entries, dels, snap = self._resolve_full(seq)
             published_files.update(e["path"] for e in entries)
+            published_files.update(d["path"] for d in dels)
             published_manifests.update(snap["manifests"])
         now = _time.time()
 
