@@ -197,8 +197,12 @@ def test_pipeline_dq_check_flag(spark, synth_dir, tmp_path):
     assert not rawres["satisfies_pii_raw"]["passed"]
     cat = ParquetCatalog(spark, str(out))
     audit = cat.read("dq_audit")
-    assert audit.count() == 5
+    # 5 constraints x 2 scopes (run + corpus); on a single full run
+    # the corpus metrics equal the run metrics
+    assert audit.count() == 10
     assert {r["run_id"] for r in audit.collect()} == {"dq1"}
+    assert {r["scope"] for r in audit.collect()} == {"run", "corpus"}
+    assert res["dq_corpus"] == res["dq"]
     # default path untouched
     out2 = tmp_path / "plain"
     res2 = pipeline.run_filter(
@@ -280,3 +284,40 @@ def test_refresh_preserves_null_bucket_state(spark):
     )
     full2 = verify(bucket_state(mutated, SUITE), SUITE)
     assert _results(diff2) == _results(full2)
+
+
+def test_corpus_dq_accumulates_across_resumed_runs(
+    spark, synth_dir, tmp_path
+):
+    """The corpus-level scope is O(increment) per run: each run
+    persists its buckets' mergeable state, and the corpus verify
+    merges ALL runs' states — after two partial runs covering the
+    corpus, it equals a single full run's dq, without ever rescanning
+    earlier runs' decisions."""
+    from webfilter import pipeline
+    from webfilter.tables import ParquetCatalog
+
+    out = tmp_path / "split"
+    r1 = pipeline.run_filter(
+        spark, f"{synth_dir}/pages.parquet", str(out), n_buckets=8,
+        run_id="e1", only_buckets=[0, 1, 2, 3], dq_check=True,
+    )
+    r2 = pipeline.run_filter(
+        spark, f"{synth_dir}/pages.parquet", str(out), n_buckets=8,
+        run_id="e2", only_buckets=[4, 5, 6, 7], dq_check=True,
+    )
+    full = pipeline.run_filter(
+        spark, f"{synth_dir}/pages.parquet", str(tmp_path / "full"),
+        n_buckets=8, run_id="f", dq_check=True,
+    )
+    # run scopes see only their half; the corpus scope after run 2
+    # matches the single full run exactly (state merge == recompute)
+    assert r2["dq_corpus"] == full["dq_corpus"] == full["dq"]
+    assert r1["dq"] != full["dq"] or r2["dq"] != full["dq"]
+    # state lineage: one scalars row per (run, bucket)
+    cat = ParquetCatalog(spark, str(out))
+    scal = cat.read("dq_state_scalars")
+    assert scal.count() == 8
+    assert {
+        (r["run_id"], r["part"]) for r in scal.collect()
+    } == {("e1", b) for b in range(4)} | {("e2", b) for b in range(4, 8)}

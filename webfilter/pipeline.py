@@ -446,41 +446,93 @@ def run_filter(
             # (code-review r4 finding #8); 0.80 is ~3 sigma
             dq.Unique("url", 0.80),
         ]
-        if dec.isEmpty():
-            # zero-row run (all pending buckets empty): every
-            # fraction is 0/0 — record an explicit empty result
-            # instead of NULL-metric audit rows (code-review r4
-            # finding #7)
-            summary["dq"] = {}
-        else:
-            dq_rows = dq.verify(
-                dq.bucket_state(dec, suite, "bucket_id"), suite
-            ).collect()  # bounded: one row per constraint
+        def _summarize(rows):
+            return {
+                r["constraint"]: {
+                    "metric": r["metric"],
+                    "passed": r["passed"],
+                }
+                for r in rows
+            }
+
+        def _record(rows_by_scope: dict[str, list]) -> None:
             dq_schema = pa.schema(
                 [
                     ("constraint", pa.string()),
                     ("metric", pa.float64()),
                     ("threshold", pa.float64()),
                     ("passed", pa.bool_()),
+                    ("scope", pa.string()),
                     ("run_id", pa.string()),
                     ("processed_at", pa.timestamp("us", tz="UTC")),
                 ]
             )
             catalog.append_rows(
                 [
-                    {**r.asDict(), "run_id": run_id, "processed_at": now}
-                    for r in dq_rows
+                    {
+                        **r.asDict(),
+                        "scope": scope,
+                        "run_id": run_id,
+                        "processed_at": now,
+                    }
+                    for scope, rows in rows_by_scope.items()
+                    for r in rows
                 ],
                 dq_schema,
                 "dq_audit",
             )
-            summary["dq"] = {
-                r["constraint"]: {
-                    "metric": r["metric"],
-                    "passed": r["passed"],
-                }
-                for r in dq_rows
-            }
+
+        if dec.isEmpty():
+            # zero-row run (all pending buckets empty): every
+            # fraction is 0/0 — record an explicit empty result
+            # instead of NULL-metric audit rows (code-review r4
+            # finding #7). Corpus-level state from EARLIER runs is
+            # still verifiable.
+            summary["dq"] = {}
+            if catalog.exists("dq_state_scalars"):
+                corpus_rows = dq.verify(
+                    (
+                        catalog.read("dq_state_scalars").drop("run_id"),
+                        catalog.read("dq_state_regs").drop("run_id"),
+                    ),
+                    suite,
+                ).collect()
+                _record({"corpus": corpus_rows})
+                summary["dq_corpus"] = _summarize(corpus_rows)
+        else:
+            # persist THIS run's per-bucket mergeable state as
+            # append-only lineage (runs hold disjoint buckets — the
+            # manifest's resume contract — so the union of all runs'
+            # states IS the corpus state, and the corpus-level verify
+            # below costs O(n_buckets x 256) metadata rows, never a
+            # rescan of the decisions table; proven equal to a full
+            # recompute in tests/test_dq.py)
+            scal, regs = dq.bucket_state(dec, suite, "bucket_id")
+            catalog.append(
+                scal.withColumn("run_id", F.lit(run_id)),
+                "dq_state_scalars",
+            )
+            catalog.append(
+                regs.withColumn("run_id", F.lit(run_id)),
+                "dq_state_regs",
+            )
+            # read the persisted state back (one computation of the
+            # aggs — the write above — then metadata-sized reads)
+            acc_scal = catalog.read("dq_state_scalars")
+            acc_regs = catalog.read("dq_state_regs")
+            dq_rows = dq.verify(
+                (
+                    acc_scal.filter(F.col("run_id") == run_id).drop("run_id"),
+                    acc_regs.filter(F.col("run_id") == run_id).drop("run_id"),
+                ),
+                suite,
+            ).collect()  # bounded: one row per constraint
+            corpus_rows = dq.verify(
+                (acc_scal.drop("run_id"), acc_regs.drop("run_id")), suite
+            ).collect()
+            _record({"run": dq_rows, "corpus": corpus_rows})
+            summary["dq"] = _summarize(dq_rows)
+            summary["dq_corpus"] = _summarize(corpus_rows)
         timings["dq_check"] = round(_time.time() - t0, 2)
 
     timings["total"] = round(_time.time() - t_all, 2)
