@@ -200,7 +200,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, pages_path, args.out,
             args.checkpoint or f"{args.out}/_checkpoint",
             cfg=cfg, n_buckets=args.buckets,
-            boilerplate=args.boilerplate,
+            boilerplate=args.boilerplate, dq_check=args.dq_check,
         )
         dec = spark.read.parquet(f"{args.out}/decisions_stream.parquet")
         agg = dec.agg(
@@ -209,11 +209,28 @@ def main(argv: list[str] | None = None) -> int:
             F.max("_epoch").alias("last_epoch"),
         ).collect()[0]
         wall = round(time.time() - t0, 2)
-        print(json.dumps({
+        summary = {
             "mode": "stream", "rows_total": agg["rows"],
             "epochs_total": agg["epochs"], "last_epoch": agg["last_epoch"],
             "wall_s": wall,
-        }))
+        }
+        if args.dq_check:
+            # corpus-so-far dq from the LAST epoch's corpus-scope
+            # audit rows (each epoch re-verifies the accumulated
+            # state, so the newest epoch's rows are the final word)
+            audit = spark.read.parquet(
+                f"{args.out}/dq_audit_stream.parquet"
+            ).filter(F.col("scope") == "corpus")
+            last_rid = f"epoch-{agg['last_epoch']}"
+            summary["dq_corpus"] = {
+                r["constraint"]: {
+                    "metric": r["metric"], "passed": r["passed"],
+                }
+                for r in audit.filter(
+                    F.col("run_id") == last_rid
+                ).collect()
+            }
+        print(json.dumps(summary))
         return 0
 
     t0 = time.time()

@@ -669,3 +669,66 @@ def test_csv_metadata_stream_quarantines_corrupt(spark, tmp_path):
     drain()
     assert spark.read.parquet(f"{out}/clean.parquet").count() == n_clean
     assert spark.read.parquet(f"{out}/quarantine.parquet").count() == n_bad
+
+
+def test_filter_stream_dq_monitoring(spark, stream_src, tmp_path):
+    """Online dq monitoring (dq_check=True): every epoch writes its
+    per-bucket mergeable state + epoch/corpus audit rows; the final
+    corpus-scope verify over accumulated state equals the batch dq
+    over ALL emitted decision rows (never re-reading earlier
+    epochs); and a checkpoint-wipe replay leaves the state tables
+    content-identical (dynamic overwrite on run_id — no double
+    counting)."""
+    from webfilter import dq
+
+    out = tmp_path / "dq_out"
+    cp = tmp_path / "dq_cp"
+    streaming.run_filter_stream(
+        spark, stream_src, str(out), str(cp), max_files=2, dq_check=True
+    )
+    dec = spark.read.parquet(f"{out}/decisions_stream.parquet")
+    epochs = [
+        r["_epoch"] for r in dec.select("_epoch").distinct().collect()
+    ]
+    assert len(epochs) >= 2
+    scal = spark.read.parquet(f"{out}/dq_state_scalars.parquet")
+    assert {r["run_id"] for r in scal.select("run_id").distinct().collect()} == {
+        f"epoch-{e}" for e in epochs
+    }
+    audit = spark.read.parquet(f"{out}/dq_audit_stream.parquet")
+    assert {r["scope"] for r in audit.select("scope").distinct().collect()} == {
+        "epoch", "corpus",
+    }
+    suite = dq.default_suite()
+    last = f"epoch-{max(epochs)}"
+
+    def corpus_rows(aud):
+        return sorted(
+            (r["constraint"], r["metric"], r["passed"])
+            for r in aud.filter(
+                (F.col("scope") == "corpus") & (F.col("run_id") == last)
+            ).collect()
+        )
+
+    # corpus scope == batch verify over all emitted rows
+    direct = sorted(
+        (r["constraint"], r["metric"], r["passed"])
+        for r in dq.verify(
+            dq.bucket_state(dec, suite, "bucket_id"), suite
+        ).collect()
+    )
+    assert corpus_rows(audit) == direct
+
+    # replay: wipe the checkpoint, re-drain — same state content
+    import shutil as _sh
+
+    before = sorted(tuple(r) for r in scal.drop("run_id").collect())
+    _sh.rmtree(cp)
+    streaming.run_filter_stream(
+        spark, stream_src, str(out), str(cp), max_files=2, dq_check=True
+    )
+    scal2 = spark.read.parquet(f"{out}/dq_state_scalars.parquet")
+    assert sorted(tuple(r) for r in scal2.drop("run_id").collect()) == before
+    assert corpus_rows(
+        spark.read.parquet(f"{out}/dq_audit_stream.parquet")
+    ) == direct

@@ -103,6 +103,37 @@ class Unique:
 Constraint = Complete | InRange | Satisfies | Unique
 
 
+def default_suite() -> list[Constraint]:
+    """The production decision-table suite shared by the batch job
+    (``run_filter(dq_check=True)``) and the streaming monitor
+    (``filter_batch(dq_check=True)``) — one definition so the two
+    modes can never drift.
+
+    The scrub-invariant constraint re-runs the email/SSN patterns
+    over the SHIPPED text: a wrong-order pattern edit or a scrub
+    regression shows up as a red audit row on the very next run
+    (escapes doubled: Spark SQL literals consume one backslash
+    level).  unique_url is 0.80, not ~1.0: urls ARE unique per run
+    (latest-per-url window), but the m=256 HLL has ~6.5% relative
+    std error — a threshold 1.5 sigma under truth would false-red
+    ~1 run in 20 and train operators to ignore the audit; 0.80 is
+    ~3 sigma."""
+    _email = r"[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}"
+    _ssn = r"\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+    return [
+        Complete("url", 1.0),
+        Complete("keep", 1.0),
+        InRange("langid_conf", 0.0, 1.0),
+        Satisfies(
+            "pii_scrubbed",
+            "scrubbed_text IS NULL OR (scrubbed_text NOT RLIKE "
+            f"'{_email}' AND scrubbed_text NOT RLIKE '{_ssn}')",
+            1.0,
+        ),
+        Unique("url", 0.80),
+    ]
+
+
 def _scalar_aggs(constraints: list[Constraint]) -> list[Column]:
     aggs = [F.count(F.lit(1)).alias("n")]
     for i, c in enumerate(constraints):

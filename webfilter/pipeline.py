@@ -422,30 +422,7 @@ def run_filter(
         t0 = _time.time()
         from . import dq
 
-        # the scrub-invariant constraint re-runs the email/SSN
-        # patterns over the SHIPPED text: a wrong-order pattern edit
-        # or a scrub regression shows up here as a red audit row on
-        # the very next run (escapes doubled: Spark SQL literals
-        # consume one level of backslash)
-        _email = r"[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}"
-        _ssn = r"\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
-        suite = [
-            dq.Complete("url", 1.0),
-            dq.Complete("keep", 1.0),
-            dq.InRange("langid_conf", 0.0, 1.0),
-            dq.Satisfies(
-                "pii_scrubbed",
-                "scrubbed_text IS NULL OR (scrubbed_text NOT RLIKE "
-                f"'{_email}' AND scrubbed_text NOT RLIKE '{_ssn}')",
-                1.0,
-            ),
-            # 0.80, not ~1.0: urls ARE unique per run (latest-per-url
-            # window), but the m=256 HLL has ~6.5% relative std error
-            # — a threshold 1.5 sigma under truth would false-red
-            # ~1 run in 20 and train operators to ignore the audit
-            # (code-review r4 finding #8); 0.80 is ~3 sigma
-            dq.Unique("url", 0.80),
-        ]
+        suite = dq.default_suite()
         def _summarize(rows):
             return {
                 r["constraint"]: {

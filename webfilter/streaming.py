@@ -123,7 +123,8 @@ def upsert_batch(out_root: str):
 
 
 def filter_batch(
-    out_root: str, cfg=None, n_buckets: int = 32, boilerplate: bool = False
+    out_root: str, cfg=None, n_buckets: int = 32,
+    boilerplate: bool = False, dq_check: bool = False,
 ):
     """foreachBatch body for the streaming filter: each micro-batch
     of newly-discovered pages flows through the SAME
@@ -138,31 +139,95 @@ def filter_batch(
     overwrite resume). Cross-batch recrawls are merge-on-read:
     readers resolve latest-per-url by warc_ts, the same monotonic
     rule as the ingest upsert — proven to reproduce the batch run's
-    decisions in tests/test_streaming.py."""
+    decisions in tests/test_streaming.py.
+
+    ``dq_check``: online data-quality monitoring — each epoch writes
+    its per-bucket mergeable constraint state (webfilter/dq.py,
+    dq.default_suite()) to dq_state_* tables partitioned by run_id
+    with DYNAMIC overwrite, so a replayed epoch replaces exactly its
+    own state rows and the accumulated state can never double-count
+    (the streaming analog of the batch job's disjoint-bucket
+    contract; the epoch's own decisions write uses the identical
+    discipline on _epoch).  A per-epoch dq_audit_stream row set
+    (scope epoch + corpus-so-far) lands the same replay-safe way.
+    The corpus verify costs O(epochs x buckets x 256) metadata rows
+    — earlier epochs' decisions are never re-read."""
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         from . import rules
         from .partitioning import with_bucket
         from .pipeline import DECISION_COLS, filtered_frame
 
+        rid = f"epoch-{epoch_id}"
         out = (
             filtered_frame(
                 with_bucket(batch_df, n_buckets),
                 cfg=cfg or rules.DEFAULT_RULES,
                 boilerplate=boilerplate,
             )
-            .withColumn("run_id", F.lit(f"epoch-{epoch_id}"))
+            .withColumn("run_id", F.lit(rid))
             .withColumn("_epoch", F.lit(epoch_id))
             .select(*DECISION_COLS, "_epoch")
         )
+        if dq_check:
+            out = out.persist()
         (
             out.write.mode("overwrite")
             .partitionBy("_epoch")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(f"{out_root}/decisions_stream.parquet")
         )
+        if dq_check:
+            try:
+                _epoch_dq(out.drop("_epoch"), out_root, rid)
+            finally:
+                out.unpersist()
 
     return fn
+
+
+def _epoch_dq(dec: DataFrame, out_root: str, rid: str) -> None:
+    """Write one epoch's dq state + audit rows, replay-idempotently
+    (dynamic partition overwrite on run_id everywhere)."""
+    from . import dq
+
+    spark = dec.sparkSession
+    suite = dq.default_suite()
+
+    def _dyn(df: DataFrame, name: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .partitionBy("run_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(f"{out_root}/{name}.parquet")
+        )
+
+    scal, regs = dq.bucket_state(dec, suite, "bucket_id")
+    _dyn(scal.withColumn("run_id", F.lit(rid)), "dq_state_scalars")
+    _dyn(regs.withColumn("run_id", F.lit(rid)), "dq_state_regs")
+    acc_scal = spark.read.parquet(f"{out_root}/dq_state_scalars.parquet")
+    acc_regs = spark.read.parquet(f"{out_root}/dq_state_regs.parquet")
+    rows = []
+    for scope, pred in (
+        ("epoch", F.col("run_id") == rid),
+        ("corpus", F.lit(True)),
+    ):
+        rows.extend(
+            r.asDict() | {"scope": scope}
+            for r in dq.verify(
+                (
+                    acc_scal.filter(pred).drop("run_id"),
+                    acc_regs.filter(pred).drop("run_id"),
+                ),
+                suite,
+            ).collect()
+        )
+    audit = spark.createDataFrame(
+        [r | {"run_id": rid} for r in rows],
+        "constraint string, metric double, threshold double, "
+        "passed boolean, n bigint, scope string, run_id string",
+    )
+    _dyn(audit, "dq_audit_stream")
 
 
 def run_filter_stream(
@@ -174,6 +239,7 @@ def run_filter_stream(
     n_buckets: int = 32,
     max_files: int = 16,
     boilerplate: bool = False,
+    dq_check: bool = False,
 ):
     """Incremental quality filter: drain newly-arrived page files
     through the full decision pipeline (trigger(availableNow) — the
@@ -194,7 +260,10 @@ def run_filter_stream(
     q = (
         read_pages_stream(spark, src_path, max_files=max_files)
         .writeStream.foreachBatch(
-            filter_batch(out_root, cfg, n_buckets, boilerplate=boilerplate)
+            filter_batch(
+                out_root, cfg, n_buckets,
+                boilerplate=boilerplate, dq_check=dq_check,
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
