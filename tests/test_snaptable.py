@@ -1042,3 +1042,68 @@ def test_append_cas_race_does_not_lose_to_interleaved_delete(
     entries, dels, _ = table._resolve_full(table.current_snapshot())
     b_seq = max(e["seq"] for e in entries)
     assert all(d["seq"] < b_seq for d in dels)
+
+
+# ------------------------------------------- maintenance job CLI
+
+
+def test_maintain_table_job_lifecycle(spark, tmp_path):
+    """jobs/maintain_table.py drives the full operational loop
+    in-process: ingest -> takedown -> rewrite -> compact -> vacuum,
+    each step's summary consistent with direct reads."""
+    import argparse
+    import importlib.util
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "maintain_table",
+        os.path.join(
+            os.path.dirname(os.path.dirname(__file__)),
+            "jobs", "maintain_table.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    src = tmp_path / "pages_in"
+    _mk(spark, [(f"u{i}", "en" if i % 2 else "de") for i in range(20)]
+        ).write.parquet(str(src))
+    td = tmp_path / "takedown"
+    spark.createDataFrame([Row(url="u3"), Row(url="u4")]).write.parquet(
+        str(td)
+    )
+
+    def go(**kw):
+        ns = argparse.Namespace(
+            root=str(tmp_path / "wh"), name="t", cores=None,
+            ingest=None, part_col=None, takedown=None, key_cols="url",
+            rewrite=False, max_rows_per_file=512_000,
+            compact_manifests=False, vacuum=False, keep_last=1,
+            grace=0.0, history=False,
+        )
+        for k, v in kw.items():
+            setattr(ns, k, v)
+        return mod.run(spark, ns)
+
+    r1 = go(ingest=str(src), part_col="lang")
+    assert r1["ingest"]["rows"] == 20 and r1["current_snapshot"] == 0
+    # second ingest: more small files per partition
+    go(ingest=str(src2 := str(src)), part_col="lang")
+    r2 = go(takedown=str(td))
+    assert r2["takedown"]["keys"] == 2
+    assert r2["live_delete_files"] == 1
+    t = SnapshotTable(spark, str(tmp_path / "wh"), "t")
+    urls = {r["url"] for r in t.read().collect()}
+    assert "u3" not in urls and "u4" not in urls
+    n_before = t.file_count()
+    r3 = go(rewrite=True, compact_manifests=True, history=True)
+    assert r3["rewrite"]["files_after"] <= 2 < n_before
+    assert r3["rewrite"]["delete_files_materialized"] == 1
+    assert r3["live_delete_files"] == 0
+    assert [h["operation"] for h in r3["history"]][-2:] == [
+        "rewrite_data_files", "compact_manifests",
+    ]
+    assert {r["url"] for r in t.read().collect()} == urls
+    r4 = go(vacuum=True, keep_last=1)
+    assert r4["vacuum"]["files_deleted"] > 0
+    assert {r["url"] for r in t.read().collect()} == urls
