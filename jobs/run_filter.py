@@ -217,19 +217,28 @@ def main(argv: list[str] | None = None) -> int:
         if args.dq_check:
             # corpus-so-far dq from the LAST epoch's corpus-scope
             # audit rows (each epoch re-verifies the accumulated
-            # state, so the newest epoch's rows are the final word)
-            audit = spark.read.parquet(
-                f"{args.out}/dq_audit_stream.parquet"
-            ).filter(F.col("scope") == "corpus")
-            last_rid = f"epoch-{agg['last_epoch']}"
-            summary["dq_corpus"] = {
-                r["constraint"]: {
-                    "metric": r["metric"], "passed": r["passed"],
+            # state, so the newest epoch's rows are the final word);
+            # the table is absent when the drain processed zero new
+            # micro-batches and no earlier dq-enabled epoch ran
+            import os as _os
+
+            audit_path = f"{args.out}/dq_audit_stream.parquet"
+            if _os.path.isdir(audit_path):
+                rows = (
+                    spark.read.parquet(audit_path)
+                    .filter(F.col("scope") == "corpus")
+                    .collect()
+                )
+                last = max((r["epoch"] for r in rows), default=None)
+                summary["dq_corpus"] = {
+                    r["constraint"]: {
+                        "metric": r["metric"], "passed": r["passed"],
+                    }
+                    for r in rows
+                    if r["epoch"] == last
                 }
-                for r in audit.filter(
-                    F.col("run_id") == last_rid
-                ).collect()
-            }
+            else:
+                summary["dq_corpus"] = {}
         print(json.dumps(summary))
         return 0
 

@@ -321,3 +321,78 @@ def test_corpus_dq_accumulates_across_resumed_runs(
     assert {
         (r["run_id"], r["part"]) for r in scal.collect()
     } == {("e1", b) for b in range(4)} | {("e2", b) for b in range(4, 8)}
+
+
+def test_dedupe_state_runs_keeps_newest_run_per_part(spark):
+    """Crash-retry tolerance: a bucket re-stated under a later run
+    (crash between state append and DONE mark) contributes only its
+    newest rows to the corpus merge."""
+    from datetime import datetime, timezone
+
+    from webfilter.dq import dedupe_state_runs
+
+    t1 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    t2 = datetime(2026, 1, 2, tzinfo=timezone.utc)
+    scal = spark.createDataFrame(
+        [
+            (0, 100, "r1", t1),   # stale: bucket 0 re-stated by r2
+            (0, 120, "r2", t2),
+            (1, 50, "r1", t1),    # untouched bucket
+        ],
+        "part int, n long, run_id string, processed_at timestamp",
+    )
+    regs = spark.createDataFrame(
+        [
+            (0, "unique_url", 3, 5, "r1", t1),
+            (0, "unique_url", 3, 7, "r2", t2),
+            (1, "unique_url", 9, 2, "r1", t1),
+        ],
+        "part int, cname string, reg int, m_j int, run_id string, "
+        "processed_at timestamp",
+    )
+    s2, r2 = dedupe_state_runs(scal, regs)
+    assert sorted(
+        (r["part"], r["n"], r["run_id"]) for r in s2.collect()
+    ) == [(0, 120, "r2"), (1, 50, "r1")]
+    assert sorted(
+        (r["part"], r["m_j"], r["run_id"]) for r in r2.collect()
+    ) == [(0, 7, "r2"), (1, 2, "r1")]
+
+
+def test_corpus_dq_survives_crash_between_state_and_done(
+    spark, synth_dir, tmp_path
+):
+    """Simulated crash-retry: bucket 3's DONE mark is reverted after
+    run e1 (state already persisted), so run e2 reprocesses it and
+    re-states it under its own run_id — the corpus verify must count
+    bucket 3 exactly once and equal a clean full run."""
+    from webfilter import pipeline
+    from webfilter.manifest import PENDING, Manifest
+    from webfilter.tables import ParquetCatalog
+
+    out = tmp_path / "crash"
+    pipeline.run_filter(
+        spark, f"{synth_dir}/pages.parquet", str(out), n_buckets=8,
+        run_id="e1", only_buckets=[0, 1, 2, 3], dq_check=True,
+    )
+    # crash simulation: state for bucket 3 persisted but the DONE
+    # mark "lost" -> next run reprocesses it
+    Manifest(ParquetCatalog(spark, str(out))).mark(
+        "e1", "filter", [3], PENDING
+    )
+    r2 = pipeline.run_filter(
+        spark, f"{synth_dir}/pages.parquet", str(out), n_buckets=8,
+        run_id="e2", dq_check=True,
+    )
+    full = pipeline.run_filter(
+        spark, f"{synth_dir}/pages.parquet", str(tmp_path / "clean"),
+        n_buckets=8, run_id="f", dq_check=True,
+    )
+    assert r2["dq_corpus"] == full["dq_corpus"]
+    # bucket 3 exists under BOTH run_ids in the raw state lineage
+    from webfilter.tables import ParquetCatalog
+
+    scal = ParquetCatalog(spark, str(out)).read("dq_state_scalars")
+    assert {
+        r["run_id"] for r in scal.filter(F.col("part") == 3).collect()
+    } == {"e1", "e2"}

@@ -1107,3 +1107,28 @@ def test_maintain_table_job_lifecycle(spark, tmp_path):
     r4 = go(vacuum=True, keep_last=1)
     assert r4["vacuum"]["files_deleted"] > 0
     assert {r["url"] for r in t.read().collect()} == urls
+
+
+def test_vacuum_survives_crashed_predecessor(spark, table):
+    """A vacuum killed mid-flight (expired snapshot file present but
+    its manifests already gone — the pre-fix deletion order) must not
+    brick later vacuums: unresolvable EXPIRED snapshots are skipped
+    and their leftovers reclaimed as graced orphans."""
+    table.append(_mk(spark, [("a", "en")]), part_col="lang")
+    table.overwrite_partitions(_mk(spark, [("b", "en")]), part_col="lang")
+    table.compact_manifests()  # snapshots 0/1's manifests now expired-only
+    table.append(_mk(spark, [("c", "de")]), part_col="lang")
+    # forge the crashed state: a predecessor vacuum(keep_last=2)
+    # deleted snapshots 0/1's manifests (referenced by no kept
+    # snapshot) but was killed before removing their s-files
+    for seq in (0, 1):
+        for m in table._load_snapshot(seq)["manifests"]:
+            p = os.path.join(table.meta_dir, m)
+            if os.path.exists(p):
+                os.remove(p)
+    stats = table.vacuum(keep_last=2, orphan_grace_seconds=0.0)
+    assert stats["snapshots_expired"] == 2
+    assert {r["url"] for r in table.read().collect()} == {"b", "c"}
+    # and vacuum again: idempotent, no crash
+    table.vacuum(keep_last=1, orphan_grace_seconds=0.0)
+    assert {r["url"] for r in table.read().collect()} == {"b", "c"}

@@ -692,21 +692,34 @@ def test_filter_stream_dq_monitoring(spark, stream_src, tmp_path):
     ]
     assert len(epochs) >= 2
     scal = spark.read.parquet(f"{out}/dq_state_scalars.parquet")
-    assert {r["run_id"] for r in scal.select("run_id").distinct().collect()} == {
-        f"epoch-{e}" for e in epochs
+    rids = {r["run_id"] for r in scal.select("run_id").distinct().collect()}
+    # uid-prefixed epoch run_ids, one per epoch, single stream uid
+    assert {r.rsplit("-epoch-", 1)[1] for r in rids} == {
+        str(e) for e in epochs
     }
+    assert len({r.rsplit("-epoch-", 1)[0] for r in rids}) == 1
     audit = spark.read.parquet(f"{out}/dq_audit_stream.parquet")
     assert {r["scope"] for r in audit.select("scope").distinct().collect()} == {
         "epoch", "corpus",
     }
     suite = dq.default_suite()
-    last = f"epoch-{max(epochs)}"
+    # corpus scope carries the scalar constraints only (cross-epoch
+    # uniqueness is a recrawl-rate observation, not a constraint);
+    # the per-epoch scope keeps Unique
+    corpus_suite = [c for c in suite if not isinstance(c, dq.Unique)]
+    assert {
+        r["constraint"]
+        for r in audit.filter(
+            (F.col("scope") == "epoch") & (F.col("epoch") == max(epochs))
+        ).collect()
+    } == {c.label for c in suite}
+    last = max(epochs)
 
     def corpus_rows(aud):
         return sorted(
             (r["constraint"], r["metric"], r["passed"])
             for r in aud.filter(
-                (F.col("scope") == "corpus") & (F.col("run_id") == last)
+                (F.col("scope") == "corpus") & (F.col("epoch") == last)
             ).collect()
         )
 
@@ -714,7 +727,7 @@ def test_filter_stream_dq_monitoring(spark, stream_src, tmp_path):
     direct = sorted(
         (r["constraint"], r["metric"], r["passed"])
         for r in dq.verify(
-            dq.bucket_state(dec, suite, "bucket_id"), suite
+            dq.bucket_state(dec, suite, "bucket_id"), corpus_suite
         ).collect()
     )
     assert corpus_rows(audit) == direct

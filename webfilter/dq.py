@@ -246,6 +246,39 @@ def refresh(
     )
 
 
+def dedupe_state_runs(
+    scalars: DataFrame,
+    regs: DataFrame,
+    order_cols: tuple[str, ...] = ("processed_at", "run_id"),
+) -> tuple[DataFrame, DataFrame]:
+    """Crash-retry tolerance for BATCH state accumulation: a run that
+    crashed after persisting a bucket's state but before marking the
+    bucket done gets that bucket reprocessed under a new run_id, so
+    the state tables can hold two rows for one part.  Keep only the
+    NEWEST run's rows per part (``order_cols`` descending, run_id as
+    the deterministic tiebreak) — sound because batch runs recompute
+    a bucket's state WHOLE, never partially.
+
+    Do NOT use for streaming epoch states: there, multiple partial
+    rows per part across epochs are the accumulation model itself
+    (epoch idempotency comes from dynamic partition overwrite on
+    run_id instead)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("part").orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    scal = (
+        scalars.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    winners = scal.select("part", "run_id")
+    return scal, regs.join(
+        F.broadcast(winners), ["part", "run_id"], "left_semi"
+    )
+
+
 def verify(
     state: tuple[DataFrame, DataFrame],
     constraints: list[Constraint],

@@ -405,9 +405,6 @@ def run_filter(
     catalog.append(host_stats, "host_audit")
     timings["host_audit"] = round(_time.time() - t0, 2)
 
-    # pending buckets with zero rows are still complete
-    manifest.mark(run_id, "filter", sorted(pending), DONE)
-
     summary: dict = {}
     if dq_check:
         # post-write data-quality gate (opt-in): declarative
@@ -416,9 +413,12 @@ def run_filter(
         # bucket-grouped agg + a metadata-sized verify; results land
         # in the dq_audit table as run lineage. Monitoring, not
         # gating: a red constraint is reported, never a rollback
-        # (the decisions write is already committed + manifest-marked,
-        # and at 10^12 docs the right reaction to a drifted metric is
-        # triage, not an automatic table rewrite).
+        # (the decisions write is already committed, and at 10^12
+        # docs the right reaction to a drifted metric is triage, not
+        # an automatic table rewrite). Runs BEFORE the DONE mark so a
+        # crash can only cause a bucket to be re-stated under a new
+        # run_id (deduped at corpus-read time), never to vanish from
+        # the corpus state (code-review r4c finding #3).
         t0 = _time.time()
         from . import dq
 
@@ -432,7 +432,32 @@ def run_filter(
                 for r in rows
             }
 
+        def _guard_audit_schema() -> None:
+            # the scope column joined the dq_audit schema this round:
+            # appending into a pre-scope directory would mix schemas
+            # and make reads nondeterministically drop the column —
+            # refuse loudly, like manifest.guard_schema for decisions
+            # (code-review r4c finding #5)
+            if not catalog.exists("dq_audit"):
+                return
+            import glob as _glob
+            import os as _os
+
+            import pyarrow.parquet as _pq
+
+            files = _glob.glob(
+                _os.path.join(catalog.path("dq_audit"), "*.parquet")
+            )
+            if files and "scope" not in _pq.ParquetFile(files[0]).schema_arrow.names:
+                raise ValueError(
+                    "existing dq_audit table predates the scope "
+                    "column; move it aside before running with "
+                    "--dq-check (mixed-schema parquet dirs read "
+                    "nondeterministically)"
+                )
+
         def _record(rows_by_scope: dict[str, list]) -> None:
+            _guard_audit_schema()
             dq_schema = pa.schema(
                 [
                     ("constraint", pa.string()),
@@ -459,21 +484,28 @@ def run_filter(
                 "dq_audit",
             )
 
-        if dec.isEmpty():
+        def _corpus_state():
+            # crash-retry dedupe: a bucket re-stated under a later
+            # run_id (crash between state append and DONE mark)
+            # contributes only its newest rows
+            scal, regs = dq.dedupe_state_runs(
+                catalog.read("dq_state_scalars"),
+                catalog.read("dq_state_regs"),
+            )
+            drop = ["run_id", "processed_at"]
+            return scal.drop(*drop), regs.drop(*drop)
+
+        if not audit_rows:
             # zero-row run (all pending buckets empty): every
             # fraction is 0/0 — record an explicit empty result
             # instead of NULL-metric audit rows (code-review r4
-            # finding #7). Corpus-level state from EARLIER runs is
-            # still verifiable.
+            # finding #7; audit_rows is the collected per-bucket agg
+            # over dec, so its emptiness is a free driver-side
+            # check). Corpus-level state from EARLIER runs is still
+            # verifiable.
             summary["dq"] = {}
             if catalog.exists("dq_state_scalars"):
-                corpus_rows = dq.verify(
-                    (
-                        catalog.read("dq_state_scalars").drop("run_id"),
-                        catalog.read("dq_state_regs").drop("run_id"),
-                    ),
-                    suite,
-                ).collect()
+                corpus_rows = dq.verify(_corpus_state(), suite).collect()
                 _record({"corpus": corpus_rows})
                 summary["dq_corpus"] = _summarize(corpus_rows)
         else:
@@ -485,32 +517,38 @@ def run_filter(
             # rescan of the decisions table; proven equal to a full
             # recompute in tests/test_dq.py)
             scal, regs = dq.bucket_state(dec, suite, "bucket_id")
-            catalog.append(
-                scal.withColumn("run_id", F.lit(run_id)),
-                "dq_state_scalars",
-            )
-            catalog.append(
-                regs.withColumn("run_id", F.lit(run_id)),
-                "dq_state_regs",
-            )
+            for df, name in (
+                (scal, "dq_state_scalars"),
+                (regs, "dq_state_regs"),
+            ):
+                catalog.append(
+                    df.withColumn("run_id", F.lit(run_id)).withColumn(
+                        "processed_at", F.lit(now)
+                    ),
+                    name,
+                )
             # read the persisted state back (one computation of the
             # aggs — the write above — then metadata-sized reads)
             acc_scal = catalog.read("dq_state_scalars")
-            acc_regs = catalog.read("dq_state_regs")
             dq_rows = dq.verify(
                 (
-                    acc_scal.filter(F.col("run_id") == run_id).drop("run_id"),
-                    acc_regs.filter(F.col("run_id") == run_id).drop("run_id"),
+                    acc_scal.filter(F.col("run_id") == run_id)
+                    .drop("run_id", "processed_at"),
+                    catalog.read("dq_state_regs")
+                    .filter(F.col("run_id") == run_id)
+                    .drop("run_id", "processed_at"),
                 ),
                 suite,
             ).collect()  # bounded: one row per constraint
-            corpus_rows = dq.verify(
-                (acc_scal.drop("run_id"), acc_regs.drop("run_id")), suite
-            ).collect()
+            corpus_rows = dq.verify(_corpus_state(), suite).collect()
             _record({"run": dq_rows, "corpus": corpus_rows})
             summary["dq"] = _summarize(dq_rows)
             summary["dq_corpus"] = _summarize(corpus_rows)
         timings["dq_check"] = round(_time.time() - t0, 2)
+
+    # pending buckets with zero rows are still complete (marked AFTER
+    # the dq state append — see the crash-window note above)
+    manifest.mark(run_id, "filter", sorted(pending), DONE)
 
     timings["total"] = round(_time.time() - t_all, 2)
     n_docs = sum(r["n_docs"] for r in audit_rows)

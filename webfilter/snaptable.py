@@ -155,7 +155,12 @@ class SnapshotTable:
 
     def __init__(self, spark: SparkSession, root: str, name: str):
         self.spark = spark
-        self.dir = os.path.join(root, name)
+        # absolute+normalized: the equality-delete path→seq dim joins
+        # against _metadata.file_path (always an absolute URI), so a
+        # relative/denormalized root would miss every file and the
+        # fail-open fallback would silently disable deletes
+        # (code-review r4c finding #1)
+        self.dir = os.path.abspath(os.path.join(root, name))
         self.data_dir = os.path.join(self.dir, "data")
         self.meta_dir = os.path.join(self.dir, "_meta")
         os.makedirs(self.data_dir, exist_ok=True)
@@ -915,7 +920,15 @@ class SnapshotTable:
         published_manifests: set[str] = set()
         for s in snaps:
             seq = int(s[2:-5])
-            entries, dels, snap = self._resolve_full(seq)
+            try:
+                entries, dels, snap = self._resolve_full(seq)
+            except (OSError, ValueError, KeyError):
+                # an EXPIRED snapshot whose manifests a previous
+                # crashed vacuum already removed: skip — its files are
+                # either gone or unreferenced (and then grace-guarded)
+                # (code-review r4c finding #2: raising here would
+                # brick every future vacuum)
+                continue
             published_files.update(e["path"] for e in entries)
             published_files.update(d["path"] for d in dels)
             published_manifests.update(snap["manifests"])
@@ -926,6 +939,13 @@ class SnapshotTable:
                 return True  # expired-snapshot file: safe, was published
             return now - os.path.getmtime(full) > orphan_grace_seconds
 
+        # expired SNAPSHOT files go first: a crash mid-vacuum then
+        # leaves manifests/data unreferenced by any remaining
+        # snapshot — reclaimed as grace-guarded orphans by the next
+        # vacuum — instead of kept snapshot files pointing at
+        # already-deleted manifests (code-review r4c finding #2)
+        for s in snaps[:n_expired]:
+            os.remove(os.path.join(self.meta_dir, s))
         deleted = 0
         for dirpath, _dirs, files in os.walk(self.data_dir):
             for fn in files:
@@ -941,8 +961,6 @@ class SnapshotTable:
                 full = os.path.join(self.meta_dir, fn)
                 if _deletable(fn, full, published_manifests):
                     os.remove(full)
-        for s in snaps[:n_expired]:
-            os.remove(os.path.join(self.meta_dir, s))
         # drop now-empty staging dirs so the data tree stays walkable
         # (grace-guarded too: a racing writer's staging dir can be
         # momentarily empty between mkdir and its first file)

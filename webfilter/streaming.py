@@ -125,6 +125,7 @@ def upsert_batch(out_root: str):
 def filter_batch(
     out_root: str, cfg=None, n_buckets: int = 32,
     boilerplate: bool = False, dq_check: bool = False,
+    dq_uid: str = "stream",
 ):
     """foreachBatch body for the streaming filter: each micro-batch
     of newly-discovered pages flows through the SAME
@@ -151,7 +152,23 @@ def filter_batch(
     discipline on _epoch).  A per-epoch dq_audit_stream row set
     (scope epoch + corpus-so-far) lands the same replay-safe way.
     The corpus verify costs O(epochs x buckets x 256) metadata rows
-    — earlier epochs' decisions are never re-read."""
+    — earlier epochs' decisions are never re-read.
+
+    ``dq_uid`` names the STREAM INSTANCE (run_filter_stream persists
+    one under the checkpoint): run_ids are f"{uid}-epoch-{n}" and the
+    corpus scope merges only this instance's epochs, so state left by
+    a wiped-checkpoint predecessor — whose epoch numbering restarts
+    and no longer aligns — can never be double-counted (code-review
+    r4c finding #6; run_filter_stream also clears the state tables
+    when it mints a fresh uid).
+
+    Corpus-scope constraints are the SCALAR ones only: epochs
+    legitimately re-emit recrawled urls (readers dedup latest-per-url
+    at read time), so a cross-epoch uniqueness ratio is a recrawl-
+    rate observation, not a pass/fail constraint — thresholding it
+    would go chronically red on recrawl-heavy streams (code-review
+    r4c finding #4).  Within one epoch the batch window applies, so
+    the epoch scope keeps the Unique constraint."""
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         from . import rules
@@ -179,20 +196,29 @@ def filter_batch(
         )
         if dq_check:
             try:
-                _epoch_dq(out.drop("_epoch"), out_root, rid)
+                _epoch_dq(
+                    out.drop("_epoch"), out_root,
+                    f"{dq_uid}-{rid}", epoch_id,
+                )
             finally:
                 out.unpersist()
 
     return fn
 
 
-def _epoch_dq(dec: DataFrame, out_root: str, rid: str) -> None:
+def _epoch_dq(
+    dec: DataFrame, out_root: str, rid: str, epoch_id: int
+) -> None:
     """Write one epoch's dq state + audit rows, replay-idempotently
-    (dynamic partition overwrite on run_id everywhere)."""
+    (dynamic partition overwrite on run_id everywhere).  ``rid`` is
+    uid-prefixed; the corpus scope merges only same-uid rows and
+    checks the scalar constraints (see filter_batch's docstring for
+    both whys)."""
     from . import dq
 
     spark = dec.sparkSession
     suite = dq.default_suite()
+    uid = rid.rsplit("-epoch-", 1)[0]
 
     def _dyn(df: DataFrame, name: str) -> None:
         (
@@ -207,10 +233,13 @@ def _epoch_dq(dec: DataFrame, out_root: str, rid: str) -> None:
     _dyn(regs.withColumn("run_id", F.lit(rid)), "dq_state_regs")
     acc_scal = spark.read.parquet(f"{out_root}/dq_state_scalars.parquet")
     acc_regs = spark.read.parquet(f"{out_root}/dq_state_regs.parquet")
+    corpus_suite = [
+        c for c in suite if not isinstance(c, dq.Unique)
+    ]
     rows = []
-    for scope, pred in (
-        ("epoch", F.col("run_id") == rid),
-        ("corpus", F.lit(True)),
+    for scope, pred, sc_suite in (
+        ("epoch", F.col("run_id") == rid, suite),
+        ("corpus", F.col("run_id").startswith(uid + "-"), corpus_suite),
     ):
         rows.extend(
             r.asDict() | {"scope": scope}
@@ -219,13 +248,13 @@ def _epoch_dq(dec: DataFrame, out_root: str, rid: str) -> None:
                     acc_scal.filter(pred).drop("run_id"),
                     acc_regs.filter(pred).drop("run_id"),
                 ),
-                suite,
+                sc_suite,
             ).collect()
         )
     audit = spark.createDataFrame(
-        [r | {"run_id": rid} for r in rows],
+        [r | {"run_id": rid, "epoch": epoch_id} for r in rows],
         "constraint string, metric double, threshold double, "
-        "passed boolean, n bigint, scope string, run_id string",
+        "passed boolean, scope string, epoch int, run_id string",
     )
     _dyn(audit, "dq_audit_stream")
 
@@ -257,12 +286,14 @@ def run_filter_stream(
     state, so each micro-batch cleans exactly as the batch job would
     (proven equal in tests/test_streaming.py); dedup/host-prior stay
     batch-only because their state spans the whole corpus."""
+    dq_uid = _dq_stream_uid(checkpoint, out_root) if dq_check else "stream"
     q = (
         read_pages_stream(spark, src_path, max_files=max_files)
         .writeStream.foreachBatch(
             filter_batch(
                 out_root, cfg, n_buckets,
                 boilerplate=boilerplate, dq_check=dq_check,
+                dq_uid=dq_uid,
             )
         )
         .option("checkpointLocation", checkpoint)
@@ -271,6 +302,32 @@ def run_filter_stream(
     )
     q.awaitTermination()
     return q
+
+
+def _dq_stream_uid(checkpoint: str, out_root: str) -> str:
+    """Stream-instance identity for dq state, persisted WITH the
+    checkpoint (same lifecycle: a wiped checkpoint restarts epoch
+    numbering, so its dq state is stale garbage).  Minting a FRESH
+    uid therefore also clears the out_root's dq tables — the
+    predecessor's epochs no longer align with the new numbering and
+    dynamic overwrite alone would leave their extra partitions
+    double-counting in the corpus merge (code-review r4c finding
+    #6)."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    marker = os.path.join(checkpoint, "_dq_uid")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return fh.read().strip()
+    uid = _uuid.uuid4().hex[:12]
+    for t in ("dq_state_scalars", "dq_state_regs", "dq_audit_stream"):
+        shutil.rmtree(f"{out_root}/{t}.parquet", ignore_errors=True)
+    os.makedirs(checkpoint, exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write(uid)
+    return uid
 
 
 def run_ingest_stream(
