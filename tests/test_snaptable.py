@@ -577,8 +577,9 @@ def test_zorder_clustered_append_composes_with_file_skipping(spark, table):
 def test_random_op_walk_matches_model(spark, table, seed):
     """Model-based check: a seeded random interleaving of
     append / overwrite_partitions / merge_upsert / compact_manifests
-    must equal a plain python dict model at EVERY intermediate
-    snapshot (time travel included)."""
+    / delete_rows / rewrite_data_files must equal a plain python dict
+    model at EVERY intermediate snapshot (time travel included) —
+    the merge-on-read delete layer fuzzes against every other op."""
     import random
 
     rng = random.Random(seed)
@@ -592,9 +593,11 @@ def test_random_op_walk_matches_model(spark, table, seed):
         )
 
     next_id = 0
-    for _step in range(8):
-        op = rng.choice(["append", "overwrite", "merge", "compact"])
-        if op == "compact" and not snapshots:
+    for _step in range(10):
+        op = rng.choice(
+            ["append", "overwrite", "merge", "compact", "delete", "rewrite"]
+        )
+        if op in ("compact", "delete", "rewrite") and not snapshots:
             op = "append"
         if op == "append":
             rows = []
@@ -632,6 +635,19 @@ def test_random_op_walk_matches_model(spark, table, seed):
                 cur = model.get(u)
                 if cur is None or n >= cur[1]:
                     model[u] = (lg, n)
+        elif op == "delete":
+            # a subset of live urls plus one never-existing key
+            keys = rng.sample(sorted(model), k=min(len(model), 2)) if model else []
+            keys.append(f"ghost{next_id}")
+            next_id += 1
+            table.delete_rows(
+                spark.createDataFrame([Row(url=u) for u in keys]),
+                ["url"],
+            )
+            for u in keys:
+                model.pop(u, None)
+        elif op == "rewrite":
+            table.rewrite_data_files(part_col="lang")
         else:
             table.compact_manifests()
         snapshots.append(dict(model))
