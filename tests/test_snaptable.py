@@ -1148,3 +1148,77 @@ def test_vacuum_survives_crashed_predecessor(spark, table):
     # and vacuum again: idempotent, no crash
     table.vacuum(keep_last=1, orphan_grace_seconds=0.0)
     assert {r["url"] for r in table.read().collect()} == {"b", "c"}
+
+
+# ------------------------------------- snapshot table as pages input
+
+
+def test_filter_reads_pages_from_snaptable(spark, synth_dir, tmp_path):
+    """The north-rule input shape: run_filter over a SnapshotTable of
+    pages (auto-detected by its _meta dir) produces decisions
+    identical to the plain-parquet run; a resumed run's scan opens
+    ONLY pending buckets' files (manifest-layer pruning); and a
+    merge-on-read takedown committed to the source table propagates
+    to the next filter run."""
+    from webfilter import pipeline
+    from webfilter.partitioning import with_bucket
+
+    pages = spark.read.parquet(f"{synth_dir}/pages.parquet")
+    t = SnapshotTable(spark, str(tmp_path), "pages_tbl")
+    t.append(with_bucket(pages, 8), part_col="bucket_id")
+
+    def snap(out):
+        dec = spark.read.parquet(f"{out}/decisions.parquet")
+        return {
+            r["url"]: (r["keep"], r["text"], r["scrubbed_text"])
+            for r in dec.collect()
+        }
+
+    pipeline.run_filter(
+        spark, str(tmp_path / "pages_tbl"), str(tmp_path / "out_t"),
+        n_buckets=8, run_id="t1",
+    )
+    pipeline.run_filter(
+        spark, f"{synth_dir}/pages.parquet", str(tmp_path / "out_p"),
+        n_buckets=8, run_id="p1",
+    )
+    assert snap(tmp_path / "out_t") == snap(tmp_path / "out_p")
+
+    # manifest-layer pruning on resume: the pending-subset frame's
+    # planned scan touches only those buckets' files
+    pruned = pipeline.read_snaptable_pages(
+        spark, str(tmp_path / "pages_tbl"), 8, [2, 5]
+    )
+    want = {
+        os.path.join(t.dir, e["path"])
+        for e in t._resolve(t.current_snapshot())[0]
+        if e["partition"]["value"] in {"2", "5"}
+    }
+    import re as _re
+
+    got = {
+        _re.sub("^file:/+", "/", p) for p in pruned.inputFiles()
+    }
+    assert got == want and 0 < len(want) < t.file_count()
+    # a DIFFERENT bucket contract (n_buckets=4 < max value) refuses
+    # to prune but still reads everything
+    full = pipeline.read_snaptable_pages(
+        spark, str(tmp_path / "pages_tbl"), 4, [1]
+    )
+    assert len(full.inputFiles()) == t.file_count()
+
+    # takedown propagation: delete one kept url at the SOURCE table,
+    # re-filter from scratch -> it is gone from the new decisions
+    victim = next(
+        u for u, (k, _t, _s) in snap(tmp_path / "out_t").items() if k
+    )
+    t.delete_rows(
+        spark.createDataFrame([Row(url=victim)]), ["url"]
+    )
+    pipeline.run_filter(
+        spark, str(tmp_path / "pages_tbl"), str(tmp_path / "out_t2"),
+        n_buckets=8, run_id="t2",
+    )
+    after = snap(tmp_path / "out_t2")
+    assert victim not in after
+    assert set(after) == set(snap(tmp_path / "out_t")) - {victim}

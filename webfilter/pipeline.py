@@ -203,6 +203,54 @@ def filtered_frame(
     return df
 
 
+def read_snaptable_pages(
+    spark: SparkSession,
+    table_dir: str,
+    n_buckets: int,
+    pending: list[int],
+) -> DataFrame:
+    """Read the pages corpus FROM a snapshot table (snaptable.py) —
+    the north rule's input shape: "an Iceberg table of Common-Crawl-
+    style pages".  The scan is the CURRENT snapshot's exact file list
+    (no directory listing), with merge-on-read deletes applied — a
+    takedown committed to the source table propagates to the next
+    filter run with zero coordination.
+
+    When the table is partitioned by ``bucket_id`` under the SAME
+    bucketing contract (values ⊆ range(n_buckets); bucket_id is the
+    url-hash with_bucket computes, so a writer that used with_bucket
+    at this n_buckets satisfies it), a resumed run opens ONLY the
+    pending buckets' files — manifest-layer pruning, file skipping
+    before Spark ever lists anything.  Pruning never substitutes for
+    the row-level pending filter the caller still applies (the
+    repo-wide pruning-narrows-I/O-never-semantics discipline), so a
+    table bucketed under a DIFFERENT contract falls back to the full
+    file list and stays correct."""
+    import os as _os
+
+    from .snaptable import SnapshotTable
+
+    t = SnapshotTable(
+        spark,
+        _os.path.dirname(_os.path.abspath(table_dir)),
+        _os.path.basename(_os.path.abspath(table_dir)),
+    )
+    cur = t.current_snapshot()
+    if cur is None:
+        raise ValueError(f"pages table {table_dir!r} has no snapshots")
+    entries, _dels, _snap = t._resolve_full(cur)
+    pcols = {
+        e["partition"]["col"] if e["partition"] else None
+        for e in entries
+    }
+    bucketed = pcols == {"bucket_id"} and {
+        e["partition"]["value"] for e in entries
+    } <= {str(b) for b in range(n_buckets)}
+    if bucketed and len(pending) < n_buckets:
+        return t.read(partition_filter={"bucket_id": list(pending)})
+    return t.read()
+
+
 def run_filter(
     spark: SparkSession,
     pages_path: str,
@@ -280,7 +328,25 @@ def run_filter(
             F.lit(None).cast("string").alias("lang"),
         )
         pages_all = with_bucket(raw, n_buckets)
+    elif input_format == "snaptable":
+        pages_all = with_bucket(
+            read_snaptable_pages(spark, pages_path, n_buckets, pending),
+            n_buckets,
+        )
     elif input_format == "pages":
+        import os as _os
+
+        if _os.path.isdir(_os.path.join(pages_path, "_meta")):
+            # auto-detect a snapshot-table root (the north-star input
+            # shape: the pages corpus AS a table, not a file dir)
+            return run_filter(
+                spark, pages_path, out_root, n_buckets=n_buckets,
+                cfg=cfg, run_id=run_id, only_buckets=only_buckets,
+                canonical=canonical, host_prior=host_prior,
+                boilerplate=boilerplate, layout_sort=layout_sort,
+                robots_path=robots_path, robots_agent=robots_agent,
+                input_format="snaptable", dq_check=dq_check,
+            )
         pages_all = with_bucket(spark.read.parquet(pages_path), n_buckets)
     else:
         raise ValueError(f"unknown input_format {input_format!r}")
