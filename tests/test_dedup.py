@@ -78,7 +78,7 @@ def test_simhash_identical_and_mutated(spark):
         [(1, base), (2, base), (3, mutated), (4, unrelated)],
         "doc_id long, text string",
     )
-    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_near_dup_pairs(df, max_hamming=10).collect()}
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_near_dup_pairs(df, max_hamming=10, n_chunks=11).collect()}
     assert pairs.get((1, 2)) == 0  # identical docs: hamming 0
     assert (1, 3) in pairs  # one-word mutation: small hamming
     assert (1, 4) not in pairs and (2, 4) not in pairs
@@ -185,9 +185,9 @@ def test_simhash_kernel_parity_with_column_impl(spark, near_dup_docs):
 def test_simhash_pairs_same_for_both_impls(spark, near_dup_docs):
     docs = near_dup_docs.select("doc_id", "text")
     k = {(r["id_a"], r["id_b"], r["hamming"])
-         for r in dedup.simhash_near_dup_pairs(docs, max_hamming=5, use_kernel=True).collect()}
+         for r in dedup.simhash_near_dup_pairs(docs, max_hamming=5, n_chunks=6, use_kernel=True).collect()}
     c = {(r["id_a"], r["id_b"], r["hamming"])
-         for r in dedup.simhash_near_dup_pairs(docs, max_hamming=5, use_kernel=False).collect()}
+         for r in dedup.simhash_near_dup_pairs(docs, max_hamming=5, n_chunks=6, use_kernel=False).collect()}
     assert k == c
 
 
@@ -504,18 +504,18 @@ def test_incremental_simhash_equals_full_recompute(spark, near_dup_docs):
     docs = near_dup_docs
     full = {
         (r["id_a"], r["id_b"], r["hamming"])
-        for r in simhash_near_dup_pairs(docs, max_hamming=8).collect()
+        for r in simhash_near_dup_pairs(docs, max_hamming=8, n_chunks=9).collect()
     }
     assert full, "fixture must contain simhash near-dups"
 
     base = docs.filter(F.col("doc_id") % 3 != 0)
     inc = docs.filter(F.col("doc_id") % 3 == 0)
-    state = simhash_state_table(base)
+    state = simhash_state_table(base, n_chunks=9)
     got = {
         (r["id_a"], r["id_b"], r["hamming"])
-        for r in simhash_near_dup_pairs(base, max_hamming=8).collect()
+        for r in simhash_near_dup_pairs(base, max_hamming=8, n_chunks=9).collect()
     }
-    p2, nc = incremental_simhash_pairs(inc, state, max_hamming=8)
+    p2, nc = incremental_simhash_pairs(inc, state, max_hamming=8, n_chunks=9)
     got |= {(r["id_a"], r["id_b"], r["hamming"]) for r in p2.collect()}
     assert got == full
 
@@ -523,7 +523,7 @@ def test_incremental_simhash_equals_full_recompute(spark, near_dup_docs):
     # must add nothing (state growth is append-only, no rescoring)
     state2 = state.unionByName(nc)
     empty = docs.filter(F.lit(False))
-    p3, _ = incremental_simhash_pairs(empty, state2, max_hamming=8)
+    p3, _ = incremental_simhash_pairs(empty, state2, max_hamming=8, n_chunks=9)
     assert p3.count() == 0
 
 
@@ -607,3 +607,34 @@ def test_incremental_span_dedup_empty_state_equals_batch_only(spark):
     inc, _ = incremental_remove_spans(df, None, span=4, min_docs=2)
     ref = remove_duplicate_spans(df, span=4, min_docs=2)
     assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_null_text_docs_never_collapse_in_md5_family(spark):
+    """Null-safe content key (code-review r4c2 finding #5): NULL-text
+    docs (failed extractions) are never exact-duplicates of each
+    other — all kept, no group, soft weight 1.0."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (4, "same"), (5, "same")],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in dedup.exact_dedup(df).collect()}
+    assert kept == {1, 2, 3, 4}
+    groups = dedup.exact_dup_groups(df).collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == 2
+    w = {
+        r["doc_id"]: (r["n_copies"], r["soft_weight"])
+        for r in dedup.soft_dedup_weights(df).collect()
+    }
+    assert w[1] == (1, 1.0) and w[2] == (1, 1.0) and w[4] == (2, 0.5)
+
+
+def test_simhash_recall_guard(spark):
+    """All three pigeonhole consumers refuse an unguaranteeable
+    max_hamming (previously only fp_pigeonhole_pairs did)."""
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="only guarantees recall"):
+        dedup.simhash_near_dup_pairs(df, max_hamming=4, n_chunks=4)
+    with pytest.raises(ValueError, match="only guarantees recall"):
+        dedup.incremental_simhash_pairs(
+            df, dedup.simhash_state_table(df), max_hamming=4, n_chunks=4
+        )

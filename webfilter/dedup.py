@@ -57,14 +57,28 @@ def release_cached() -> None:
 # ---------------------------------------------------------------- exact
 
 
+def _content_key(text_col: str, id_col: str) -> Column:
+    """Null-safe md5 content key: a NULL text (failed extraction)
+    keys by its own id, so NULL-text docs are never collapsed
+    together — the repo-wide zero-content contract (md5(NULL) is
+    NULL, and a NULL partition key would silently merge every
+    extraction failure into one "duplicate" group; code-review r4c2
+    finding #5)."""
+    return F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("__null__"), F.col(id_col).cast("string")),
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id row per identical text (md5 content key).
+    """Keep the lowest-id row per identical text (null-safe md5
+    content key: NULL-text docs are all kept, never collapsed).
 
     One shuffle (window on the hash). At 10^12 rows prefer the
     groupBy(min) + semi-join form if the id is the only payload; the
     window form returns full rows without a second join.
     """
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    w = Window.partitionBy(_content_key(text_col, id_col)).orderBy(F.col(id_col))
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -75,7 +89,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(text_hash, n_dups, keep_id, dup_ids) for groups with >1 row."""
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        df.groupBy(_content_key(text_col, id_col).alias("text_hash"))
         .agg(
             F.count(F.lit(1)).alias("n_dups"),
             F.min(id_col).alias("keep_id"),
@@ -1154,6 +1168,7 @@ def incremental_simhash_pairs(
     join against the broadcast increment. Set ``broadcast_new=False``
     for huge increments (degrades to a sort-merge on the chunk key,
     still never all-pairs)."""
+    _pigeonhole_recall_guard(max_hamming, n_chunks)
     nc = _persist(
         simhash_state_table(
             new_df, id_col, text_col, n_chunks=n_chunks, use_kernel=use_kernel
@@ -1173,9 +1188,25 @@ def incremental_simhash_pairs(
         F.when(swap, F.col("b.fp")).otherwise(F.col("a.fp")).alias("fp_a"),
         F.when(swap, F.col("a.fp")).otherwise(F.col("b.fp")).alias("fp_b"),
     )
-    x, y = nc.alias("a"), nc.alias("b")
-    within = x.join(
-        y,
+    within = _chunk_within_pairs(nc)
+    pairs = (
+        cross.unionByName(within)
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs, nc
+
+
+def _chunk_within_pairs(chunks: DataFrame) -> DataFrame:
+    """The pigeonhole candidate join shared by the simhash family and
+    fp_pigeonhole_pairs: same-chunk equi-join, id_a < id_b, fps
+    carried for the exact hamming verify (one definition so a fix
+    can never miss a variant)."""
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return a.join(
+        b,
         (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
         & (F.col("a.chunk_val") == F.col("b.chunk_val"))
         & (F.col("a.id") < F.col("b.id")),
@@ -1185,14 +1216,18 @@ def incremental_simhash_pairs(
         F.col("a.fp").alias("fp_a"),
         F.col("b.fp").alias("fp_b"),
     )
-    pairs = (
-        cross.unionByName(within)
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
-    return pairs, nc
+
+
+def _pigeonhole_recall_guard(max_hamming: int, n_chunks: int) -> None:
+    """Every pigeonhole consumer must refuse a max_hamming the chunk
+    count cannot guarantee recall for (code-review r4c2 finding #6:
+    only fp_pigeonhole_pairs used to enforce this; the simhash
+    variants silently missed pairs differing in every chunk)."""
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"pigeonhole with {n_chunks} chunks only guarantees recall "
+            f"up to hamming {n_chunks - 1}, got max_hamming={max_hamming}"
+        )
 
 
 def simhash_near_dup_pairs(
@@ -1217,26 +1252,12 @@ def simhash_near_dup_pairs(
     bits/hash_fn: oracle hook (see simhash_col) — forces the pure
     Column path so a DuckDB replay sees the identical fingerprints.
     """
+    _pigeonhole_recall_guard(max_hamming, n_chunks)
     chunks = simhash_state_table(
         df, id_col, text_col, n_chunks=n_chunks,
         use_kernel=use_kernel, bits=bits, hash_fn=hash_fn,
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.fp").alias("fp_a"),
-            F.col("b.fp").alias("fp_b"),
-        )
-        .distinct()
-    )
+    cand = _chunk_within_pairs(chunks).distinct()
     return (
         cand.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .filter(F.col("hamming") <= max_hamming)
@@ -1259,11 +1280,7 @@ def fp_pigeonhole_pairs(
     bit_count(xor) verifies candidates. Same skew note as simhash:
     a degenerate common chunk value is a hot key — AQE skew-split
     handles it."""
-    if max_hamming > n_chunks - 1:
-        raise ValueError(
-            f"pigeonhole with {n_chunks} chunks only guarantees recall "
-            f"up to hamming {n_chunks - 1}, got max_hamming={max_hamming}"
-        )
+    _pigeonhole_recall_guard(max_hamming, n_chunks)
     chunk_bits = bits // n_chunks
     chunks = fp.select(
         "id",
@@ -1279,20 +1296,8 @@ def fp_pigeonhole_pairs(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.fp").alias("fp_a"),
-            F.col("b.fp").alias("fp_b"),
-        )
+        _chunk_within_pairs(chunks)
         .distinct()
     )
     return (
@@ -1621,7 +1626,7 @@ def soft_dedup_weights(
     At 10^12 rows the md5 key is uniform (no skew salt needed);
     the weight is pure map-side arithmetic after the count.
     """
-    w = Window.partitionBy(F.md5(F.col(text_col)))
+    w = Window.partitionBy(_content_key(text_col, id_col))
     n = F.count(F.lit(1)).over(w).cast("bigint")
     return df.withColumn("n_copies", n).withColumn(
         "soft_weight", F.round(F.lit(1.0) / F.col("n_copies"), 6)

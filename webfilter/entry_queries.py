@@ -252,7 +252,9 @@ def q_dedup_exact_groups(spark, sf_dir):
 
 
 SQL_DEDUP_GROUPS = """
-SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_dups, min(doc_id) AS keep_id
+-- null-safe content key: NULL-text docs never group together
+SELECT coalesce(md5(text), '__null__' || doc_id) AS text_hash,
+  count(*)::BIGINT AS n_dups, min(doc_id) AS keep_id
 FROM documents GROUP BY 1 HAVING count(*) > 1
 """
 
@@ -265,7 +267,8 @@ def q_dedup_exact_keep(spark, sf_dir):
 
 SQL_DEDUP_KEEP = """
 SELECT doc_id FROM (
-  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  SELECT doc_id, row_number() OVER (
+      PARTITION BY coalesce(md5(text), '__null__' || doc_id) ORDER BY doc_id) AS rn
   FROM documents) WHERE rn = 1
 """
 
@@ -6950,8 +6953,9 @@ def q_soft_dedup_weights(spark, sf_dir):
 
 SQL_SOFT_DEDUP_WEIGHTS = """
 SELECT doc_id,
-  count(*) OVER (PARTITION BY md5(text))::BIGINT AS n_copies,
-  round(1.0::DOUBLE / count(*) OVER (PARTITION BY md5(text)), 6) AS soft_weight
+  count(*) OVER (PARTITION BY coalesce(md5(text), '__null__' || doc_id))::BIGINT AS n_copies,
+  round(1.0::DOUBLE / count(*) OVER (
+      PARTITION BY coalesce(md5(text), '__null__' || doc_id)), 6) AS soft_weight
 FROM documents
 """
 

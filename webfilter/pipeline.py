@@ -207,7 +207,8 @@ def read_snaptable_pages(
     spark: SparkSession,
     table_dir: str,
     n_buckets: int,
-    pending: list[int],
+    pending: list[int] | None,
+    snapshot: int | None = None,
 ) -> DataFrame:
     """Read the pages corpus FROM a snapshot table (snaptable.py) —
     the north rule's input shape: "an Iceberg table of Common-Crawl-
@@ -217,15 +218,25 @@ def read_snaptable_pages(
     filter run with zero coordination.
 
     When the table is partitioned by ``bucket_id`` under the SAME
-    bucketing contract (values ⊆ range(n_buckets); bucket_id is the
-    url-hash with_bucket computes, so a writer that used with_bucket
-    at this n_buckets satisfies it), a resumed run opens ONLY the
-    pending buckets' files — manifest-layer pruning, file skipping
-    before Spark ever lists anything.  Pruning never substitutes for
+    bucketing contract, a resumed run (``pending`` a strict subset;
+    ``pending=None`` means the full corpus) opens ONLY the pending
+    buckets' files — manifest-layer pruning, file skipping before
+    Spark ever lists anything.  The contract check requires the
+    partition values to be EXACTLY {0..n_buckets-1}: a mere subset
+    would accept a table written at a smaller n_buckets, whose files
+    are labeled under a different hash modulus — pruning would then
+    silently drop pending rows (code-review r4c2 finding #1).  A
+    sparse or differently-bucketed table falls back to the full file
+    list and stays correct, because pruning never substitutes for
     the row-level pending filter the caller still applies (the
-    repo-wide pruning-narrows-I/O-never-semantics discipline), so a
-    table bucketed under a DIFFERENT contract falls back to the full
-    file list and stays correct."""
+    repo-wide pruning-narrows-I/O-never-semantics discipline).
+    bucket_id must be partitioning.with_bucket's url-hash at this
+    n_buckets — the documented writer contract.
+
+    The snapshot is resolved ONCE and pinned for both the contract
+    check and the read, so a concurrent commit cannot slip an
+    unvalidated file set past the check (code-review r4c2 finding
+    #4)."""
     import os as _os
 
     from .snaptable import SnapshotTable
@@ -235,20 +246,24 @@ def read_snaptable_pages(
         _os.path.dirname(_os.path.abspath(table_dir)),
         _os.path.basename(_os.path.abspath(table_dir)),
     )
-    cur = t.current_snapshot()
+    cur = t.current_snapshot() if snapshot is None else snapshot
     if cur is None:
         raise ValueError(f"pages table {table_dir!r} has no snapshots")
-    entries, _dels, _snap = t._resolve_full(cur)
-    pcols = {
-        e["partition"]["col"] if e["partition"] else None
-        for e in entries
-    }
-    bucketed = pcols == {"bucket_id"} and {
-        e["partition"]["value"] for e in entries
-    } <= {str(b) for b in range(n_buckets)}
-    if bucketed and len(pending) < n_buckets:
-        return t.read(partition_filter={"bucket_id": list(pending)})
-    return t.read()
+    if pending is not None and len(pending) < n_buckets:
+        entries, _dels, _snap = t._resolve_full(cur)
+        pcols = {
+            e["partition"]["col"] if e["partition"] else None
+            for e in entries
+        }
+        bucketed = pcols == {"bucket_id"} and {
+            e["partition"]["value"] for e in entries
+        } == {str(b) for b in range(n_buckets)}
+        if bucketed:
+            return t.read(
+                snapshot=cur,
+                partition_filter={"bucket_id": list(pending)},
+            )
+    return t.read(snapshot=cur)
 
 
 def run_filter(
@@ -329,8 +344,25 @@ def run_filter(
         )
         pages_all = with_bucket(raw, n_buckets)
     elif input_format == "snaptable":
+        # pages_all must be the FULL corpus: host_prior's link graph
+        # is built from it, and ranks computed from a pruned corpus
+        # would break the resume-equals-clean invariant (code-review
+        # r4c2 finding #3). The manifest-layer file pruning applies
+        # to the per-run scan (`pages`) below instead — both reads
+        # pinned to ONE snapshot so a concurrent commit cannot skew
+        # the host graph against the scan.
+        import os as _os
+
+        from .snaptable import SnapshotTable as _ST
+
+        _ap = _os.path.abspath(pages_path)
+        _snap_pin = _ST(
+            spark, _os.path.dirname(_ap), _os.path.basename(_ap)
+        ).current_snapshot()
         pages_all = with_bucket(
-            read_snaptable_pages(spark, pages_path, n_buckets, pending),
+            read_snaptable_pages(
+                spark, pages_path, n_buckets, None, snapshot=_snap_pin
+            ),
             n_buckets,
         )
     elif input_format == "pages":
@@ -351,8 +383,19 @@ def run_filter(
     else:
         raise ValueError(f"unknown input_format {input_format!r}")
     pages = pages_all
+    if input_format == "snaptable" and len(pending) < n_buckets:
+        # manifest-layer file pruning for the per-run scan (full
+        # fallback inside when the bucketing contract doesn't match)
+        pages = with_bucket(
+            read_snaptable_pages(
+                spark, pages_path, n_buckets, pending, snapshot=_snap_pin
+            ),
+            n_buckets,
+        )
     if len(pending) < n_buckets:
-        # pushed-down IN-filter == partition pruning on the bucket spec
+        # pushed-down IN-filter == partition pruning on the bucket
+        # spec (still applied over the file-pruned snaptable scan:
+        # pruning narrows I/O, never semantics)
         pages = pages.filter(F.col("bucket_id").isin(pending))
 
     manifest.mark(run_id, "filter", pending, RUNNING)
@@ -718,9 +761,14 @@ def run_near_dedup_increment(
         catalog.append(pairs, "dup_pairs")
         catalog.append(new_bands, "dedup_bands")
         prev_pair_runs = list(state["pair_runs"])
+        # in-memory only — the sidecar is saved AFTER the affected
+        # buckets are marked RUNNING, so a crash anywhere in between
+        # re-ingests the run (duplicate pairs/bands rows, consumed
+        # via DISTINCT — documented-idempotent) instead of stranding
+        # an increment whose rewrite never ran and is never retried
+        # (code-review r4c2 finding #2)
         state["ingested_runs"] = sorted(set(state["ingested_runs"]) | set(new_runs))
         state["pair_runs"] = sorted(set(state["pair_runs"]) | {run_id})
-        _save_incr_state(manifest, state)
 
         all_pairs = catalog.read("dup_pairs")
         cur = all_pairs.filter(F.col("run_id").isin(state["pair_runs"]))
@@ -750,6 +798,9 @@ def run_near_dedup_increment(
             F.col("run_id").isin(state["pair_runs"])
         ) if state["pair_runs"] else None
         drops = _drops_from_pairs(cur, policy) if cur is not None else None
+        # the summary must report the ACCUMULATED pair count on the
+        # resume path too (code-review r4c2 finding #7)
+        n_pairs = cur.count() if cur is not None else 0
 
     # crashed-rewrite resume: any bucket still marked RUNNING from a
     # previous increment gets rewritten too
@@ -758,6 +809,9 @@ def run_near_dedup_increment(
             affected.add(b)
 
     if not affected:
+        if new_runs:
+            # nothing to rewrite for these runs — safe to ingest now
+            _save_incr_state(manifest, state)
         release_cached()
         return {
             "run_id": run_id, "buckets": 0, "docs_kept": 0,
@@ -767,6 +821,10 @@ def run_near_dedup_increment(
 
     pend = sorted(affected)
     manifest.mark(run_id, "dedup", pend, RUNNING)
+    if new_runs:
+        # RUNNING marks are durable: a crash from here on resumes the
+        # rewrite, so the ingestion may now be recorded
+        _save_incr_state(manifest, state)
     kept = dec_all.filter(F.col("bucket_id").isin(pend))
     if drops is not None:
         kept = kept.join(drops, "url", "left_anti")
