@@ -745,3 +745,112 @@ def test_filter_stream_dq_monitoring(spark, stream_src, tmp_path):
     assert corpus_rows(
         spark.read.parquet(f"{out}/dq_audit_stream.parquet")
     ) == direct
+
+
+def test_filter_stream_survives_empty_source_file(spark, tmp_path):
+    """A zero-row parquet file in the drop dir must not kill the
+    stream (code-review r4c3 finding #1: the dq state write used to
+    produce a schema-less dir and die on read-back, replaying the
+    same empty batch forever)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    empty = spark.createDataFrame([], streaming.PAGES_SCHEMA)
+    empty.coalesce(1).write.parquet(str(tmp_path / "e"))
+    import shutil
+
+    for f in (tmp_path / "e").glob("*.parquet"):
+        shutil.copy(f, src / "empty.parquet")
+    streaming.run_filter_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "cp"),
+        dq_check=True,
+    )
+    # nothing written, nothing crashed; a later NON-empty drop works
+    rows = [("http://a/1", "2024-01-01 00:00:00", b"<html><body><p>"
+             + b"hello world " * 30 + b"</p></body></html>", None, "en")]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, html binary, text string, lang string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    df.coalesce(1).write.parquet(str(tmp_path / "n"))
+    for f in (tmp_path / "n").glob("*.parquet"):
+        shutil.copy(f, src / "next.parquet")
+    streaming.run_filter_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "cp"),
+        dq_check=True,
+    )
+    dec = spark.read.parquet(f"{tmp_path}/out/decisions_stream.parquet")
+    assert dec.count() == 1
+
+
+def test_split_quarantine_works_on_batch_reads(spark, tmp_path):
+    """Batch CSV reads forbid corrupt-column-only queries; the split
+    must still work for batch backfills (code-review r4c3 finding
+    #3, reproduced pre-fix)."""
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "url,warc_ts,lang,n_chars\n"
+        "http://a/1,2024-01-01T00:00:00,en,120\n"
+        "THIS IS NOT,A,VALID,ROW,AT,ALL,9,9,9\n"
+    )
+    df = (
+        spark.read.schema(streaming.METADATA_CSV_SCHEMA)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(str(tmp_path))
+    )
+    clean, bad = streaming.split_quarantine(df)
+    assert clean.count() == 1 and bad.count() == 1
+    assert "NOT" in bad.collect()[0]["raw_line"]
+
+
+def test_stateful_dedup_tie_matches_batch_rule(spark, tmp_path):
+    """Exact-warc_ts ties break by md5(html) desc — the identical
+    latest_per_url ordering — regardless of arrival order
+    (code-review r4c3 finding #8: the old strict-ts comparison kept
+    whichever tied capture arrived FIRST)."""
+    import hashlib
+    import shutil
+
+    a, b = b"alpha body", b"beta body"
+    # arrange arrival order: the md5-SMALLER one arrives first
+    first, second = sorted(
+        [a, b], key=lambda h: hashlib.md5(h).hexdigest()
+    )
+    ts = "2024-01-01 00:00:00"
+
+    def _write(rows, name):
+        (
+            spark.createDataFrame(
+                rows,
+                "url string, warc_ts string, html binary, text string, lang string",
+            )
+            .withColumn("warc_ts", F.to_timestamp("warc_ts"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / name))
+        )
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for name, h in [("b1", first), ("b2", second)]:
+        _write([("http://t/1", ts, h, None, "en")], name)
+        for f in (tmp_path / name).glob("*.parquet"):
+            shutil.copy(f, flat / f"{name}.parquet")
+    streaming.run_stateful_dedup_stream(
+        spark, str(flat), "tie_feed", str(tmp_path / "cp"), max_files=1
+    )
+    feed = spark.sql("SELECT * FROM tie_feed").collect()
+    # both captures emit (second strictly beats first on md5), and
+    # the LAST emission is the md5-desc winner — the batch rule
+    assert len(feed) == 2
+    from webfilter.tables import latest_per_url
+
+    both = (
+        spark.createDataFrame(
+            [("http://t/1", ts, first, None, "en"),
+             ("http://t/1", ts, second, None, "en")],
+            "url string, warc_ts string, html binary, text string, lang string",
+        ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    )
+    batch_winner = latest_per_url(both).collect()[0]
+    assert len(batch_winner["html"]) == len(second)

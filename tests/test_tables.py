@@ -221,3 +221,54 @@ def test_compact_partitioned_rewrites_only_fragmented(spark, tmp_path):
     now0 = {f: m for f, m in files.items() if "/b=0/" in f}
     assert now0 == untouched
     assert cat.read("t").count() == 1100
+
+
+def test_iceberg_available_probe_actually_loads(spark):
+    """The py4j attribute walk never raises for missing classes (a
+    JavaPackage stub comes back), so the probe must force
+    Class.forName — in this jar-less sandbox it must say False
+    (code-review r4c3 finding #4, reproduced pre-fix)."""
+    from webfilter.tables import iceberg_available
+
+    assert iceberg_available(spark) is False
+
+
+def test_merge_upsert_empty_updates_is_noop(spark, tmp_path):
+    """An empty update batch must not create a _SUCCESS-only dir that
+    exists() reports as a table but read() cannot infer a schema
+    from (code-review r4c3 finding #5)."""
+    from webfilter.tables import ParquetCatalog, merge_upsert_pages
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    empty = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    merge_upsert_pages(cat, empty, name="pages")
+    assert not cat.exists("pages")
+    # and on an existing table: content unchanged
+    rows = spark.createDataFrame(
+        [("http://a/1", "2024-01-01 00:00:00", b"x", None, "en")],
+        "url string, warc_ts string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    merge_upsert_pages(cat, rows, name="pages")
+    merge_upsert_pages(cat, empty, name="pages")
+    assert cat.read("pages").count() == 1
+
+
+def test_compact_handles_fragmented_null_partition(spark, tmp_path):
+    """compact() on an int partition column with a fragmented NULL
+    partition must not crash on int('__HIVE_DEFAULT_PARTITION__')
+    (code-review r4c3 finding #6)."""
+    from webfilter.tables import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, 7)], "id long, part int"
+    )
+    # two appends -> >=2 small files per partition dir
+    cat.append(df, "t", part_col="part")
+    cat.append(df, "t", part_col="part")
+    before = sorted(tuple(r) for r in cat.read("t").collect())
+    stats = cat.compact("t", part_col="part")
+    assert stats["partitions_rewritten"] >= 1
+    assert sorted(tuple(r) for r in cat.read("t").collect()) == before

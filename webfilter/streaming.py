@@ -78,7 +78,16 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     clean rows drop the marker; quarantined rows keep the RAW line
     (the only honest lineage for an unparseable record) for a
     side-table write. Works on batch and streaming frames (both are
-    filters — no state, no shuffle)."""
+    filters — no state, no shuffle).
+
+    Batch CSV reads forbid a query that references ONLY the corrupt
+    column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN —
+    reproduced on this Spark; code-review r4c3 finding #3), so the
+    batch path caches the parsed frame first — the documented Spark
+    workaround, and a sound one here because both halves of the
+    split re-read it."""
+    if not df.isStreaming:
+        df = df.cache()
     clean = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
     bad = df.filter(F.col("_corrupt").isNotNull()).select(
         F.col("_corrupt").alias("raw_line")
@@ -110,13 +119,11 @@ def upsert_batch(out_root: str):
     """
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
-        from .tables import latest_per_url
+        from .tables import ParquetCatalog, latest_per_url
 
-        (
-            latest_per_url(batch_df)
-            .withColumn("_epoch", F.lit(epoch_id))
-            .write.mode("append")
-            .parquet(f"{out_root}/pages_stream.parquet")
+        ParquetCatalog(batch_df.sparkSession, out_root).append(
+            latest_per_url(batch_df).withColumn("_epoch", F.lit(epoch_id)),
+            "pages_stream",
         )
 
     return fn
@@ -175,6 +182,13 @@ def filter_batch(
         from .partitioning import with_bucket
         from .pipeline import DECISION_COLS, filtered_frame
 
+        if batch_df.isEmpty():
+            # a zero-row source file still fires foreachBatch; a
+            # zero-partition dynamic overwrite would create a
+            # _SUCCESS-only dir that later reads cannot infer a
+            # schema from, killing the stream on every replay
+            # (code-review r4c3 finding #1, reproduced)
+            return
         rid = f"epoch-{epoch_id}"
         out = (
             filtered_frame(
@@ -186,13 +200,15 @@ def filter_batch(
             .withColumn("_epoch", F.lit(epoch_id))
             .select(*DECISION_COLS, "_epoch")
         )
+        from .tables import ParquetCatalog
+
         if dq_check:
             out = out.persist()
-        (
-            out.write.mode("overwrite")
-            .partitionBy("_epoch")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(f"{out_root}/decisions_stream.parquet")
+        # through the catalog: identical dynamic-overwrite semantics
+        # plus a _history commit row, so catalog.history() covers the
+        # streaming tables too (code-review r4c3 finding #9)
+        ParquetCatalog(out.sparkSession, out_root).overwrite_partitions(
+            out, "decisions_stream", "_epoch"
         )
         if dq_check:
             try:
@@ -215,31 +231,36 @@ def _epoch_dq(
     checks the scalar constraints (see filter_batch's docstring for
     both whys)."""
     from . import dq
+    from .tables import ParquetCatalog
 
     spark = dec.sparkSession
+    cat = ParquetCatalog(spark, out_root)
     suite = dq.default_suite()
     uid = rid.rsplit("-epoch-", 1)[0]
 
     def _dyn(df: DataFrame, name: str) -> None:
-        (
-            df.write.mode("overwrite")
-            .partitionBy("run_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(f"{out_root}/{name}.parquet")
-        )
+        # catalog-routed so history() sees the state commits
+        cat.overwrite_partitions(df, name, "run_id")
 
     scal, regs = dq.bucket_state(dec, suite, "bucket_id")
     _dyn(scal.withColumn("run_id", F.lit(rid)), "dq_state_scalars")
     _dyn(regs.withColumn("run_id", F.lit(rid)), "dq_state_regs")
-    acc_scal = spark.read.parquet(f"{out_root}/dq_state_scalars.parquet")
-    acc_regs = spark.read.parquet(f"{out_root}/dq_state_regs.parquet")
-    corpus_suite = [
-        c for c in suite if not isinstance(c, dq.Unique)
-    ]
+    acc_scal = cat.read("dq_state_scalars")
+    acc_regs = cat.read("dq_state_regs")
+    # the corpus scope reports only the SCALAR constraints (see the
+    # filter_batch docstring), but verify() must ALWAYS run with the
+    # full suite: m{i} state columns are keyed by position in the
+    # suite that built the state, so verifying a filtered suite
+    # against full-suite state misaligns the counters the moment
+    # Unique is not the last entry (code-review r4c3 finding #7) —
+    # filter the OUTPUT rows instead
+    uniq_labels = {
+        c.label for c in suite if isinstance(c, dq.Unique)
+    }
     rows = []
-    for scope, pred, sc_suite in (
-        ("epoch", F.col("run_id") == rid, suite),
-        ("corpus", F.col("run_id").startswith(uid + "-"), corpus_suite),
+    for scope, pred in (
+        ("epoch", F.col("run_id") == rid),
+        ("corpus", F.col("run_id").startswith(uid + "-")),
     ):
         rows.extend(
             r.asDict() | {"scope": scope}
@@ -248,8 +269,9 @@ def _epoch_dq(
                     acc_scal.filter(pred).drop("run_id"),
                     acc_regs.filter(pred).drop("run_id"),
                 ),
-                sc_suite,
+                suite,
             ).collect()
+            if not (scope == "corpus" and r["constraint"] in uniq_labels)
         )
     audit = spark.createDataFrame(
         [r | {"run_id": rid, "epoch": epoch_id} for r in rows],
@@ -354,8 +376,27 @@ DEDUP_OUT_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType()),
     ]
 )
-# per-url state: microseconds of the newest warc_ts emitted so far
-DEDUP_STATE_SCHEMA = T.StructType([T.StructField("best_us", T.LongType())])
+# per-url state: (us, md5) of the newest emission — BOTH components
+# of latest_per_url's ordering (warc_ts desc, md5(html) desc), so the
+# streaming operator cannot disagree with the batch rule on exact-ts
+# ties (code-review r4c3 finding #8: a strict us-only comparison kept
+# whichever tied capture arrived FIRST, while the batch window picks
+# the md5-desc row)
+DEDUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("best_us", T.LongType()),
+        T.StructField("best_md5", T.StringType()),
+    ]
+)
+
+
+def _html_md5(h) -> str:
+    """Pandas-side mirror of F.md5(html) for the dedup tiebreak: a
+    NULL html sorts below every real digest in Spark's desc ordering
+    (nulls last), which '' reproduces lexicographically."""
+    import hashlib
+
+    return "" if h is None else hashlib.md5(bytes(h)).hexdigest()
 
 
 def stateful_url_dedup(pages_stream: DataFrame) -> DataFrame:
@@ -364,27 +405,31 @@ def stateful_url_dedup(pages_stream: DataFrame) -> DataFrame:
     of tables.latest_per_url, beyond the reference's streaming
     surface (it has no stateful operators, SURVEY §2.7).
 
-    State per url = newest warc_ts emitted. A micro-batch emits at
-    most one row per url (its newest), and only when that row is
-    strictly newer than the state — replayed or stale rows are
-    no-ops, which is exactly the reference's conditional-MERGE
-    contract (01_Metadata_Sync.py:63) held across micro-batches.
-    Downstream, the emission feed IS the upsert stream: appending it
-    and resolving merge-on-read stays correct because emissions per
-    url are strictly ts-increasing.
+    State per url = (warc_ts, md5(html)) of the newest emission. A
+    micro-batch emits at most one row per url (its newest under the
+    full latest_per_url ordering), and only when that row strictly
+    beats the state — replayed or stale rows are no-ops, which is
+    exactly the reference's conditional-MERGE contract
+    (01_Metadata_Sync.py:63) held across micro-batches. Downstream,
+    the emission feed IS the upsert stream: appending it and
+    resolving merge-on-read stays correct because emissions per url
+    are strictly (ts, md5)-increasing — the identical ordering the
+    batch window uses, ties included.
     """
 
     def fn(key, pdf_iter, state):
         import pandas as pd
 
-        best = state.get[0] if state.exists else None
+        best = tuple(state.get) if state.exists else None
         out = None
         for pdf in pdf_iter:
-            pdf = pdf.sort_values("warc_ts")
+            pdf = pdf.assign(_md5=pdf["html"].map(_html_md5))
+            pdf = pdf.sort_values(["warc_ts", "_md5"])
             row = pdf.iloc[-1]
             us = int(row["warc_ts"].value // 1_000)  # ns -> us
-            if best is None or us > best:
-                best = us
+            cand = (us, row["_md5"])
+            if best is None or cand > best:
+                best = cand
                 out = pd.DataFrame(
                     {
                         "url": [row["url"]],
@@ -394,7 +439,7 @@ def stateful_url_dedup(pages_stream: DataFrame) -> DataFrame:
                     }
                 )
         if out is not None:
-            state.update((best,))
+            state.update(best)
             yield out
 
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -475,14 +520,18 @@ def tws_url_dedup(pages_stream: DataFrame, state_ttl_ms: int | None = None) -> D
         def handleInputRows(self, key, rows, timer_values):
             import pandas as pd
 
-            best = self.best.get()[0] if self.best.exists() else None
+            best = (
+                tuple(self.best.get()) if self.best.exists() else None
+            )
             out = None
             for pdf in rows:
-                pdf = pdf.sort_values("warc_ts")
+                pdf = pdf.assign(_md5=pdf["html"].map(_html_md5))
+                pdf = pdf.sort_values(["warc_ts", "_md5"])
                 row = pdf.iloc[-1]
                 us = int(row["warc_ts"].value // 1_000)  # ns -> us
-                if best is None or us > best:
-                    best = us
+                cand = (us, row["_md5"])
+                if best is None or cand > best:
+                    best = cand
                     out = pd.DataFrame(
                         {
                             "url": [row["url"]],
@@ -494,17 +543,21 @@ def tws_url_dedup(pages_stream: DataFrame, state_ttl_ms: int | None = None) -> D
                         }
                     )
             if out is not None:
-                self.best.update((best,))
+                self.best.update(best)
                 yield out
 
         def close(self) -> None:
             pass
 
+    # state TTL is only legal in ProcessingTime mode (Spark raises
+    # STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL in
+    # timeMode=None — code-review r4c3 finding #2, confirmed against
+    # the bundled error catalog), so the mode follows the ttl arg
     return pages_stream.groupBy("url").transformWithStateInPandas(
         LatestWins(),
         outputStructType=DEDUP_OUT_SCHEMA,
         outputMode="Append",
-        timeMode="None",
+        timeMode="ProcessingTime" if ttl is not None else "None",
     )
 
 

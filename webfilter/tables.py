@@ -73,8 +73,15 @@ HISTORY_PA_SCHEMA = _pa.schema(
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg runtime is actually on the JVM classpath.
+    The attribute-walk form (`spark._jvm.org.apache.iceberg.Table`)
+    NEVER raises — py4j hands back a JavaPackage stub for missing
+    classes — so the probe must force class loading (code-review
+    r4c3 finding #4)."""
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.Table"
+        )
         return True
     except Exception:
         return False
@@ -298,10 +305,18 @@ class ParquetCatalog:
         values = [k.split("=", 1)[1] for k in frag if k.startswith(f"{part_col}=")]
         df = self.read(name)
         vtype = dict(df.dtypes)[part_col]
+        # the hive null sentinel is a DIRECTORY name, not a value:
+        # int()-ing it crashed compaction of any table with a
+        # fragmented null partition (code-review r4c3 finding #6)
+        has_null = "__HIVE_DEFAULT_PARTITION__" in values
+        values = [v for v in values if v != "__HIVE_DEFAULT_PARTITION__"]
         lit_vals = [int(v) for v in values] if vtype in (
             "int", "bigint", "smallint", "tinyint"
         ) else values
-        sel = df.filter(F.col(part_col).isin(lit_vals))
+        pred = F.col(part_col).isin(lit_vals)
+        if has_null:
+            pred = pred | F.col(part_col).isNull()
+        sel = df.filter(pred)
         # one output file per fragmented partition (they are small by
         # selection); the shuffle key is the partition itself
         (
@@ -392,6 +407,12 @@ def merge_upsert_pages(
     from .partitioning import with_bucket
 
     upd = with_bucket(updates, n_buckets)
+    if upd.isEmpty():
+        # a zero-row overwrite would create a _SUCCESS-only dir that
+        # exists() reports as a table but read() cannot infer a
+        # schema from — poisoning every later merge (code-review
+        # r4c3 finding #5)
+        return
     if not catalog.exists(name):
         catalog.overwrite_partitions(latest_per_url(upd), name, "bucket_id")
         return
