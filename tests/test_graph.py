@@ -131,3 +131,30 @@ def test_triangle_count_empty_and_triangle_free(spark):
 
     path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
     assert triangle_count(path).count() == 0
+
+
+def test_pagerank_partial_universe_keeps_mass(spark):
+    """An explicit node universe missing an edge endpoint must not
+    leak rank mass (code-review r4c4 finding #2): edges to
+    out-of-universe nodes are filtered BEFORE out-degree, so the
+    sum-to-1 invariant holds."""
+    from webfilter.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 99)],  # 99 outside the universe
+        "src long, dst long",
+    )
+    universe = spark.range(3).select(F.col("id").alias("node"))
+    ranks = pagerank(edges, iters=5, nodes=universe)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9
+    assert ranks.count() == 3
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    from webfilter.graph import pagerank
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(edges, iters=3)
+    assert out.count() == 0
+    assert set(out.columns) == {"node", "rank"}

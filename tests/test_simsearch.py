@@ -231,3 +231,18 @@ def test_ivfpq_candidates_share_query_cell(emb):
     }
     for r in rows:
         assert full[(r["query_id"], r["vec_id"])] == r["adc_dist"], r
+
+
+def test_ivf_topk_respects_custom_id_col(spark):
+    """ivf_topk must forward id_col to centroid training
+    (code-review r4c4 finding #1: the default 'vec_id' was
+    hard-coded and a renamed id column crashed)."""
+    from webfilter.simsearch import ivf_topk
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumnRenamed("vec_id", "doc_id")
+    )
+    q = emb.limit(2).withColumnRenamed("doc_id", "query_id")
+    out = ivf_topk(emb, q, id_col="doc_id", k=3, n_centroids=4, n_probe=4)
+    assert out.count() > 0

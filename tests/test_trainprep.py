@@ -314,3 +314,28 @@ def test_gumbel_topk_is_deterministic_and_weighted(spark):
     assert a1 == a2 and len(a1) == 20
     assert a1 != b  # fresh tag, fresh draw
     assert 7 in a1 and 7 in b  # dominant weight always sampled
+
+
+def test_bloom_rejects_unaligned_m_bits(spark):
+    from webfilter.trainprep import bloom_anti_join
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_anti_join(df, df, "k", m_bits=100)
+
+
+def test_domain_mixture_counts_null_domain(spark):
+    """NULL-domain docs form a real group: they participate in the
+    weight normalization AND remain sampleable (code-review r4c4
+    finding #3: a plain equi-join silently dropped them while their
+    weight share deflated everyone else's accept rate)."""
+    from webfilter.trainprep import domain_mixture_sample
+
+    rows = [(i, "a" if i % 2 else None) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_mixture_sample(df, target_docs=200)
+    got = {r["source"] for r in out.select("source").distinct().collect()}
+    assert got == {"a", None}
+    # both groups sampled at roughly their expected share
+    n_null = out.filter(F.col("source").isNull()).count()
+    assert 40 < n_null < 160

@@ -173,13 +173,11 @@ def shingle_hashes_col(text: Column, k: int = 3) -> Column:
 
 def _splitmix64(x):
     """Vectorized splitmix64 finalizer over a uint64 numpy array —
-    the per-seed hash family for the minhash kernel."""
-    import numpy as np
+    the per-seed hash family for the minhash kernel (the one shared
+    definition: kernels/mix.py)."""
+    from .kernels.mix import splitmix64
 
-    with np.errstate(over="ignore"):
-        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return x ^ (x >> np.uint64(31))
+    return splitmix64(x)
 
 
 #: signature value for docs with NULL text / zero shingles — uint64

@@ -4212,7 +4212,7 @@ r AS (SELECT source, n_docs, weight,
         least(1.0, weight * 300 / n_docs) AS rate
       FROM w),
 s AS (SELECT d.source, count(*)::BIGINT AS n_sampled
-      FROM documents d JOIN r ON d.source = r.source
+      FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.source
       WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
             < rate * 1000000
       GROUP BY d.source)

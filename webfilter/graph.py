@@ -76,7 +76,28 @@ def pagerank(
         )
     else:
         nodes = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
-    n = n_nodes if n_nodes is not None else nodes.count()
+        # an explicit universe may not cover every edge endpoint:
+        # contributions sent to an out-of-universe dst would be
+        # counted as distributed by the dangling term yet dropped by
+        # the rank join — rank mass leaks and the sum-to-1 invariant
+        # silently breaks (code-review r4c4 finding #2). Filter the
+        # edges BEFORE out-degree so removed links redistribute to
+        # the remaining ones (a src with only out-of-universe links
+        # correctly becomes dangling).
+        edges = edges.join(
+            nodes.select(F.col("node").alias(dst)), dst, "left_semi"
+        )
+    # deferred: the teleport branch never uses n, and counting nodes
+    # at construction is a full distinct-node job (code-review r4c4
+    # finding #6)
+    n = n_nodes
+    if n is None and teleport is None:
+        n = nodes.count()
+        if n == 0:
+            # empty graph: no nodes, no ranks — an empty frame (with
+            # the caller's node type preserved), not a
+            # ZeroDivisionError (code-review r4c4 finding #5)
+            return nodes.withColumn("rank", F.lit(0.0))
     out_deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("deg")
     )

@@ -27,8 +27,7 @@ from .corpora import lang_training_text
 DIM = 1 << 16
 _MASK = np.uint64(DIM - 1)
 
-_C1 = np.uint64(0xBF58476D1CE4E5B9)
-_C2 = np.uint64(0x94D049BB133111EB)
+from .mix import _C1, _C2  # the one shared splitmix64 constant set
 
 # ASCII whitespace byte values (utf-8 multibyte sequences never
 # contain these, so byte-level splitting is utf-8-safe)

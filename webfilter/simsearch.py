@@ -117,11 +117,9 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 0x91A5) -> np.ndarray:
     n = dim * n_planes
 
     def stream(offset: int) -> np.ndarray:
-        x = np.arange(n, dtype=np.uint64) + np.uint64(seed + offset)
-        with np.errstate(over="ignore"):
-            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            x = x ^ (x >> np.uint64(31))
+        from .kernels.mix import splitmix64
+
+        x = splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(seed + offset))
         return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
     u1, u2 = stream(0), stream(7_777_777)
@@ -253,11 +251,9 @@ def train_ivf_centroids(
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     n_centroids = min(n_centroids, len(m))
     # deterministic init: splitmix64-ranked rows
-    x = np.arange(len(m), dtype=np.uint64) + np.uint64(seed)
-    with np.errstate(over="ignore"):
-        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        x = x ^ (x >> np.uint64(31))
+    from .kernels.mix import splitmix64
+
+    x = splitmix64(np.arange(len(m), dtype=np.uint64) + np.uint64(seed))
     cents = m[np.argsort(x)[:n_centroids]].copy()
     for _ in range(iters):
         assign = np.argmax(m @ cents.T, axis=1)  # cosine == dot (normalized)
@@ -311,7 +307,7 @@ def ivf_topk(
     ``centroids`` matrix to keep query construction action-free; when
     omitted, train_ivf_centroids runs the bounded sample job."""
     if centroids is None:
-        centroids = train_ivf_centroids(emb, vec_col, n_centroids)
+        centroids = train_ivf_centroids(emb, vec_col, n_centroids, id_col=id_col)
     corpus = with_norm(emb, vec_col).select(
         id_col,
         F.col("vec_n").alias("c_vec"),

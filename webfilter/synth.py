@@ -58,13 +58,12 @@ _LANG_KEYS = ("en", "de", "fr", "es", "zh")
 
 
 def _mix(x: np.ndarray) -> np.ndarray:
+    from .kernels.mix import GOLDEN_GAMMA, splitmix64
+
     x = x.astype(np.uint64, copy=True)
     with np.errstate(over="ignore"):
-        x += np.uint64(0x9E3779B97F4A7C15)
-        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        x = x ^ (x >> np.uint64(31))
-    return x
+        x += GOLDEN_GAMMA
+    return splitmix64(x)
 
 
 _M64 = 0xFFFFFFFFFFFFFFFF

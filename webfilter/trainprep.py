@@ -20,7 +20,6 @@ scope, designed Spark-first):
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -41,9 +40,15 @@ __all__ = [
     "gumbel_topk_sample",
 ]
 
-# Java \s class, spelled out (matches the oracle's explicit class; see
-# entry_queries._WS for why \s differs between RE2 and Java).
-_WS_SPLIT = r"\s+"
+def _md5_prefix32(col: Column) -> Column:
+    """THE cross-engine 32-bit md5-prefix hash (first 8 hex chars as
+    a base-16 bigint) — one definition for every consumer in this
+    module (pack buckets, split pcts, mixture sampling, DSIR feature
+    buckets); it must stay bit-identical to the DuckDB oracles'
+    ('0x' || substr(md5(x),1,8))::BIGINT replay (code-review r4c4
+    finding #8: four inline copies of a determinism-critical
+    expression)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
 def ngram_strings_col(text: Column, n: int) -> Column:
@@ -108,6 +113,7 @@ def frequent_terms(
     docs: DataFrame,
     min_per_mille: int = 1,
     text_col: str = "text",
+    max_broadcast_candidates: int | None = None,
 ) -> DataFrame:
     """EXACT heavy hitters: terms occurring in >= min_per_mille/1000
     of all token occurrences, with exact counts — without ever
@@ -148,9 +154,22 @@ def frequent_terms(
     candidates = (
         terms.mapInPandas(local_heavy, "term string").distinct()
     )
+    # the per-batch pigeonhole bounds candidates per Arrow batch
+    # (<= 1000/min_per_mille), but the distinct UNION across batches
+    # is not globally bounded: at ~10^6 heterogeneous shards it can
+    # outgrow a driver broadcast (code-review r4c4 finding #7).
+    # Construction must stay action-free (the registry gate), so the
+    # demotion is opt-in: pass max_broadcast_candidates at real scale
+    # and the join falls back to shuffle above it — same result, no
+    # driver OOM.
+    cand_side = F.broadcast(candidates)
+    if max_broadcast_candidates is not None:
+        candidates = candidates.persist()
+        if candidates.count() > max_broadcast_candidates:
+            cand_side = candidates
     total = terms.agg(F.count(F.lit(1)).alias("_total_tokens"))
     exact = (
-        terms.join(F.broadcast(candidates), "term", "inner")
+        terms.join(cand_side, "term", "inner")
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
@@ -205,6 +224,13 @@ def bloom_anti_join(
     NULL probe keys are kept (anti-join semantics: NULL never equals
     any build key).
     """
+    if m_bits % 64 != 0 or m_bits <= 0:
+        # positions past n_words*64 would index out of bounds on the
+        # build side and probe as NULL (dropped from BOTH outputs)
+        # on the read side (code-review r4c4 finding #4)
+        raise ValueError(
+            f"m_bits must be a positive multiple of 64, got {m_bits}"
+        )
     n_words = m_bits // 64
     pos_df = build.select(F.array(*_bloom_positions(F.col(key), m_bits)).alias("pos"))
 
@@ -283,12 +309,7 @@ def pack_sequences(
         .otherwise(F.lit(0))
         .cast("bigint")
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
-            "bigint"
-        )
-        % n_buckets
-    )
+    bucket = _md5_prefix32(F.col(id_col).cast("string")) % n_buckets
     w = (
         Window.partitionBy("pack_bucket")
         .orderBy(id_col)
@@ -323,8 +344,7 @@ def dataset_split_col(id_col: Column, train: int = 80, val: int = 10) -> Column:
     runs, engines and cluster sizes, and stable under corpus growth
     (a doc's split never changes when other docs are added — the
     property RNG-based randomSplit lacks)."""
-    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("bigint")
-    pct = h % 100
+    pct = _md5_prefix32(id_col.cast("string")) % 100
     return (
         F.when(pct < train, F.lit("train"))
         .when(pct < train + val, F.lit("val"))
@@ -377,16 +397,21 @@ def domain_mixture_sample(
             F.lit(1.0), F.col("weight") * F.lit(float(target_docs)) / F.col("n_docs")
         ),
     )
-    h = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
-            "bigint"
+    h = _md5_prefix32(F.col(id_col).cast("string")) % 1_000_000
+    # NULL-SAFE join: a NULL domain is a real group — its count
+    # participates in the weight normalization, so dropping its docs
+    # via a plain equi-join would deflate every real domain's
+    # expected sample size with no warning (code-review r4c4
+    # finding #3)
+    wdim = F.broadcast(
+        weights.select(
+            F.col(domain_col).alias("_wf_dom"), "accept_rate"
         )
-        % 1_000_000
     )
     return (
-        df.join(F.broadcast(weights.select(domain_col, "accept_rate")), domain_col)
+        df.join(wdim, F.col(domain_col).eqNullSafe(F.col("_wf_dom")))
         .filter(h < F.col("accept_rate") * 1_000_000)
-        .drop("accept_rate")
+        .drop("accept_rate", "_wf_dom")
     )
 
 
@@ -401,10 +426,7 @@ def _md5_bucket(col: Column, n_buckets: int) -> Column:
     """Cross-engine-stable hashed feature bucket (md5 prefix -> int,
     the dataset_split_col discipline — xxhash64 would be cheaper but
     is not reproducible in the DuckDB oracle)."""
-    return (
-        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
-        % F.lit(int(n_buckets))
-    )
+    return _md5_prefix32(col) % F.lit(int(n_buckets))
 
 
 def dsir_log_ratio_table(
