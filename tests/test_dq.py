@@ -396,3 +396,42 @@ def test_corpus_dq_survives_crash_between_state_and_done(
     assert {
         r["run_id"] for r in scal.filter(F.col("part") == 3).collect()
     } == {"e1", "e2"}
+
+
+def test_in_range_fraction_over_non_null_values(spark):
+    """InRange divides by the NON-NULL count (its documented
+    contract): 20/100 violations among non-nulls must fail a 0.15
+    threshold even when 900 NULL rows would dilute it to 0.02
+    (code-review r4c5 finding #2)."""
+    rows = [Row(x=None, bucket_id=i % 4) for i in range(900)] + [
+        Row(x=float(5 if i < 20 else 1), bucket_id=i % 4)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows)
+    suite = [InRange("x", 0.0, 2.0, max_violation_fraction=0.15)]
+    got = _results(verify(bucket_state(df, suite), suite))
+    metric, passed = got["in_range_x"]
+    assert abs(metric - 0.2) < 1e-9 and passed is False
+
+
+def test_dedupe_state_runs_keeps_null_bucket_regs(spark):
+    """The crash-retry dedupe must not drop a NULL bucket's register
+    rows (null-safe winner join — code-review r4c5 finding #1)."""
+    from datetime import datetime, timezone
+
+    from webfilter.dq import dedupe_state_runs
+
+    t1 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    scal = spark.createDataFrame(
+        [(None, 10, "r1", t1), (1, 20, "r1", t1)],
+        "part int, n long, run_id string, processed_at timestamp",
+    )
+    regs = spark.createDataFrame(
+        [(None, "unique_url", 3, 5, "r1", t1),
+         (1, "unique_url", 4, 2, "r1", t1)],
+        "part int, cname string, reg int, m_j int, run_id string, "
+        "processed_at timestamp",
+    )
+    s2, r2 = dedupe_state_runs(scal, regs)
+    assert r2.count() == 2
+    assert r2.filter(F.col("part").isNull()).count() == 1

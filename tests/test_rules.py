@@ -159,3 +159,21 @@ def test_c4_line_filter_is_narrow(spark):
     )
     plan = rules.c4_line_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_c4_lines_handle_crlf_and_tabs(spark):
+    """CRLF corpora: '\r' must not inflate the word count or break
+    the terminal-punctuation anchor (code-review r4c5 finding #3)."""
+    from webfilter.rules import c4_kept_lines_col
+
+    text = (
+        "one two three four.\r\n"      # 4 words -> fails min 5
+        "one two three four five.\r\n"  # 5 words + punct -> kept
+        "\tsix seven eight nine ten.\r"  # leading tab, kept
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    kept = df.select(c4_kept_lines_col(F.col("text")).alias("k")).collect()[0]["k"]
+    assert kept == [
+        "one two three four five.",
+        "six seven eight nine ten.",
+    ]

@@ -30,3 +30,13 @@ def test_gopher_repetition_signals_golden(spark):
     # empty + too-short docs survive with all-zero signals
     assert out[3].top_2gram_char_frac == 0.0
     assert out[4].dup_5gram_char_frac == 0.0 and out[4].top_2gram_char_frac > 0
+
+
+def test_quality_score_null_text_is_null(spark):
+    from pyspark.sql import functions as F
+
+    from webfilter.textstats import quality_score_col
+
+    df = spark.createDataFrame([(None,), ("hello world.",)], "text string")
+    got = [r[0] for r in df.select(quality_score_col(F.col("text"))).collect()]
+    assert got[0] is None and got[1] is not None

@@ -154,6 +154,10 @@ def _scalar_aggs(constraints: list[Constraint]) -> list[Column]:
                     F.when(F.col(c.col).isNotNull() & viol, 1).otherwise(0)
                 ).alias(f"m{i}")
             )
+            # the contract is the fraction of NON-NULL values outside
+            # the range — dividing by total rows diluted the metric
+            # on sparse columns (code-review r4c5 finding #2)
+            aggs.append(F.count(F.col(c.col)).alias(f"c{i}"))
         elif isinstance(c, Satisfies):
             aggs.append(
                 F.sum(
@@ -273,10 +277,18 @@ def dedupe_state_runs(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    winners = scal.select("part", "run_id")
-    return scal, regs.join(
-        F.broadcast(winners), ["part", "run_id"], "left_semi"
+    winners = scal.select(
+        F.col("part").alias("_w_part"), F.col("run_id").alias("_w_run")
     )
+    # NULL-safe on part: a NULL bucket is a supported state (refresh
+    # handles changed=[None]); a plain equi-semi-join would drop its
+    # register rows while the scalars window kept its counts,
+    # corrupting the corpus uniqueness estimate (code-review r4c5
+    # finding #1)
+    cond = F.col("part").eqNullSafe(F.col("_w_part")) & (
+        F.col("run_id") == F.col("_w_run")
+    )
+    return scal, regs.join(F.broadcast(winners), cond, "left_semi")
 
 
 def verify(
@@ -290,8 +302,11 @@ def verify(
     scalars, regs = state
     agg = [F.sum("n").alias("n")]
     for i, c in enumerate(constraints):
-        if not isinstance(c, Unique):
-            agg.append(F.sum(f"m{i}").alias(f"m{i}"))
+        if isinstance(c, Unique):
+            continue
+        agg.append(F.sum(f"m{i}").alias(f"m{i}"))
+        if isinstance(c, InRange):
+            agg.append(F.sum(f"c{i}").alias(f"c{i}"))
     merged = scalars.agg(*agg)
     results = []
     for i, c in enumerate(constraints):
@@ -301,6 +316,11 @@ def verify(
         if isinstance(c, Complete):
             thr, passed = c.min_fraction, frac >= F.lit(c.min_fraction)
         elif isinstance(c, InRange):
+            # violations over the NON-NULL count (0 non-null values
+            # = vacuously compliant)
+            frac = F.when(F.col(f"c{i}") == 0, F.lit(0.0)).otherwise(
+                F.col(f"m{i}") / F.col(f"c{i}")
+            )
             thr = c.max_violation_fraction
             passed = frac <= F.lit(c.max_violation_fraction)
         else:

@@ -184,12 +184,13 @@ def q_quality_score(spark, sf_dir):
 SQL_QUALITY_SCORE = f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
 SELECT doc_id,
+  CASE WHEN text IS NULL THEN NULL ELSE
   round(0.4 * least(len(toks) / 200.0, 1.0)
    + 0.3 * (CASE WHEN len(toks) > 0
        THEN len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) / len(toks) ELSE 0.0 END)
    + 0.3 * (1 - (CASE WHEN length(text) > 0
        THEN (length(text) - length(regexp_replace(text, '[#$%^&*|~{{}}<>=+_\\\\]', '', 'g'))) / length(text)
-       ELSE 0.0 END)), 6) AS quality_score
+       ELSE 0.0 END)), 6) END AS quality_score
 FROM t
 """
 
@@ -4162,8 +4163,10 @@ parts AS (
   FROM raw),
 canon AS (
   SELECT doc_id, url,
-    regexp_replace(lower(regexp_extract(base, '^([^/]*//[^/?]*)', 1)),
-                   ':(80|443)$', '')
+    regexp_replace(regexp_replace(
+        lower(regexp_extract(base, '^([^/]*//[^/?]*)', 1)),
+        '^(http://.*):80$', '\\1'),
+      '^(https://.*):443$', '\\1')
     || regexp_replace(regexp_replace(base, '^[^/]*//[^/?]*', ''), '/+$', '')
     || (CASE WHEN len(p) > 0 THEN '?' || array_to_string(p, '&') ELSE '' END)
       AS canon_url
@@ -4370,7 +4373,7 @@ WITH pages AS (
   FROM documents),
 links AS (
   SELECT doc_id,
-    lower(regexp_extract(u.href, '^[^/]*//([^/?:]*)', 1)) AS host
+    lower(regexp_extract(u.href, '^[^/]*//(?:[^/?#@]*@)?(\\[[^\\]]*\\]|[^/?#:@]*)', 1)) AS host
   FROM (SELECT doc_id,
           regexp_extract_all(html, '<a[^>]+href="([^"]+)"', 1) AS hs
         FROM pages),
@@ -7024,12 +7027,12 @@ WITH h AS (SELECT doc_id,
        ELSE '' END AS html
   FROM documents),
 l AS (SELECT doc_id,
-        unnest(regexp_extract_all(html, '<a href="([^"]*)">([^<]*)</a>')) AS link
+        unnest(regexp_extract_all(html, '<a[^>]*href="([^"]*)"[^>]*>([^<]*)</a>')) AS link
       FROM h),
 p AS (SELECT doc_id,
   nullif(lower(regexp_extract(
-      regexp_extract(link, '<a href="([^"]*)">', 1),
-      '^[^/]*//([^/?:]*)', 1)), '') AS host,
+      regexp_extract(link, 'href="([^"]*)"', 1),
+      '^[^/]*//(?:[^/?#@]*@)?(\\[[^\\]]*\\]|[^/?#:@]*)', 1)), '') AS host,
   lower(trim(regexp_extract(link, '>([^<]*)</a>', 1))) AS anchor
   FROM l)
 SELECT host, count(*)::BIGINT AS n_anchors,
@@ -7377,15 +7380,20 @@ comp AS (
     count(lang)::DOUBLE / n.n >= 0.5 AS passed
   FROM documents, n GROUP BY n.n),
 rng AS (
+  -- violations over the NON-NULL count (the InRange contract)
   SELECT 'in_range_n_chars' AS "constraint",
-    round(sum(CASE WHEN n_chars IS NOT NULL
-                    AND (n_chars < 0 OR n_chars > 1000000)
-              THEN 1 ELSE 0 END)::DOUBLE / n.n, 6) AS metric,
+    round(CASE WHEN count(n_chars) = 0 THEN 0.0
+      ELSE sum(CASE WHEN n_chars IS NOT NULL
+                     AND (n_chars < 0 OR n_chars > 1000000)
+               THEN 1 ELSE 0 END)::DOUBLE / count(n_chars) END, 6)
+      AS metric,
     0.0::DOUBLE AS threshold,
-    sum(CASE WHEN n_chars IS NOT NULL
-              AND (n_chars < 0 OR n_chars > 1000000)
-        THEN 1 ELSE 0 END)::DOUBLE / n.n <= 0.0 AS passed
-  FROM documents, n GROUP BY n.n),
+    CASE WHEN count(n_chars) = 0 THEN 0.0
+      ELSE sum(CASE WHEN n_chars IS NOT NULL
+                     AND (n_chars < 0 OR n_chars > 1000000)
+               THEN 1 ELSE 0 END)::DOUBLE / count(n_chars) END <= 0.0
+      AS passed
+  FROM documents),
 sat AS (
   SELECT 'satisfies_has_text' AS "constraint",
     round(sum(coalesce(length(text) > 0, FALSE)::INT)::DOUBLE / n.n, 6)

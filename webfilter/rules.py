@@ -300,7 +300,15 @@ def c4_kept_lines_col(
     """Array of the lines of ``text`` that survive C4's line rules:
     terminal punctuation, >= min_line_words whitespace tokens, no
     boilerplate marker (case-insensitive)."""
-    lines = F.transform(F.split(text, "\n"), F.trim)
+    # FULL whitespace trim per line: Spark's trim strips only the
+    # space character (measured — see tokens_col), so a CRLF corpus
+    # would leave '\r' on every line, inflating the \s+ word count by
+    # one trailing empty token and breaking the terminal-punctuation
+    # anchor (code-review r4c5 finding #3)
+    lines = F.transform(
+        F.split(text, "\n"),
+        lambda l: F.regexp_replace(l, r"^\s+|\s+$", ""),
+    )
     return F.filter(
         lines,
         lambda l: l.rlike(C4_TERMINAL_PUNCT_RE)

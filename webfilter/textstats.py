@@ -44,17 +44,27 @@ def quality_score_col(text: Column) -> Column:
     SQL-expressible.
 
     score = 0.4*len_score + 0.3*alpha_ratio + 0.3*(1-symbol_ratio)
-    where len_score saturates at 200 words.
+    where len_score saturates at 200 words.  NULL text scores NULL
+    (code-review r4c5 finding #8: size(NULL tokens) is -1, which used
+    to yield a plausible ~0.298 that ranked NULL docs alongside real
+    low-quality text).  The symbol class is rules.SYMBOL_CLASS — the
+    SAME constant the keep/drop gate uses (finding #9: a drifted
+    inline copy would make quality_score disagree with
+    rule_symbol_ratio on the same document).
     """
+    from .rules import SYMBOL_CLASS
+
     toks = tokens_col(text)
     n_words = F.size(toks)
     len_score = F.least(n_words / F.lit(200.0), F.lit(1.0))
     n_chars = F.length(text)
-    n_sym = n_chars - F.length(F.regexp_replace(text, r"[#$%^&*|~{}<>=+_\\]", ""))
+    n_sym = n_chars - F.length(F.regexp_replace(text, SYMBOL_CLASS, ""))
     sym_ratio = F.when(n_chars > 0, n_sym / n_chars).otherwise(F.lit(0.0))
     n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
     alpha_ratio = F.when(n_words > 0, n_alpha / n_words).otherwise(F.lit(0.0))
-    return (
+    return F.when(
+        text.isNull(), F.lit(None).cast("double")
+    ).otherwise(
         F.lit(0.4) * len_score + F.lit(0.3) * alpha_ratio + F.lit(0.3) * (1 - sym_ratio)
     )
 
