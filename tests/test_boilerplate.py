@@ -225,3 +225,45 @@ def test_pipeline_flag_adds_no_exchange(spark, pages):
     assert census(
         pipeline.filtered_frame(pages, boilerplate=True)
     ) == census(pipeline.filtered_frame(pages))
+
+
+def test_sep_is_literal_not_regex(spark):
+    """A separator containing regex metacharacters must split
+    literally (code-review r4c6 finding #3: '|' used to split
+    between every character)."""
+    from webfilter.boilerplate import clean_text_col, with_boilerplate_removed
+
+    good = ("good text with many of the and is to stopwords here "
+            "today and more of the same is here to stay for a while.")
+    text = f"{good}|{good}"
+    df = spark.createDataFrame([(text,)], "text string")
+    c = df.select(clean_text_col(F.col("text"), sep="|").alias("c")).collect()[0]["c"]
+    assert c["n_blocks"] == 2
+    out = with_boilerplate_removed(df, "text", sep="|").collect()[0]["text"]
+    assert out == text  # both blocks good, literally re-joined
+
+
+def test_with_boilerplate_removed_matches_column_form(spark, synth_docs=None):
+    """The staged (materialized-codes) df form must equal the pure
+    Column form block-for-block."""
+    from webfilter.boilerplate import clean_text_col, with_boilerplate_removed
+
+    rows = [
+        ("good text with many of the and is to stopwords here today.\n"
+         "http://x http://y http://z\n"
+         "short bit",),
+        (None,),
+        ("",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    a = [r["text"] for r in with_boilerplate_removed(df, "text").collect()]
+    b = [
+        r[0]
+        for r in df.select(
+            F.when(
+                F.col("text").isNotNull(),
+                clean_text_col(F.col("text"))["clean_text"],
+            )
+        ).collect()
+    ]
+    assert a == b

@@ -106,3 +106,30 @@ def test_pipeline_quality_gate_optional(spark):
     for i in range(3):
         assert "quality_prob" in g[f"http://spam{i}.com/a"]["drop_reasons"]
         assert g[f"http://ok{i}.com/a"]["keep"] == b[f"http://ok{i}.com/a"]["keep"]
+
+
+def test_und_threshold_follows_config(spark):
+    """The 'und' rewrite threshold is RuleConfig.min_langid_conf, not
+    a hardcoded 0.5 (code-review r4c6 finding #2): at a configured
+    floor of 0.0 no prediction is rewritten to 'und' by confidence."""
+    from webfilter import scoring
+
+    df = spark.createDataFrame(
+        [("k j q x z w v b n m g h p q r s t",)], "text string"
+    )  # gibberish: a real prediction with low confidence
+    strict = scoring.with_scores(df, "text", und_threshold=0.99).collect()[0]
+    loose = scoring.with_scores(df, "text", und_threshold=0.0).collect()[0]
+    assert strict["langid"] == "und"
+    assert loose["langid"] != "und"
+    # and re-scoring a frame that already has score columns works
+    # (duplicate-column guard)
+    rescored = scoring.with_scores(
+        spark.createDataFrame(
+            [("hello world", "xx", 0.1, 1.0, 0.5)],
+            "text string, langid string, langid_conf double, "
+            "perplexity double, quality_prob double",
+        ),
+        "text",
+    )
+    assert rescored.columns.count("langid") == 1
+    assert rescored.collect()[0]["langid"] != "xx"

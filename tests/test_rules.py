@@ -177,3 +177,17 @@ def test_c4_lines_handle_crlf_and_tabs(spark):
         "one two three four five.",
         "six seven eight nine ten.",
     ]
+
+
+def test_scrub_null_text_matches_python_kernel(spark):
+    """with_scrubbed on NULL text yields ('', pii_found=False) — the
+    kernels/scrubber.scrub_one(None) contract (code-review r4c6
+    finding #4)."""
+    from webfilter.kernels.scrubber import scrub_one
+    from webfilter.scrub import with_scrubbed
+
+    df = spark.createDataFrame([(None,), ("a@b.co x",)], "text string")
+    got = with_scrubbed(df).collect()
+    assert got[0]["scrubbed_text"] == scrub_one(None)[0] == ""
+    assert got[0]["pii_found"] is False
+    assert got[1]["pii_found"] is True

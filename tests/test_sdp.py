@@ -78,3 +78,21 @@ def test_sdp_cli_backend_gated():
     ok, why = sdp.sdp_available()
     if not ok:
         assert "grpc" in why or "protobuf" in why
+
+
+def test_host_audit_key_matches_rank_and_robots_key(spark):
+    """partitioning.host_col IS urls.host_col (code-review r4c6
+    finding #1): case, port, userinfo and no-match all key
+    identically, so host_audit joins back to host_rank/robots."""
+    from webfilter import partitioning, urls
+
+    df = spark.createDataFrame(
+        [("HTTPS://Example.COM/x",),
+         ("http://example.com:8080/y",),
+         ("http://u:p@example.com/z",),
+         ("not-a-url",)],
+        "url string",
+    )
+    a = [r[0] for r in df.select(partitioning.host_col(F.col("url"))).collect()]
+    b = [r[0] for r in df.select(urls.host_col(F.col("url"))).collect()]
+    assert a == b == ["example.com", "example.com", "example.com", None]

@@ -114,6 +114,15 @@ def classify_raw(
     )
 
 
+def _sep_pattern(sep: str) -> str:
+    """``sep`` is a LITERAL separator everywhere in this module —
+    F.split takes a Java regex, so quote it (\\Q..\\E); without this a
+    sep like '|' or '.' split between every character while
+    array_join re-joined with the literal, corrupting the cleaned
+    text (code-review r4c6 finding #3)."""
+    return "\\Q" + sep + "\\E"
+
+
 def justext_blocks(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -132,10 +141,17 @@ def justext_blocks(
 
     One hash shuffle on ``id_col``; the preceding- and following-
     frame windows share its partitioning and sort order, so Catalyst
-    emits a single Exchange for both."""
+    emits a single Exchange for both.
+
+    NULL-text docs derive NO block rows (split(NULL) is NULL; the
+    repo-wide zero-content contract) — join consumers read absence
+    as n_blocks=0, the same convention as the dedup signature
+    tables."""
     blk = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("block_id", "_line"),
+        F.posexplode(
+            F.split(F.col(text_col), _sep_pattern(sep))
+        ).alias("block_id", "_line"),
     )
     feats = block_features(F.col("_line"))
     blk = blk.select(
@@ -205,18 +221,12 @@ def _scan_last_unambiguous(codes: Column) -> Column:
     )
 
 
-def final_classes_col(text: Column, sep: str = "\n") -> Column:
-    """Array of final good/bad classes for the ``sep``-separated
-    blocks of ``text`` — the MAP-ONLY form of the jusText context
-    pass. The window form (justext_blocks) shuffles once on doc_id
-    because its output is per-block rows; when the consumer only
-    needs the per-document cleaned text, the whole scan lives inside
-    the row (prefix scan forward + prefix scan over the reversed
-    array), so boilerplate removal composes into the filter pipeline
-    WITHOUT adding an Exchange. Equality with the window form is
-    pytest-proven block-for-block."""
-    blocks = F.split(text, sep)
-    codes = F.transform(blocks, _raw_class_of_block)
+def _final_from_codes(codes: Column) -> Column:
+    """Final good/bad classes from a PRECOMPUTED raw-class array —
+    the core of the map-only context pass, factored so df-level
+    callers can stage ``codes`` in a real column once instead of
+    re-deriving the expensive per-block classification in every
+    subtree (code-review r4c6 finding #5)."""
     prev = _scan_last_unambiguous(codes)
     nxt = F.reverse(_scan_last_unambiguous(F.reverse(codes)))
     ctx_good = F.zip_with(prev, nxt, lambda p, n: (p == "good") | (n == "good"))
@@ -229,13 +239,27 @@ def final_classes_col(text: Column, sep: str = "\n") -> Column:
     )
 
 
+def final_classes_col(text: Column, sep: str = "\n") -> Column:
+    """Array of final good/bad classes for the ``sep``-separated
+    blocks of ``text`` — the MAP-ONLY form of the jusText context
+    pass. The window form (justext_blocks) shuffles once on doc_id
+    because its output is per-block rows; when the consumer only
+    needs the per-document cleaned text, the whole scan lives inside
+    the row (prefix scan forward + prefix scan over the reversed
+    array), so boilerplate removal composes into the filter pipeline
+    WITHOUT adding an Exchange. Equality with the window form is
+    pytest-proven block-for-block."""
+    blocks = F.split(text, _sep_pattern(sep))
+    return _final_from_codes(F.transform(blocks, _raw_class_of_block))
+
+
 def clean_text_col(text: Column, sep: str = "\n") -> Column:
     """struct(clean_text, n_blocks, n_good_blocks): ``sep``-joined
     good blocks plus block counts, all map-side. A document whose
     every block is boilerplate yields clean_text '' — the downstream
     length gates then drop it honestly rather than this stage
     deciding keep/drop itself."""
-    blocks = F.split(text, sep)
+    blocks = F.split(text, _sep_pattern(sep))
     final = final_classes_col(text, sep)
     kept = F.filter(
         F.zip_with(blocks, final, lambda b, c: F.when(c == "good", b)),
@@ -254,16 +278,36 @@ def with_boilerplate_removed(
     """Replace ``text_col`` with its good blocks (NULL text stays
     NULL). Map-only — safe to splice into the filter pipeline
     between scoring and the heuristic rules without touching its
-    Exchange budget."""
-    c = clean_text_col(F.col(text_col), sep)
-    return df.withColumn(
-        text_col,
-        F.when(F.col(text_col).isNotNull(), c["clean_text"]),
+    Exchange budget.
+
+    The per-block classification is staged in a real column:
+    CollapseProject does not inline a non-cheap alias referenced
+    more than once, so ``_bp_codes`` is computed ONCE per row instead
+    of once per consuming subtree — the Column-only form
+    (clean_text_col) re-derives it up to three times (code-review
+    r4c6 finding #5), which the hot path must not pay."""
+    pat = _sep_pattern(sep)
+    staged = df.withColumn(
+        "_bp_blocks", F.split(F.col(text_col), pat)
+    ).withColumn(
+        "_bp_codes",
+        F.transform(F.col("_bp_blocks"), _raw_class_of_block),
+    ).withColumn("_bp_final", _final_from_codes(F.col("_bp_codes")))
+    kept = F.filter(
+        F.zip_with(
+            F.col("_bp_blocks"), F.col("_bp_final"),
+            lambda b, c: F.when(c == "good", b),
+        ),
+        lambda b: b.isNotNull(),
     )
+    return staged.withColumn(
+        text_col,
+        F.when(F.col(text_col).isNotNull(), F.array_join(kept, sep)),
+    ).drop("_bp_blocks", "_bp_codes", "_bp_final")
 
 
 def keep_good_text(
-    blocks: DataFrame, id_col: str = "doc_id", line_col: str | None = None
+    blocks: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-document surviving-block counts — the aggregate consumers
     join back on. (Text reassembly needs the block strings, which

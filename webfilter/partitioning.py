@@ -22,11 +22,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-HOST_REGEX = r"https?://([^/]+)"
-
-
 def host_col(url: Column) -> Column:
-    return F.regexp_extract(url, HOST_REGEX, 1)
+    """THE per-host key — delegates to urls.host_col so the host
+    audit/salting key can never diverge from the host_rank and
+    robots joins (code-review r4c6 finding #1: an inline
+    case-sensitive regex here kept port/userinfo and returned ''
+    instead of NULL, splitting one host's metrics across keys that
+    no longer joined back to the rank/robots dimensions)."""
+    from .urls import host_col as _urls_host_col
+
+    return _urls_host_col(url)
 
 
 def bucket_col(url: Column, n_buckets: int) -> Column:
@@ -74,7 +79,7 @@ def salted_count_by_key(
     salt_from: Column | str | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation: partial per (key, salt), then
-    final per key. Default aggregation is count + kept-count; pass
+    final per key. Default output is the row count (``n_rows``); pass
     ``aggs`` as {name: sum-able Column} for more, and ``salt_from``
     as a per-row-varying column (e.g. url when key=host) so hot keys
     actually spread across n_salts reducers.

@@ -119,12 +119,16 @@ def filtered_frame(
         # over the given text — one Arrow pass, no extraction. Given
         # identical text, decisions are identical to the html path
         # (test-proved against the golden labels).
-        df = scoring.with_scores(df, "text")
+        df = scoring.with_scores(
+            df, "text", und_threshold=cfg.min_langid_conf
+        )
         df = df.withColumn("title", F.lit(None).cast("string")).withColumn(
             "extract_err", F.lit("pre_extracted")
         )
     else:
-        df = scoring.with_extract_and_scores(df)
+        df = scoring.with_extract_and_scores(
+            df, und_threshold=cfg.min_langid_conf
+        )
     if cfg.max_payload_bytes is not None:
         # honest lineage: the extract kernel saw NULL for oversize
         # rows and reported null_html; name the real cause

@@ -36,21 +36,40 @@ def score_udf(text: pd.Series) -> pd.DataFrame:
     from webfilter.kernels import qualityclf as _qclf
 
     out = _langid.predict_batch(text)
-    # low-confidence predictions are unreliable -> 'und' (fastText
-    # convention); threshold matches RuleConfig.min_langid_conf
-    mask = out["langid_conf"] < 0.5
-    out.loc[mask, "langid"] = "und"
     out["perplexity"] = _ppl.score_batch(text)
     out["quality_prob"] = _qclf.quality_prob_batch(text)
     return out
 
 
-def with_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds langid, langid_conf, perplexity via one Arrow round-trip."""
-    return df.withColumn("_score", score_udf(F.col(text_col))).select(
-        "*", "_score.langid", "_score.langid_conf", "_score.perplexity",
+_SCORE_COLS = ("langid", "langid_conf", "perplexity", "quality_prob")
+
+
+def _with_und(df: DataFrame, und_threshold: float) -> DataFrame:
+    """Low-confidence language ids are unreliable -> 'und' (the
+    fastText convention).  A COLUMN expression, not UDF logic, so the
+    threshold follows RuleConfig.min_langid_conf instead of being a
+    hardcoded 0.5 that silently floored any lower configured value
+    (code-review r4c6 finding #2)."""
+    return df.withColumn(
+        "langid",
+        F.when(
+            F.col("langid_conf") < F.lit(float(und_threshold)), F.lit("und")
+        ).otherwise(F.col("langid")),
+    )
+
+
+def with_scores(
+    df: DataFrame, text_col: str = "text", und_threshold: float = 0.5
+) -> DataFrame:
+    """Adds langid, langid_conf, perplexity via one Arrow round-trip.
+    Pre-existing score columns are replaced, not duplicated (the
+    with_extract_and_scores guard — code-review r4c6 finding #6)."""
+    cols = [c for c in df.columns if c not in _SCORE_COLS]
+    out = df.withColumn("_score", score_udf(F.col(text_col))).select(
+        *cols, "_score.langid", "_score.langid_conf", "_score.perplexity",
         "_score.quality_prob",
-    ).drop("_score")
+    )
+    return _with_und(out, und_threshold)
 
 
 EXTRACT_SCORE_SCHEMA = T.StructType(
@@ -79,8 +98,6 @@ def extract_score_udf(html: pd.Series) -> pd.DataFrame:
 
     out = extract_batch(html).rename(columns={"err": "extract_err"})
     scores = _langid.predict_batch(out["text"])
-    mask = scores["langid_conf"] < 0.5
-    scores.loc[mask, "langid"] = "und"
     out["langid"] = scores["langid"]
     out["langid_conf"] = scores["langid_conf"]
     out["perplexity"] = _ppl.score_batch(out["text"])
@@ -88,17 +105,19 @@ def extract_score_udf(html: pd.Series) -> pd.DataFrame:
     return out
 
 
-def with_extract_and_scores(df: DataFrame, html_col: str = "html") -> DataFrame:
+def with_extract_and_scores(
+    df: DataFrame, html_col: str = "html", und_threshold: float = 0.5
+) -> DataFrame:
     """html -> text/title/err/langid/conf/ppl in ONE pandas-UDF pass.
     Replaces with_extracted_text + with_scores in the pipeline."""
     cols = [
         c
         for c in df.columns
-        if c not in ("text", "title", "extract_err", "langid", "langid_conf",
-                     "perplexity", "quality_prob")
+        if c not in ("text", "title", "extract_err", *_SCORE_COLS)
     ]
-    return df.withColumn("_es", extract_score_udf(F.col(html_col))).select(
+    out = df.withColumn("_es", extract_score_udf(F.col(html_col))).select(
         *cols,
         "_es.text", "_es.title", "_es.extract_err",
         "_es.langid", "_es.langid_conf", "_es.perplexity", "_es.quality_prob",
     )
+    return _with_und(out, und_threshold)

@@ -39,8 +39,19 @@ def with_scrubbed(
     full hits map costs 6 extra regexp passes per row, so the
     pipeline keeps it off and the audit counts pii via the
     comparison; pass include_hits_map=True for per-rule lineage."""
-    out = df.withColumn("scrubbed_text", scrubbed_col(F.col(text_col)))
-    out = out.withColumn("pii_found", F.col("scrubbed_text") != F.col(text_col))
+    # NULL text -> ('', no hits): the golden python kernel
+    # (kernels/scrubber.scrub_one(None)) returns ("", {}), and the
+    # three consumers must agree byte-for-byte — NULL/NULL here broke
+    # that contract on payload-capped rows (code-review r4c6
+    # finding #4)
+    out = df.withColumn(
+        "scrubbed_text",
+        F.coalesce(scrubbed_col(F.col(text_col)), F.lit("")),
+    )
+    out = out.withColumn(
+        "pii_found",
+        F.col("scrubbed_text") != F.coalesce(F.col(text_col), F.lit("")),
+    )
     if include_hits_map:
         out = out.withColumn("scrub_hits", hits_map_col(F.col(text_col)))
     return out
