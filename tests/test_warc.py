@@ -259,3 +259,50 @@ def test_wet_input_rejects_host_prior(spark, tmp_path):
             spark, str(tmp_path / "*.wet.gz"), str(tmp_path / "o2"),
             n_buckets=4, input_format="nope",
         )
+
+
+def test_quarantine_handles_missing_warc_date(spark):
+    """A record without (or with garbage) WARC-Date is quarantined in
+    strict=False instead of killing the task (code-review r4c7
+    finding #1); strict=True still raises."""
+    import gzip
+
+    from webfilter.warc import parse_wet
+
+    good = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://a/1\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 2\r\n"
+        b"\r\nhi\r\n\r\n"
+    )
+    no_date = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://a/2\r\nContent-Length: 2\r\n"
+        b"\r\nxx\r\n\r\n"
+    )
+    bad_date = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://a/3\r\nWARC-Date: n/a\r\n"
+        b"Content-Length: 2\r\n\r\nyy\r\n\r\n"
+    )
+    content = b"".join(gzip.compress(m) for m in (good, no_date, bad_date))
+    df = spark.createDataFrame(
+        [("f.warc.wet.gz", content)], "file string, content binary"
+    )
+    rows = parse_wet(df, strict=False).collect()
+    assert [r["url"] for r in rows] == ["http://a/1"]
+    with pytest.raises(Exception, match="WARC-Date|missing"):
+        parse_wet(df, strict=True).collect()
+
+
+def test_writers_tolerate_null_url_and_ts(spark):
+    from webfilter.warc import parse_wet, wet_files
+
+    df = spark.createDataFrame(
+        [(None, None, "body text"),
+         ("http://a/1", "2024-01-01 00:00:00", "other")],
+        "url string, warc_ts string, text string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    files = wet_files(df, n_shards=2)
+    back = parse_wet(files).collect()
+    assert len(back) == 2

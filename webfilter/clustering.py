@@ -106,6 +106,15 @@ def kmeans_fit(
     fallback; deterministic)."""
     if dim is None:
         raise ValueError("dim is required (no construction-time probe)")
+    # a single NULL embedding would otherwise become a NULL cluster
+    # row and crash the driver-side int() on the update collect
+    # (code-review r4c7 finding #4); persist the projected frame so
+    # the init + per-iteration scans do not recompute the upstream
+    # lineage iters+1 times (finding #9 — the exact-twin already
+    # does this)
+    from .dedup import _persist
+
+    df = _persist(df.select(id_col, vec_col).filter(F.col(vec_col).isNotNull()))
     init = (
         df.select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("_h"))
         .orderBy("_h")
@@ -206,7 +215,7 @@ def kmeans_exact_centroids(
     partial-agg shuffle whose result (<= k rows) is collected to the
     driver to build the next round's literal centroids — the bounded-
     iterative pattern shared with graph.pagerank."""
-    qdf = df.select(
+    qdf = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"), quantized_vec(F.col(vec_col), scale).alias("qv")
     )
     # every training round (and the caller's final assignment) scans
@@ -223,6 +232,12 @@ def kmeans_exact_centroids(
         .collect()
     )
     cents = [(int(r["_id"]), [int(x) for x in r["qv"]], 1) for r in init]
+    if not cents:
+        raise ValueError(
+            f"no rows with {id_col} < init_ids={init_ids} — exact k-means "
+            "init requires small sequential integer ids covering "
+            "0..init_ids-1 (code-review r4c7 finding #7)"
+        )
     dim = len(cents[0][1])
     sums = [F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)]
     for _ in range(iters):

@@ -180,19 +180,36 @@ def robots_from_warc(files: DataFrame, strict: bool = True) -> DataFrame:
     archive: parse response records, keep the ``/robots.txt``
     captures, decode their body bytes. Closes the compliance loop —
     a crawl archive alone yields the gate that judges it (compose
-    with ``parse_robots`` + ``rules_dim``). Newest capture wins per
-    host (one tiny window over robots rows only)."""
+    with ``parse_robots`` + ``rules_dim``). Newest 200-status capture
+    wins per host (one tiny window over robots rows only):
+
+    * the host key is ``urls.host_col`` — the SAME helper that keys
+      the page side of the compliance join, so port/userinfo variants
+      cannot make the rules silently never match (code-review r4c7
+      finding #2);
+    * non-200 captures (redirect bodies, 5xx error pages) are never
+      parsed as rules — RFC 9309 treats them as unreachable, and a
+      newer 503 HTML page must not erase a valid Disallow
+      (finding #3);
+    * exact-timestamp ties break deterministically by body md5 then
+      url (finding #8)."""
+    from .urls import host_col
     from .warc import parse_warc
 
     resp = parse_warc(files, strict=strict).filter(
         F.col("url").rlike(r"^[a-zA-Z][\w+.-]*://[^/?#]+/robots\.txt$")
+        & (F.col("status") == 200)
     )
-    host = F.lower(F.regexp_extract("url", r"^[a-zA-Z][\w+.-]*://([^/?#]+)", 1))
-    w = Window.partitionBy("host").orderBy(F.col("warc_ts").desc())
+    w = Window.partitionBy("host").orderBy(
+        F.col("warc_ts").desc(),
+        F.md5(F.col("robots_txt")).desc(),
+        F.col("url"),
+    )
     return (
         resp.select(
-            host.alias("host"),
+            host_col(F.col("url")).alias("host"),
             F.col("warc_ts"),
+            F.col("url"),
             F.decode(F.col("html"), "utf-8").alias("robots_txt"),
         )
         .withColumn("rn", F.row_number().over(w))

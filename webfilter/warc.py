@@ -107,15 +107,39 @@ def _warcinfo(filename: str, date_iso: str) -> bytes:
 
 
 def _date_iso(ts) -> str:
-    return pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+    # NULL/NaT dates serialize as the epoch instead of crashing the
+    # per-shard writer (code-review r4c7 finding #5)
+    t = pd.Timestamp(ts)
+    if pd.isna(t):
+        t = pd.Timestamp(0)
+    return t.strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
 def shard_expr(url, n_shards: int):
-    """Cross-engine shard key (the repo's md5-prefix idiom):
-    DuckDB replays it as ('0x' || substr(md5(url),1,4))::BIGINT % n."""
-    return (
-        F.conv(F.substring(F.md5(url), 1, 4), 16, 10).cast("bigint") % n_shards
-    )
+    """Cross-engine shard key (the repo's md5-prefix idiom, ONE
+    definition: sketches.md5_prefix_hash): DuckDB replays it as
+    ('0x' || substr(md5(url),1,4))::BIGINT % n.  NULL urls shard by
+    '' (md5 of NULL is NULL, which would crash the per-shard int()
+    in the writers — code-review r4c7 finding #5)."""
+    from .sketches import md5_prefix_hash
+
+    return md5_prefix_hash(F.coalesce(url, F.lit("")), n_hex=4) % n_shards
+
+
+def _parse_warc_date(h: dict, strict: bool):
+    """WARC-Date of one record, or None for quarantine: a missing or
+    garbage date must not escape strict=False as a raw
+    KeyError/ValueError and kill the task (code-review r4c7 finding
+    #1)."""
+    raw = h.get("warc-date")
+    try:
+        if raw is None:
+            raise ValueError("missing WARC-Date")
+        return pd.Timestamp(raw.rstrip("Z"))
+    except ValueError:
+        if strict:
+            raise
+        return None
 
 
 def wet_files(records: DataFrame, n_shards: int = 8,
@@ -271,10 +295,13 @@ def _iter_wet_rows(file: str, content: bytes, strict: bool):
                 raise ValueError(f"malformed WARC record in {file}")
             continue
         h = rec["headers"]
+        ts = _parse_warc_date(h, strict)
+        if ts is None:
+            continue  # quarantined: undateable record
         yield {
             "file": file,
             "url": h.get("warc-target-uri"),
-            "warc_ts": pd.Timestamp(h["warc-date"].rstrip("Z")),
+            "warc_ts": ts,
             "length": len(rec["body"]),
             "text": rec["body"].decode("utf-8", errors="replace"),
         }
@@ -322,12 +349,15 @@ def parse_warc(files: DataFrame, strict: bool = True) -> DataFrame:
                             raise ValueError(f"malformed WARC record in {file}")
                         continue
                     h = rec["headers"]
+                    ts = _parse_warc_date(h, strict)
+                    if ts is None:
+                        continue  # quarantined: undateable record
                     status, ctype, body = _http_split(rec["body"])
                     rows.append(
                         {
                             "file": file,
                             "url": h.get("warc-target-uri"),
-                            "warc_ts": pd.Timestamp(h["warc-date"].rstrip("Z")),
+                            "warc_ts": ts,
                             "status": status,
                             "content_type": ctype,
                             "html": body,

@@ -51,12 +51,28 @@ def _int_div(a: Column, b: Column) -> Column:
 def binned_col(x: Column, cmin: Column, cmax: Column, bits: int) -> Column:
     """Map integer ``x`` in [cmin, cmax] to [0, 2^bits) with exact
     integer arithmetic (bigint mul then floor-div; both engines agree
-    bit-for-bit). Degenerate range (cmin == cmax) bins to 0."""
+    bit-for-bit). Degenerate range (cmin == cmax) bins to 0.
+
+    The floor-div is exact only while span * (2^bits-1) < 2^53 (the
+    double mantissa); beyond that (e.g. microsecond-timestamp dims
+    spanning decades at bits=12) bins would silently come out
+    off-by-one and break the promised oracle equality — so the range
+    is GUARDED: an over-wide span raises at run time instead of
+    mis-binning (code-review r4c7 finding #6; rescale such dims —
+    e.g. to seconds — before z-ordering)."""
     top = F.lit((1 << bits) - 1).cast("bigint")
     span = (cmax.cast("bigint") - cmin.cast("bigint"))
     scaled = (x.cast("bigint") - cmin.cast("bigint")) * top
+    ok = span <= F.lit((1 << 53) // ((1 << bits) - 1)).cast("bigint")
+    guard = F.assert_true(
+        ok,
+        F.lit(
+            f"zorder bin overflow: span * (2^{bits}-1) exceeds the "
+            "2^53 exact-double range; rescale the dimension"
+        ),
+    )
     return F.when(span <= 0, F.lit(0).cast("bigint")).otherwise(
-        _int_div(scaled, span)
+        F.coalesce(guard.cast("bigint"), _int_div(scaled, span))
     )
 
 
