@@ -117,3 +117,27 @@ def test_jpeg_color_roundtrip_property(w, h, seed):
     dec = decode_jpeg_pixels(raw)
     assert dec is not None and dec.shape == (h, w, 3)
     assert int(np.abs(dec.astype(int) - rgb.astype(int)).max()) <= 4
+
+
+def test_sample_frames_bounded_on_hostile_duration(spark):
+    """A hostile AVI header implying ~10^13 ms must not emit 10^13
+    rows (code-review r4c8 finding #1): durations clamp at the
+    sampler ceiling."""
+    import struct
+
+    from webfilter.multimodal import MAX_SAMPLE_DURATION_MS, sample_frames
+
+    # minimal AVI: avih with dwMicroSecPerFrame/dwTotalFrames maxed
+    avih = struct.pack("<I", 0xFFFFFFFF) + b"\x00" * 12 + struct.pack(
+        "<I", 0xFFFFFFFF
+    ) + b"\x00" * 36
+    hdrl = b"avih" + struct.pack("<I", len(avih)) + avih
+    hdrl_list = b"LIST" + struct.pack("<I", 4 + len(hdrl)) + b"hdrl" + hdrl
+    riff_body = b"AVI " + hdrl_list
+    raw = b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+    df = spark.createDataFrame(
+        [(1, bytearray(raw), {})],
+        "media_id long, bytes binary, meta map<string,string>",
+    )
+    rows = sample_frames(df, every_ms=60_000).collect()
+    assert 0 < len(rows) <= MAX_SAMPLE_DURATION_MS // 60_000 + 1

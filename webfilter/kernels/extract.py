@@ -33,9 +33,18 @@ import pandas as pd
 _META_CHARSET = re.compile(
     rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.IGNORECASE
 )
+# utf-16 variants are EXCLUDED deliberately: a meta charset can only
+# be ASCII-scanned out of an ASCII-compatible byte stream (real
+# UTF-16 interleaves NULs, so `<meta` never matches), which means a
+# matched utf-16 label is always a mislabeled 8-bit page — and
+# strict-decoding it as utf-16 "succeeds" on any even-length input,
+# producing CJK-range mojibake that langid then confidently labels
+# zh (code-review r4c8 finding #2, reproduced). HTML5 §4.2.5.5
+# mandates treating a declared utf-16 meta charset as utf-8 for
+# exactly this reason.
 _KNOWN_CHARSETS = {
     "utf-8", "utf8", "latin-1", "latin1", "iso-8859-1", "windows-1252",
-    "cp1252", "ascii", "us-ascii", "utf-16", "utf-16le", "utf-16be",
+    "cp1252", "ascii", "us-ascii",
 }
 
 _SCRIPT_STYLE = re.compile(
@@ -94,13 +103,16 @@ def extract_one(raw: bytes | None) -> tuple[str, str, str]:
         doc = raw.decode("utf-8", errors="replace")
         err = f"decode_replace:{enc}"
 
-    title_m = _TITLE.search(doc)
+    # comments/scripts strip BEFORE the title search: a commented-out
+    # or script-embedded <title> must not shadow the real one
+    # (code-review r4c8 finding #3, reproduced)
+    stripped = _SCRIPT_STYLE.sub(" ", _COMMENT.sub("", doc))
+    title_m = _TITLE.search(stripped)
     title = ""
     if title_m:
         title = _htmllib.unescape(_ANY_TAG.sub("", title_m.group(1))).strip()
 
-    body = _COMMENT.sub("", doc)
-    body = _SCRIPT_STYLE.sub(" ", body)
+    body = stripped
     body = _TITLE.sub(" ", body)
     body = _BLOCK_BREAK.sub("\n", body)
     body = _ANY_TAG.sub(" ", body)

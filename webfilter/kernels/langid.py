@@ -62,7 +62,6 @@ _LOGP, _LABELS = _train()
 # upcast ONCE at import (bit-identical to the old per-batch
 # `.astype(float64)` inside the scoring loop, minus the per-batch copy)
 _LOGP = _LOGP.astype(np.float64)
-_PRIOR = np.zeros(len(_LABELS), dtype=np.float32)  # uniform prior
 
 
 def predict_batch(texts: pd.Series) -> pd.DataFrame:

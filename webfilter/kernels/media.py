@@ -66,6 +66,13 @@ def parse_image(raw: bytes | None) -> dict:
         if fmt == "bmp":
             w, h = struct.unpack_from("<ii", raw, 18)
             bpp = struct.unpack_from("<H", raw, 28)[0]
+            if w <= 0 or h == 0:
+                # negative width is not a valid BMP (only height may
+                # be negative = top-down); fabricated negative dims
+                # must surface as err, never as metadata (code-review
+                # r4c8 finding #5 — the pixel decoder already
+                # rejects these bytes)
+                raise ValueError("non-positive BMP width")
             out.update(width=w, height=abs(h), channels=max(1, bpp // 8))
         elif fmt == "png":
             if raw[12:16] != b"IHDR":
@@ -138,7 +145,17 @@ def parse_wav(raw: bytes | None) -> dict:
                     spb = struct.unpack_from("<H", raw, i + 26)[0]
                 fmt_seen = True
             elif cid == b"data":
-                data_size = csize
+                # clamp to the bytes actually present: a truncated
+                # download declaring a huge data chunk must not
+                # report a 500x duration with err=None while the
+                # sample decoder rejects the same bytes (code-review
+                # r4c8 finding #4)
+                avail = max(0, n - (i + 8))
+                if csize > avail:
+                    out["err"] = "truncated_data_chunk"
+                    data_size = avail
+                else:
+                    data_size = csize
             elif cid == b"fact" and csize >= 4:
                 (fact,) = struct.unpack_from("<I", raw, i + 8)
             i += 8 + csize + (csize & 1)
@@ -1005,12 +1022,26 @@ def decode_avi_frames(
         end = min(len(raw), 8 + struct.unpack("<I", raw[4:8])[0])
         frames: dict[int, object] = {}
         fi = 0
+
+        def dc_chunks(start: int, stop: int):
+            """'##dc' chunks of STREAM 0 (the video stream) in movi,
+            descending into 'rec '-grouped children (DV/capture
+            muxers nest frames there) — and never mixing a second
+            stream's chunks into the frame-index space (code-review
+            r4c8 finding #6).  AVIs whose VIDEO stream is not stream
+            0 yield no chunks here and fall back to None → byte-hash
+            sampling (the documented graceful stand-in path), rather
+            than hashing the wrong stream's frames."""
+            for t2, o2, e2 in _riff_chunks(raw, start, stop):
+                if t2 == b"LIST" and raw[o2 : o2 + 4] == b"rec ":
+                    yield from dc_chunks(o2 + 4, e2)
+                elif t2[:2] == b"00" and t2[2:4] == b"dc":
+                    yield o2, e2
+
         for tag, off, cend in _riff_chunks(raw, 12, end):
             if tag != b"LIST" or raw[off : off + 4] != b"movi":
                 continue
-            for t2, o2, e2 in _riff_chunks(raw, off + 4, cend):
-                if t2[2:4] != b"dc":
-                    continue
+            for o2, e2 in dc_chunks(off + 4, cend):
                 if indices is None or fi in indices:
                     px = decode_jpeg_pixels(raw[o2:e2])
                     if px is None:

@@ -42,6 +42,20 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+#: sanity ceiling for UNTRUSTED container durations — a hostile AVI
+#: header (dwMicroSecPerFrame=0xFFFFFFFF x dwTotalFrames=0xFFFFFFFF)
+#: implies ~10^13 ms, and the per-ts emit loop would append that many
+#: rows inside one Arrow batch (code-review r4c8 finding #1). 6 h
+#: covers any sane web-crawled clip; longer claims clamp (the
+#: sampler's stand-in honesty note applies — the METADATA row keeps
+#: the raw parsed value).
+MAX_SAMPLE_DURATION_MS = 6 * 3600 * 1000
+
+
+def _clamp_duration(ms: int) -> int:
+    return max(0, min(ms, MAX_SAMPLE_DURATION_MS))
+
+
 def _stable_u32(raw: bytes, salt: bytes = b"") -> int:
     return int.from_bytes(hashlib.md5(salt + raw[:256]).digest()[:4], "little")
 
@@ -226,7 +240,7 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                 decoded: dict | None = None
                 src_of_ts = None
                 if avi["err"] is None and avi["duration_ms"]:
-                    duration_ms = int(avi["duration_ms"])
+                    duration_ms = _clamp_duration(int(avi["duration_ms"]))
                     uspf, nfr = avi["us_per_frame"], avi["n_frames"]
 
                     def src_of_ts(ts, uspf=uspf, nfr=nfr):
@@ -239,9 +253,9 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                 else:
                     probed = parse_mp4(raw)
                     if probed["duration_ms"] is not None:
-                        duration_ms = int(probed["duration_ms"])
+                        duration_ms = _clamp_duration(int(probed["duration_ms"]))
                     elif "duration_ms" in meta:
-                        duration_ms = int(meta["duration_ms"])
+                        duration_ms = _clamp_duration(int(meta["duration_ms"]))
                     else:
                         duration_ms = 1000 + _stable_u32(raw, b"dur") % 30_000
                 for i, ts in enumerate(range(0, duration_ms, every_ms)):
