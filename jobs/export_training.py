@@ -83,7 +83,12 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("either --in or --synth N is required")
 
     from webfilter.tables import ParquetCatalog
-    from webfilter.trainprep import dataset_split_col, decontaminate, pack_sequences
+    from webfilter.trainprep import (
+        _md5_prefix32,
+        dataset_split_col,
+        decontaminate,
+        pack_sequences,
+    )
 
     catalog = ParquetCatalog(spark, in_root)
     if catalog.exists("kept_pages"):
@@ -101,9 +106,7 @@ def main(argv: list[str] | None = None) -> int:
         # demo benchmark: exact slices of every 37th kept doc -> those
         # docs MUST be dropped (eval leakage by construction)
         bench = (
-            docs.withColumn(
-                "_h", F.conv(F.substring(F.md5("url"), 1, 8), 16, 10).cast("bigint")
-            )
+            docs.withColumn("_h", _md5_prefix32(F.col("url")))
             .filter(F.col("_h") % 37 == 0)
             .select(F.substring("text", 1, 400).alias("text"))
         )
@@ -113,20 +116,35 @@ def main(argv: list[str] | None = None) -> int:
         contaminated = decontaminate(
             docs, bench, n=args.ngram, id_col="url", text_col="text"
         ).select("url")
-        clean = docs.join(contaminated, "url", "left_anti")
+        # persist: the decontamination join is the job's most
+        # expensive stage and both the count and the shard write
+        # consume it (code-review r4c9 finding #8)
+        clean = docs.join(contaminated, "url", "left_anti").persist()
         n_clean = clean.count()
         n_dropped = n_in - n_clean
         docs = clean
 
-    # ---- split + pack layout ---------------------------------------
-    layout = pack_sequences(
-        docs, capacity=args.capacity, id_col="url", text_col="text",
-        n_buckets=args.buckets,
+    # ---- split FIRST, then pack per split ---------------------------
+    # packing over the full corpus and splitting afterwards fragments
+    # every pack across splits: offsets inside a train shard no
+    # longer tile [0, capacity) where val/test docs were removed, and
+    # (pack_bucket, pack_id) double-counts across splits (code-review
+    # r4c9 finding #1). The split is a pure function of url, so
+    # per-split packing stays deterministic and restart-stable.
+    docs = docs.withColumn(
+        "split", dataset_split_col(F.col("url"), args.train, args.val)
     )
-    shards = (
-        docs.join(layout, "url")
-        .withColumn("split", dataset_split_col(F.col("url"), args.train, args.val))
-    )
+    parts = []
+    for sp in ("train", "val", "test"):
+        sub = docs.filter(F.col("split") == sp)
+        layout = pack_sequences(
+            sub, capacity=args.capacity, id_col="url", text_col="text",
+            n_buckets=args.buckets,
+        )
+        parts.append(sub.join(layout, "url"))
+    shards = parts[0]
+    for pdf in parts[1:]:
+        shards = shards.unionByName(pdf)
     out_path = f"{args.export}/shards.parquet"
     (
         shards.repartition("split", "pack_bucket")

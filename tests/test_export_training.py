@@ -120,3 +120,30 @@ def test_export_decontaminates(spark, export_out, tmp_path):
         ).fetchall()
     }
     assert not (set(leak["url"]) & out_urls)
+
+
+def test_packs_do_not_straddle_splits(spark, export_out):
+    """Pack integrity (code-review r4c9 finding #1): within each
+    (split, pack_bucket), doc token spans tile contiguously —
+    start_off resumes exactly where the previous doc ended (mod
+    capacity) — which only holds when packing runs AFTER the split
+    assignment."""
+    _stats, out, _run = export_out
+    shards = spark.read.parquet(f"{out}/shards.parquet")
+    rows = shards.select(
+        "split", "pack_bucket", "pack_id", "start_off", "n_tokens", "url"
+    ).collect()
+    capacity = 512  # the fixture's --capacity
+    by_stream: dict = {}
+    for r in rows:
+        by_stream.setdefault((r["split"], r["pack_bucket"]), []).append(r)
+    checked = 0
+    for (_sp, _b), docs in by_stream.items():
+        docs.sort(key=lambda r: (r["pack_id"], r["start_off"], r["url"]))
+        cum = 0
+        for r in docs:
+            assert r["pack_id"] == cum // capacity, r
+            assert r["start_off"] == cum % capacity, r
+            cum += r["n_tokens"]
+            checked += 1
+    assert checked == len(rows) > 0

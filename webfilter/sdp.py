@@ -110,16 +110,23 @@ def define_pipeline(
 
         @dp.materialized_view(name="gold_host_audit")
         def gold_host_audit() -> DataFrame:
-            from .partitioning import host_col
+            from .partitioning import host_col, salted_count_by_key
 
-            d = spark.table("silver_decisions")
-            return (
-                d.groupBy(host_col(F.col("url")).alias("host"))
-                .agg(
-                    F.count(F.lit(1)).alias("n_docs"),
-                    F.sum(F.col("keep").cast("long")).alias("n_kept"),
-                )
-                .withColumn("keep_rate", F.col("n_kept") / F.col("n_docs"))
+            # salted two-phase agg — the SAME skew discipline as
+            # pipeline.run_filter's host_audit: a hot host must not
+            # funnel into one reducer (code-review r4c9 finding #6)
+            d = spark.table("silver_decisions").withColumn(
+                "host", host_col(F.col("url"))
+            )
+            return salted_count_by_key(
+                d, "host",
+                aggs={"n_kept": F.sum(F.col("keep").cast("long"))},
+                salt_from="url",
+            ).select(
+                "host",
+                F.col("n_rows").alias("n_docs"),
+                "n_kept",
+                (F.col("n_kept") / F.col("n_rows")).alias("keep_rate"),
             )
 
         @dp.materialized_view(name="gold_corpus_audit")
@@ -141,7 +148,24 @@ def run_pipeline_locally(
     declaration order IS a topological order for this DAG — each MV
     reads only earlier datasets). Streaming flows drain availableNow
     into an in-memory sink named after their target; batch flows
-    become temp views. Returns {dataset: DataFrame}."""
+    become temp views. Returns {dataset: DataFrame}.
+
+    ``checkpoint_root`` must be FRESH: the file source's checkpoint
+    is durable but the memory sink is not, so resuming an existing
+    checkpoint would skip already-seen files into an empty table and
+    silently truncate every downstream MV (code-review r4c9 finding
+    #2) — refused loudly instead."""
+    import os as _os
+
+    for fl in registry.flows:
+        name = fl.target.split(".")[-1]
+        if _os.path.isdir(f"{checkpoint_root}/{name}"):
+            raise ValueError(
+                f"checkpoint_root already holds state for {name!r}; "
+                "the in-memory sinks start empty every run, so "
+                "resuming would silently truncate results — pass a "
+                "fresh checkpoint_root"
+            )
     out: dict[str, DataFrame] = {}
     for fl in registry.flows:
         df = fl.func()

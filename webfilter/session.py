@@ -68,11 +68,25 @@ def get_spark(
             "org.apache.spark.sql.catalyst.optimizer.CollapseProject",
         )
     )
-    # shuffle/spill scratch on tmpfs when available: this sandbox has
-    # one virtual disk, which would serialize shuffle I/O and mask
-    # compute scaling; on a real cluster each executor has local SSDs
-    if os.path.isdir("/dev/shm"):
-        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
+    # shuffle/spill scratch on tmpfs when it is actually BIG enough:
+    # this sandbox has one virtual disk, which would serialize
+    # shuffle I/O and mask compute scaling; on a real cluster each
+    # executor has local SSDs. /dev/shm exists on every Linux host
+    # including 64MB-default Docker containers, where pointing
+    # shuffles at it dies with ENOSPC — so the redirect is gated on
+    # free tmpfs space (>= 8 GiB) and the dir is per-uid so a second
+    # user does not hit the first user's ownership (code-review r4c9
+    # finding #3). WEBFILTER_NO_SHM=1 opts out entirely.
+    if os.path.isdir("/dev/shm") and not os.environ.get("WEBFILTER_NO_SHM"):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 8 << 30:
+                builder = builder.config(
+                    "spark.local.dir",
+                    f"/dev/shm/spark-local-{os.getuid()}",
+                )
+        except OSError:
+            pass
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
@@ -89,15 +103,25 @@ def ship_package(spark: SparkSession) -> None:
     import tempfile
     from pathlib import Path
 
+    import logging
+
     pkg_root = Path(__file__).resolve().parent.parent
     if not (pkg_root / "webfilter" / "__init__.py").exists():
         return  # running from a zip already shipped via --py-files
-    zdir = Path(tempfile.gettempdir()) / "webfilter_pyfiles"
-    zdir.mkdir(exist_ok=True)
+    # per-process staging dir + atomic rename: a fixed shared path
+    # raced concurrent drivers (one ships a mid-rewrite zip) and
+    # failed cross-user on ownership (code-review r4c9 finding #4)
+    zdir = Path(tempfile.mkdtemp(prefix="webfilter_pyfiles_"))
     archive = shutil.make_archive(
         str(zdir / "webfilter_pkg"), "zip", root_dir=pkg_root, base_dir="webfilter"
     )
     try:
         spark.sparkContext.addPyFile(archive)
-    except Exception:
-        pass  # already added in this context
+    except Exception as e:
+        # the one benign case is re-adding the same filename in this
+        # context; anything else must be visible NOW, not later as a
+        # ModuleNotFoundError on an executor (finding #5)
+        if "has already been" not in str(e) and "exists" not in str(e):
+            logging.getLogger(__name__).warning(
+                "addPyFile(%s) failed: %s", archive, e
+            )
