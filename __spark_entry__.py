@@ -29,17 +29,19 @@ def _ensure_shipped(spark: SparkSession) -> None:
     pandas-UDF/mapInPandas stages can unpickle their kernels when the
     driver process runs outside the repo root."""
     sc = spark.sparkContext
-    key = id(sc)
+    # applicationId, not id(sc): CPython reuses freed object ids, so
+    # a new context could silently skip shipping (code-review r4c10
+    # finding #6)
+    key = sc.applicationId
     if key in _SHIPPED:
         return
-    import shutil
-    import tempfile
+    # ONE packager: session.ship_package builds a deterministic
+    # *.py-only zip, so a session that already shipped (get_spark
+    # does) and this entry path can never race or disagree on
+    # contents (r4c10 findings #5/#9)
+    from webfilter.session import ship_package
 
-    zdir = Path(tempfile.gettempdir()) / "webfilter_pyfiles"
-    zdir.mkdir(exist_ok=True)
-    zpath = zdir / "webfilter_pkg"
-    archive = shutil.make_archive(str(zpath), "zip", root_dir=_REPO, base_dir="webfilter")
-    sc.addPyFile(archive)
+    ship_package(spark)
     _SHIPPED.add(key)
 
 

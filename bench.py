@@ -64,7 +64,11 @@ def _pin_and_quiesce(cpus: int) -> list[int] | None:
         "MKL_NUM_THREADS",
         "NUMEXPR_NUM_THREADS",
     ):
-        os.environ.setdefault(v, "1")
+        # HARD-set, not setdefault: a shell-exported OMP_NUM_THREADS=16
+        # would silently oversubscribe the pinned budget while the
+        # protocol promises single-threaded BLAS (code-review r4c10
+        # finding #10; bench_scaling already hard-sets in child envs)
+        os.environ[v] = "1"
     try:
         avail = sorted(os.sched_getaffinity(0))
         if len(avail) > cpus:
@@ -251,7 +255,12 @@ def main() -> None:
             **_stat_fracs(st0, st1),
         }
         if cpu0 is not None and cpu1 is not None:
-            stats["own_util"] = round((cpu1 - cpu0) / (wall * CPUS), 3)
+            # denominator = the affinity actually in effect, not the
+            # requested CPUS: on a smaller host the tree can never
+            # reach CPUS cores and every run would read "contended"
+            # forever (code-review r4c10 finding #4)
+            n_eff = len(cores) if cores else CPUS
+            stats["own_util"] = round((cpu1 - cpu0) / (wall * n_eff), 3)
         shutil.rmtree(f"{work}/out{i}", ignore_errors=True)
         return stats, res
 

@@ -270,7 +270,22 @@ def main() -> None:
 
     work = Path(args.work)
     pages = str(work / "gen" / "_synth" / "pages.parquet")
-    if not (args.reuse_gen and Path(pages).is_dir()):
+    gen_meta = work / "gen" / "_gen_meta.json"
+    if args.reuse_gen and Path(pages).is_dir():
+        # the reused corpus defines the measurement's input: a stale
+        # --docs would misdocument BASELINE.md and compare against
+        # baselines at a different per-core load (code-review r4c10
+        # finding #8)
+        if gen_meta.exists():
+            recorded = json.loads(gen_meta.read_text())["docs"]
+            if recorded != args.docs:
+                print(
+                    f"[reuse-gen] corpus was generated with --docs "
+                    f"{recorded}; overriding requested {args.docs}",
+                    file=sys.stderr,
+                )
+                args.docs = recorded
+    else:
         shutil.rmtree(work, ignore_errors=True)
         work.mkdir(parents=True)
         # generate once, read by both levels
@@ -287,6 +302,7 @@ def main() -> None:
         if gen.returncode != 0:
             sys.stderr.write(gen.stderr[-2000:])
             raise RuntimeError("generation failed")
+        gen_meta.write_text(json.dumps({"docs": args.docs}))
 
     # build AFTER the work-dir reset; measured levels then run from
     # the --py-files zip, the north-rule ship form

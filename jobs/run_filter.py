@@ -132,6 +132,8 @@ def main(argv: list[str] | None = None) -> int:
         "python-worker warmup) so the reported timing is steady-state",
     )
     args = ap.parse_args(argv)
+    if args.dedup_incremental and not args.dedup:
+        ap.error("--dedup-incremental requires --dedup")
 
     if not args.pages and not args.synth:
         ap.error("either --pages or --synth N is required")
@@ -178,6 +180,9 @@ def main(argv: list[str] | None = None) -> int:
         pipeline.run_filter(
             spark, pages_path, scratch, n_buckets=args.buckets, run_id="warmup",
             cfg=cfg, canonical=args.canonical_dedup, host_prior=args.host_prior,
+            boilerplate=args.boilerplate,
+            robots_path=args.robots, robots_agent=args.robots_agent,
+            input_format="wet" if args.wet else "pages",
         )
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -186,6 +191,10 @@ def main(argv: list[str] | None = None) -> int:
             (args.dedup, "--dedup"),
             (args.canonical_dedup, "--canonical-dedup"),
             (args.host_prior, "--host-prior"),
+            # min_host_rank AUTO-ENABLES the host-prior join, whose
+            # ranks would be computed per micro-batch — inconsistent
+            # across epochs (code-review r4c10 finding #3)
+            (args.min_host_rank is not None, "--min-host-rank"),
             (args.wet, "--wet"),
             (args.robots, "--robots"),
         ):
@@ -202,6 +211,17 @@ def main(argv: list[str] | None = None) -> int:
             cfg=cfg, n_buckets=args.buckets,
             boilerplate=args.boilerplate, dq_check=args.dq_check,
         )
+        import os as _os
+
+        if not _os.path.isdir(f"{args.out}/decisions_stream.parquet"):
+            # zero micro-batches (no matching files yet) — a normal
+            # bootstrap, not an error (code-review r4c10 finding #2)
+            print(json.dumps({
+                "mode": "stream", "rows_total": 0, "epochs_total": 0,
+                "last_epoch": None,
+                "wall_s": round(time.time() - t0, 2),
+            }))
+            return 0
         dec = spark.read.parquet(f"{args.out}/decisions_stream.parquet")
         agg = dec.agg(
             F.count(F.lit(1)).alias("rows"),

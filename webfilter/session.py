@@ -104,19 +104,29 @@ def ship_package(spark: SparkSession) -> None:
     from pathlib import Path
 
     import logging
+    import zipfile
 
     pkg_root = Path(__file__).resolve().parent.parent
     if not (pkg_root / "webfilter" / "__init__.py").exists():
         return  # running from a zip already shipped via --py-files
-    # per-process staging dir + atomic rename: a fixed shared path
-    # raced concurrent drivers (one ships a mid-rewrite zip) and
-    # failed cross-user on ownership (code-review r4c9 finding #4)
+    # per-process staging dir: a fixed shared path raced concurrent
+    # drivers (one ships a mid-rewrite zip) and failed cross-user on
+    # ownership (code-review r4c9 finding #4). Entries are *.py only
+    # with a PINNED timestamp so any two shippings of the same tree
+    # are byte-identical — Spark accepts a re-add of the same
+    # filename iff the contents match, and __spark_entry__ delegates
+    # here so there is exactly one packager (r4c10 findings #5/#9).
     zdir = Path(tempfile.mkdtemp(prefix="webfilter_pyfiles_"))
-    archive = shutil.make_archive(
-        str(zdir / "webfilter_pkg"), "zip", root_dir=pkg_root, base_dir="webfilter"
-    )
+    archive = zdir / "webfilter_pkg.zip"
+    src = pkg_root / "webfilter"
+    with zipfile.ZipFile(archive, "w", zipfile.ZIP_DEFLATED) as zf:
+        for f in sorted(src.rglob("*.py")):
+            zi = zipfile.ZipInfo(
+                str(f.relative_to(pkg_root)), date_time=(2020, 1, 1, 0, 0, 0)
+            )
+            zf.writestr(zi, f.read_bytes())
     try:
-        spark.sparkContext.addPyFile(archive)
+        spark.sparkContext.addPyFile(str(archive))
     except Exception as e:
         # the one benign case is re-adding the same filename in this
         # context; anything else must be visible NOW, not later as a
