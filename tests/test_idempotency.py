@@ -327,3 +327,22 @@ def test_dedup_policy_components_keeps_more_than_greedy(spark, synth_dir, tmp_pa
         .count()
     )
     assert still == 0
+
+
+def test_poison_bucket_quarantine(spark, tmp_path):
+    """pending_buckets(max_attempts=N) quarantines a bucket stuck in
+    ERROR after N attempts instead of retrying forever (code-review
+    r4c11 finding #6); default semantics unchanged."""
+    from webfilter.manifest import DONE, ERROR, RUNNING, Manifest
+    from webfilter.tables import ParquetCatalog
+
+    m = Manifest(ParquetCatalog(spark, str(tmp_path)))
+    m.mark("r1", "filter", [0, 1], RUNNING)
+    m.mark("r1", "filter", [0], DONE)
+    for r in ("r1", "r2", "r3"):
+        m.mark(r, "filter", [1], RUNNING)
+        m.mark(r, "filter", [1], ERROR)
+    assert m.pending_buckets(2) == [1]  # default: unbounded retries
+    assert m.attempts("filter", 1) >= 3
+    assert m.pending_buckets(2, max_attempts=3) == []
+    assert m.pending_buckets(2, max_attempts=10) == [1]

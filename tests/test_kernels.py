@@ -210,3 +210,12 @@ def test_hspace_fast_path_matches_reference():
     for _ in range(30000):
         s = "".join(random.choice(chars) for _ in range(random.randint(0, 40)))
         assert _HSPACE.sub(" ", s) == _SP_RUN.sub(" ", s.translate(_HSPACE_TR)), repr(s)
+
+
+def test_phone_pattern_never_matches_inside_digit_runs():
+    from webfilter.kernels.scrubber import scrub_one
+
+    assert scrub_one("serial 98765 432 1098")[0] == "serial 98765 432 1098"
+    assert scrub_one("call 555 123 4567 now")[0] == "call <PHONE> now"
+    assert scrub_one("(555) 123-4567")[0] == "<PHONE>"
+    assert scrub_one("+1 555-123-4567")[0] == "<PHONE>"

@@ -102,6 +102,16 @@ WORDLISTS: dict[str, tuple[str, ...]] = {
 }
 
 
+# KNOWN QUIRK (code-review r4c11 finding #3, deliberately unfixed):
+# some rotation strides below are not coprime with their wordlist
+# lengths, so individual passes cover a fraction of the vocabulary
+# with repeats. This skews the synthetic training corpora slightly —
+# but the langid/perplexity/qualityclf models trained from them are
+# PINNED fixtures (golden scores, accuracy gates, oracle hashes all
+# derive from the current text), so changing the strides would
+# invalidate every downstream golden for a marginal synthetic-data
+# quality gain. Revisit only alongside a deliberate model refresh.
+
 def lang_training_text(lang: str) -> str:
     """Deterministic training 'document' per language for the n-gram
     models: the wordlist repeated in a fixed rotation so bigrams and

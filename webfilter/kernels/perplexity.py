@@ -57,11 +57,10 @@ def _hash_spans(b: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarr
     idx = np.minimum(idx, len(b) - 1)
     mat = np.where(valid, b[idx], 0).astype(np.uint8)
     h = np.ascontiguousarray(mat).view(np.uint64).ravel()
+    from .mix import GOLDEN_GAMMA, splitmix64
+
     with np.errstate(over="ignore"):
-        x = h ^ (lens << np.uint64(56)) ^ np.uint64(0x9E3779B97F4A7C15)
-        x = (x ^ (x >> np.uint64(30))) * _C1
-        x = (x ^ (x >> np.uint64(27))) * _C2
-        x = x ^ (x >> np.uint64(31))
+        x = splitmix64(h ^ (lens << np.uint64(56)) ^ GOLDEN_GAMMA)
     return (x & _MASK).astype(np.int64)
 
 
@@ -97,15 +96,27 @@ def _train() -> tuple[np.ndarray, np.ndarray, np.ndarray, float]:
     return log_uni.astype(np.float64), uk, probs.astype(np.float64), floor
 
 
-_LOG_UNI, _BI_KEYS, _BI_PROBS, _FLOOR = _train()
+_MODEL: tuple | None = None
 _LAM = 0.7
 
 
+def _model() -> tuple:
+    """Train lazily on first scoring call (cached) — the qualityclf
+    discipline (ADVICE r3): import-time training added fixed startup
+    latency to every executor python worker even when the scorer was
+    unused (code-review r4c11 finding #7)."""
+    global _MODEL
+    if _MODEL is None:
+        _MODEL = _train()
+    return _MODEL
+
+
 def _lookup_bigram(keys: np.ndarray) -> np.ndarray:
-    pos = np.searchsorted(_BI_KEYS, keys)
-    pos = np.minimum(pos, len(_BI_KEYS) - 1)
-    hit = _BI_KEYS[pos] == keys
-    return np.where(hit, _BI_PROBS[pos], 0.0)
+    _lu, bi_keys, bi_probs, _f = _model()
+    pos = np.searchsorted(bi_keys, keys)
+    pos = np.minimum(pos, len(bi_keys) - 1)
+    hit = bi_keys[pos] == keys
+    return np.where(hit, bi_probs[pos], 0.0)
 
 
 def score_batch(texts: pd.Series) -> pd.Series:
@@ -113,7 +124,8 @@ def score_batch(texts: pd.Series) -> pd.Series:
     max penalty exp(-floor)."""
     texts = texts.fillna("")
     n_docs = len(texts)
-    out = np.full(n_docs, float(np.exp(-_FLOOR)), dtype=np.float64)
+    log_uni, _bk, _bp, floor = _model()
+    out = np.full(n_docs, float(np.exp(-floor)), dtype=np.float64)
     if n_docs == 0:
         return pd.Series(out)
     ids, doc_of = _batch_token_ids(list(texts))
@@ -123,8 +135,8 @@ def score_batch(texts: pd.Series) -> pd.Series:
         li = np.flatnonzero(same_doc)
         keys = (ids[li] << 16) | ids[li + 1]
         p_bi = _lookup_bigram(keys)
-        p_uni = np.exp(_LOG_UNI[ids[li + 1]])
-        logp = np.log(np.maximum(_LAM * p_bi + (1.0 - _LAM) * p_uni, np.exp(_FLOOR)))
+        p_uni = np.exp(log_uni[ids[li + 1]])
+        logp = np.log(np.maximum(_LAM * p_bi + (1.0 - _LAM) * p_uni, np.exp(floor)))
         # bincount is the fast scatter-add (np.add.at is ~10x slower)
         sums = np.bincount(doc_of[li], weights=logp, minlength=n_docs)
         ok = lens >= 2

@@ -48,7 +48,11 @@ SCRUB_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ),
     (
         "phone",
-        r"(?:\+?1[ .\-])?(?:\([0-9]{3}\)[ .\-]?|[0-9]{3}[ .\-])[0-9]{3}[ .\-][0-9]{4}\b",
+        # leading \b on the bare-digit branch: without it the pattern
+        # matched INSIDE longer digit runs ('serial 98765 432 1098'
+        # -> 'serial 98<PHONE>'), destroying non-PII text (code-review
+        # r4c11 finding #1; the SSN/CC patterns already anchor)
+        r"(?:\+?1[ .\-])?(?:\([0-9]{3}\)[ .\-]?|\b[0-9]{3}[ .\-])[0-9]{3}[ .\-][0-9]{4}\b",
         "<PHONE>",
     ),
     (
@@ -77,6 +81,12 @@ SCRUB_PATTERNS: tuple[tuple[str, str, str], ...] = (
 # corpus is asserted boundary-clean, and the authoritative pair at
 # deploy time is Spark + this Python golden kernel. (\s never appears
 # in these patterns — whitespace is always an explicit class.)
+# Separator-LESS forms ('5551234567', '555123456', 16 bare digits)
+# deliberately pass through: a bare digit run is ambiguous (ids,
+# serials, timestamps), and redacting them would corrupt far more
+# legitimate text than the PII it catches — the classic
+# precision/recall trade the scrub stage takes on the precision side
+# (code-review r4c11 finding #5: documented, not an oversight).
 _COMPILED = [(name, re.compile(pat), repl) for name, pat, repl in SCRUB_PATTERNS]
 
 

@@ -102,13 +102,40 @@ class Manifest:
         self._state_cache = state
         return state
 
-    def pending_buckets(self, n_buckets: int, stage: str = "filter") -> list[int]:
+    def pending_buckets(
+        self,
+        n_buckets: int,
+        stage: str = "filter",
+        max_attempts: int | None = None,
+    ) -> list[int]:
+        """Buckets still needing work. ``max_attempts`` (opt-in)
+        quarantines poison buckets: one that deterministically fails
+        keeps its ERROR mark and is retried only while its attempt
+        count stays under the cap, instead of forever on every resume
+        (code-review r4c11 finding #6 — the attempt counter was
+        recorded but never consulted). Quarantined buckets stay
+        visible via status()/attempts() for operator triage; the
+        default (None) keeps unbounded retries, the pre-existing
+        semantics."""
         state = self._read_state()
-        return [
-            b
-            for b in range(n_buckets)
-            if state.get((stage, b), (PENDING, 0, ""))[0] != DONE
-        ]
+        out = []
+        for b in range(n_buckets):
+            st, att, _r = state.get((stage, b), (PENDING, 0, ""))
+            if st == DONE:
+                continue
+            if (
+                max_attempts is not None
+                and st == ERROR
+                and att >= max_attempts
+            ):
+                continue  # quarantined poison bucket
+            out.append(b)
+        return out
+
+    def attempts(self, stage: str, bucket_id: int) -> int:
+        return self._read_state().get(
+            (stage, int(bucket_id)), (PENDING, 0, "")
+        )[1]
 
     def status(self, stage: str, bucket_id: int) -> str:
         return self._read_state().get((stage, int(bucket_id)), (PENDING, 0, ""))[0]
@@ -184,5 +211,10 @@ class Manifest:
                     "with mergeSchema; refusing a mixed-schema table"
                 )
         os.makedirs(self._dir, exist_ok=True)
-        with open(marker, "w") as fh:
+        # atomic: a crash mid-write would leave a truncated column
+        # list and force a spurious schema-changed restart on the
+        # next resume (code-review r4c11 finding #2)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
             fh.write("\n".join(cols))
+        os.replace(tmp, marker)
