@@ -19,9 +19,13 @@ therefore records its own evidence:
   * this process subtree's CPU-seconds / (wall * cores) = own_util
     (low own_util + high steal == we were starved, not slow).
 The process tree is pinned to exactly $SPARK_GRAFT_CPUS cores and
-numpy/BLAS are forced single-threaded (the bench_scaling.py protocol),
-and up to 3 extra timed runs are added when every baseline run was
-contended, so a quiet window can still be caught.
+numpy/BLAS are forced single-threaded (the bench_scaling.py protocol).
+The timed pipeline runs execute LAST (post-JIT), each gated on a
+bounded quiet-window probe (bandwidth + external-CPU), and up to 5
+extra runs are added while every run was contended or the best run
+sat in a visibly-throttled bandwidth window — the final JSON carries
+`pages_best_throttled` so a still-polluted headline is explicitly
+marked (VERDICT r4 #2).
 
 Scaling-efficiency evidence (N vs 4N parallelism) is produced by
 bench_scaling.py -> BENCH/BASELINE.md, not here (the driver calls
@@ -166,6 +170,55 @@ MEM_BW_CONTENDED = 1.0
 HEALTHY_BW_GBPS = 2.0
 
 
+def _external_busy_frac(window_s: float = 0.5) -> float | None:
+    """Fraction of host CPU consumed by processes OUTSIDE this
+    process tree over a short idle probe window — the co-tenant
+    signal loadavg smears over a minute. Probed while we sleep, so
+    our own subtree contributes ~nothing beyond JVM housekeeping."""
+    st0, own0 = _proc_stat(), _subtree_cpu_s()
+    if st0 is None or own0 is None:
+        return None
+    time.sleep(window_s)
+    st1, own1 = _proc_stat(), _subtree_cpu_s()
+    if st1 is None or own1 is None:
+        return None
+    d = [b - a for a, b in zip(st0, st1)]
+    total = sum(d[:8]) or 1
+    busy = d[0] + d[1] + d[2] + d[5] + d[6]
+    own_jiffies = (own1 - own0) * os.sysconf("SC_CLK_TCK")
+    return round(max(0.0, busy - own_jiffies) / total, 3)
+
+
+def _await_quiet_window(max_wait_s: float = 150.0) -> dict:
+    """Block (bounded) until the host looks quiet enough to time
+    against: single-stream bandwidth at healthy levels and external
+    CPU use low. VERDICT r4 #2: the r4 driver window burned its first
+    timed run (150.8 s vs 23.1 s) on a pre-existing loadavg-17
+    co-tenant spike; gating each timed run on this probe spends
+    seconds of waiting to avoid minutes of polluted measurement.
+    Returns the probe evidence (attempts, final bw/ext_busy, waited)
+    for the run record — the gate never blocks forever, so a
+    persistently-contended window still measures, flagged."""
+    waited = 0.0
+    attempts = []
+    while True:
+        bw = _mem_bw_gbps()
+        ext = _external_busy_frac(0.5)
+        attempts.append({"bw": bw, "ext_busy": ext})
+        quiet = bw >= HEALTHY_BW_GBPS and (ext is None or ext <= 0.20)
+        if quiet or waited >= max_wait_s:
+            return {
+                "quiet": quiet,
+                "waited_s": round(waited, 1),
+                "probes": len(attempts),
+                "final_bw_gbps": bw,
+                "final_ext_busy": ext,
+            }
+        step = min(10.0, max_wait_s - waited)
+        time.sleep(step)
+        waited += step + 0.5
+
+
 def divert_record(out: Path, full: dict) -> Path:
     """Protect an existing CLEAN reference record (BASELINE.md's
     numbers point at it) from measurement-window artifacts: divert the
@@ -271,26 +324,11 @@ def main() -> None:
             or stats.get("mem_bw_gbps", 99.0) < MEM_BW_CONTENDED
         )
 
-    # best-of-3 timed runs, plus up to 5 extra when every run so far
-    # was externally contended: the sandbox host is shared, and a
-    # single load spike otherwise defines the round's headline.
-    # Bandwidth-throttled windows last minutes, hence 5 (measured:
-    # three consecutive runs 299/32/64 s inside one bench invocation)
-    run_stats: list[dict] = []
-    res: dict = {}
-    for i in range(3):
-        stats, res = timed_run(i)
-        run_stats.append(stats)
-    extra = 0
-    while extra < 5 and all(contended(s) for s in run_stats):
-        stats, res = timed_run(3 + extra)
-        run_stats.append(stats)
-        extra += 1
-
-    best = min(run_stats, key=lambda s: s["wall_s"])
-    dt = best["wall_s"]
-    timings["pages_filter_pipeline"] = dt
-    docs_per_s = res["docs"] / dt
+    # The timed pipeline runs happen LAST (after the operator-query
+    # section): by then the JVM/JIT, python workers, and Arrow paths
+    # are fully warm, and the quiet-window gate has had the whole
+    # operator section as a buffer if the round started inside a
+    # co-tenant spike (VERDICT r4 #2).
 
     # --- operator queries over the sf tables ------------------------
     bench_queries = [
@@ -381,6 +419,41 @@ def main() -> None:
         release_cached()  # drop operator-persisted frames between queries
         _ = n
 
+    # --- timed pipeline runs (the headline), post-JIT ---------------
+    # best-of-3, each gated on a quiet host window; plus up to 5 extra
+    # when every run so far was externally contended OR the best run
+    # still sat in a visibly-throttled bandwidth window (r4's best was
+    # 1.97 GB/s vs the healthy ~5 — "not contended" by the hard floor
+    # but 60% under the clean-window rate). Bandwidth-throttled
+    # windows last minutes, hence the retry budget (measured: three
+    # consecutive runs 299/32/64 s inside one bench invocation).
+    run_stats: list[dict] = []
+    res: dict = {}
+    for i in range(3):
+        gate = _await_quiet_window()
+        stats, res = timed_run(i)
+        stats["gate"] = gate
+        run_stats.append(stats)
+
+    def best_throttled() -> bool:
+        b = min(run_stats, key=lambda s: s["wall_s"])
+        return contended(b) or b.get("mem_bw_gbps", 99.0) < HEALTHY_BW_GBPS
+
+    extra = 0
+    while extra < 5 and (
+        all(contended(s) for s in run_stats) or best_throttled()
+    ):
+        gate = _await_quiet_window()
+        stats, res = timed_run(3 + extra)
+        stats["gate"] = gate
+        run_stats.append(stats)
+        extra += 1
+
+    best = min(run_stats, key=lambda s: s["wall_s"])
+    dt = best["wall_s"]
+    timings["pages_filter_pipeline"] = dt
+    docs_per_s = res["docs"] / dt
+
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "webfilter_bench_total",
@@ -393,6 +466,8 @@ def main() -> None:
         "pages_runs_s": [s["wall_s"] for s in run_stats],
         "pages_run_stats": run_stats,
         "pages_best_contended": contended(best),
+        "pages_best_throttled": best.get("mem_bw_gbps", 99.0)
+        < HEALTHY_BW_GBPS,
         "env": env,
         "cpus": CPUS,
     }
@@ -425,6 +500,12 @@ def main() -> None:
         "pages_docs": res["docs"],
         "pages_docs_per_s": round(docs_per_s, 1),
         "pages_best_contended": contended(best),
+        # explicit driver-visible marker (VERDICT r4 #2): true when
+        # the best timed run still sat under the healthy-bandwidth
+        # rate — the headline then understates clean-window
+        # throughput (see BENCH/last_run_full.json + BASELINE.md)
+        "pages_best_throttled": best.get("mem_bw_gbps", 99.0)
+        < HEALTHY_BW_GBPS,
         "pages_best_mem_bw_gbps": best.get("mem_bw_gbps"),
         "cpus": CPUS,
     }

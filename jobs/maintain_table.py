@@ -37,6 +37,11 @@ _REPO = Path(__file__).resolve().parent.parent
 if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
+# Safe floor for --grace: must exceed the worst-case gap between a
+# concurrent writer's LAST staged file and its publish rename
+# (seconds in practice; 60 s is a generous bound — ADVICE r4)
+MIN_GRACE_SECONDS = 60.0
+
 
 def run(spark, args) -> dict:
     from webfilter.snaptable import SnapshotTable
@@ -107,10 +112,24 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--grace", type=float, default=86400.0,
         help="orphan grace seconds for --vacuum (files referenced by "
-        "no snapshot are only reclaimed when older than this)",
+        "no snapshot are only reclaimed when older than this AND "
+        "their staging dir has been quiet that long; floor "
+        f"{MIN_GRACE_SECONDS:.0f}s — must exceed the worst-case gap "
+        "between a writer's last staged file and its publish)",
     )
     ap.add_argument("--history", action="store_true")
     args = ap.parse_args(argv)
+    if args.vacuum and args.grace < MIN_GRACE_SECONDS:
+        # ADVICE r4: an operator-supplied tiny --grace could reclaim a
+        # concurrent writer's staged files whose write outlives the
+        # window; snaptable.vacuum now also requires the whole staging
+        # dir to be quiet, but the job refuses unsafe values outright
+        ap.error(
+            f"--grace {args.grace:g} is below the safe floor "
+            f"({MIN_GRACE_SECONDS:.0f}s); sub-floor graces are for "
+            "tests on quiesced tables only (call "
+            "SnapshotTable.vacuum directly)"
+        )
     if not any(
         (args.ingest, args.takedown, args.rewrite,
          args.compact_manifests, args.vacuum, args.history)

@@ -145,6 +145,35 @@ def test_oracle_queries_fill_the_graded_window():
     assert has_oracle == sorted(has_oracle, reverse=True)
 
 
+def test_r5_cohort_rotation_is_disjoint_and_auditable():
+    """VERDICT r4 #1: round 5 rotates a second 50-query cohort into
+    the driver's graded window. The window must equal the recorded
+    DRIVER_COHORT_R5 list verbatim, every member oracle-backed, and
+    the cohort disjoint from the r4-graded cohort (the
+    CORRECTNESS_r04.json keys) — so rounds accumulate driver-graded
+    evidence across the whole registry instead of regrading the same
+    50."""
+    import json
+    from pathlib import Path
+
+    from webfilter.entry_queries import DRIVER_COHORT_R5, REGISTRY
+
+    names = list(REGISTRY)
+    assert names[:50] == DRIVER_COHORT_R5
+    assert len(set(DRIVER_COHORT_R5)) == 50
+    assert all(REGISTRY[k][1] is not None for k in DRIVER_COHORT_R5)
+    r4_file = (
+        Path(__file__).resolve().parent.parent / "CORRECTNESS_r04.json"
+    )
+    r4_cohort = set(json.loads(r4_file.read_text()))
+    assert not r4_cohort & set(DRIVER_COHORT_R5)
+    # and the r4 cohort is still in the registry, oracle-backed —
+    # rotation must never drop previously-graded queries
+    assert all(
+        k in REGISTRY and REGISTRY[k][1] is not None for k in r4_cohort
+    )
+
+
 def test_every_registry_query_is_documented():
     """COVERAGE.md must mention every registry query by name — the
     judge-facing inventory cannot silently lag the code."""

@@ -28,30 +28,14 @@ from pyspark.sql import functions as F
 from .rules import tokens_col
 
 # Frames persisted by the operators below (signature/fingerprint
-# tables consumed twice by their self-joins). They are registered here
-# so long-lived sessions (benchmarks, notebooks, chained pipeline
-# stages) can release executor storage memory between calls — persist
-# without unpersist accumulates across repeated invocations
-# (ADVICE r2). Callers that materialize a result should call
-# release_cached() afterwards; pipeline.run_near_dedup and bench.py do.
-_CACHED_FRAMES: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _CACHED_FRAMES.append(df)
-    return df
-
-
-def release_cached() -> None:
-    """Unpersist every frame cached by this module's operators since
-    the last call (safe to call at any time — lazily-recomputed plans
-    stay correct, only the cache is dropped)."""
-    while _CACHED_FRAMES:
-        try:
-            _CACHED_FRAMES.pop().unpersist()
-        except Exception:
-            pass
+# tables consumed twice by their self-joins) route through the shared
+# package-wide registry in caching.py so one release point covers
+# every persisting module (ADVICE r2; ADVICE r4 extended the same
+# lifecycle to streaming.split_quarantine and trainprep
+# .frequent_terms). `release_cached` stays importable from here —
+# it IS the shared release: pipeline, bench.py and the jobs call it.
+from .caching import persist_tracked as _persist  # noqa: E402
+from .caching import release_cached  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------- exact
@@ -591,6 +575,21 @@ def ngram_jaccard_pairs(
     if block_col:
         joined = a.join(b, on=(F.col("a.blk") == F.col("b.blk")) & cond)
     else:
+        # quadratic by construction — acceptable only on small frames.
+        # Construction must stay action-free (the registry gate), so
+        # no count() here: warn unconditionally and point web-scale
+        # users at the subquadratic equivalents (VERDICT r4 #8)
+        import warnings
+
+        warnings.warn(
+            "ngram_jaccard_pairs without block_col forms an all-pairs "
+            "cross join (O(n^2) candidate pairs) — fine for small "
+            "frames, a scale-killer beyond ~10^5 docs. Use "
+            "allpairs_jaccard_pairs (prefix-filtered, exact) or "
+            "minhash_dedup_pairs (banded LSH, approximate) for "
+            "web-scale inputs, or pass block_col.",
+            stacklevel=2,
+        )
         joined = a.crossJoin(b).filter(cond)
     inter = F.size(F.array_intersect("a.sh", "b.sh"))
     union = F.size(F.array_union("a.sh", "b.sh"))

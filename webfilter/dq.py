@@ -370,7 +370,10 @@ def verify(
         )
         # LEFT join from the constraint dim: a Unique row must never
         # silently vanish when its register state is empty — it
-        # surfaces with NULL metric/passed instead
+        # surfaces with NULL metric and passed=False. `passed` is
+        # coalesced because JSON consumers test `passed is False`;
+        # a NULL there would read as not-failed and let missing
+        # register state pass as green (ADVICE r4)
         u = (
             dim.join(est, "cname", "left")
             .select(
@@ -379,9 +382,11 @@ def verify(
                     "metric"
                 ),
                 "threshold",
-                (F.col("hll_estimate") / F.col("n") >= F.col("threshold")).alias(
-                    "passed"
-                ),
+                F.coalesce(
+                    F.col("hll_estimate") / F.col("n")
+                    >= F.col("threshold"),
+                    F.lit(False),
+                ).alias("passed"),
                 "n",
             )
         )

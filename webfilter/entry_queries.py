@@ -7439,7 +7439,38 @@ REGISTRY["dq_verify"] = (q_dq_verify, SQL_DQ_VERIFY)
 # order (VERDICT r3 #2, verified: list(REGISTRY)[:50] == CORRECTNESS
 # keys). Keep every oracle-backed query ahead of the rows-only ones so
 # no graded slot is wasted; tests/test_entry_contract.py enforces it.
+#
+# Cohort rotation (VERDICT r4 next-round #1): rounds 1-4 graded the
+# same first-50 window (the CORRECTNESS_r04.json keys — all green),
+# leaving 88 oracle-backed queries never driver-graded. Round 5
+# rotates a SECOND, disjoint cohort of 50 into the window: the first
+# 50 never-graded oracle queries in registry insertion order at the
+# time of rotation (deterministic, recorded verbatim below so cohort
+# membership is auditable; tests/test_advice_r5.py pins the window ==
+# this list and its disjointness from the r4 cohort). The remaining
+# 38 never-graded queries follow immediately after slot 50, then the
+# r4-graded 50, then the 16 rows-only queries.
+DRIVER_COHORT_R5 = [
+    "chunk_paragraph", "robots_parse", "robots_allow",
+    "sitemap_entries", "wet_roundtrip", "wet_shard_files",
+    "cdx_roundtrip", "crawl_frontier", "warc_roundtrip",
+    "winnow_fingerprints", "decontaminate_ngrams", "frequent_terms",
+    "bloom_anti_frontier", "pack_sequences", "dataset_split_counts",
+    "events_running_totals", "string_agg_docs", "hll_distinct_terms",
+    "cms_term_counts", "remove_dup_spans", "c4_line_filter",
+    "canonical_url_dedup", "domain_mixture_sample", "pagerank_hosts",
+    "triangle_counts", "kcore_peel", "degree_assortativity",
+    "cohort_retention", "lexical_diversity", "simsearch_ivf_md5",
+    "markov_stationary", "ks_drift", "containment_pairs",
+    "cdc_chunk_dedup", "pagerank_personalized", "hof_token_stats",
+    "outlink_hosts", "window_ntile", "events_time_profile",
+    "exists_subquery", "scd2_intervals", "udtf_term_counts",
+    "events_rolling_range", "snapshot_diff", "edit_distance_pairs",
+    "map_token_counts", "text_normalize", "zipf_slope",
+    "bigram_counts", "pmi_collocations",
+]
 REGISTRY = {
+    **{k: REGISTRY[k] for k in DRIVER_COHORT_R5},
     **{k: v for k, v in REGISTRY.items() if v[1] is not None},
     **{k: v for k, v in REGISTRY.items() if v[1] is None},
 }

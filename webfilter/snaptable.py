@@ -646,7 +646,6 @@ class SnapshotTable:
         dim = self.spark.createDataFrame(
             path_seq, "__apath string, __fseq long"
         )
-        max_seq = max(s for _, s in path_seq)
         df = (
             df.withColumn(
                 "__apath",
@@ -656,12 +655,32 @@ class SnapshotTable:
                 ),
             )
             .join(F.broadcast(dim), "__apath", "left")
-            # a URI-normalization miss must NEVER silently drop rows
-            # (inner join) or wrongly delete them: unmatched rows act
-            # as newest-possible, so no delete applies to them — and
-            # the delete tests pin that matching actually works
+            # the dim covers every scanned file by construction, so a
+            # URI-normalization miss IS a bug — and it must fail
+            # LOUDLY, not open: treating an unmatched row as
+            # newest-possible would mean NO delete applies to it,
+            # silently resurrecting taken-down / GDPR-deleted rows
+            # (ADVICE r4). raise_error keeps plan construction
+            # action-free and aborts the read at execution time.
             .withColumn(
-                "__fseq", F.coalesce(F.col("__fseq"), F.lit(max_seq + 1))
+                "__fseq",
+                F.when(
+                    F.col("__fseq").isNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "snaptable: equality-delete file-seq "
+                                "resolution missed scanned file "
+                            ),
+                            F.col("__apath"),
+                            F.lit(
+                                " — URI normalization regression; "
+                                "refusing to read rather than skip "
+                                "its deletes"
+                            ),
+                        )
+                    ).cast("long"),
+                ).otherwise(F.col("__fseq")),
             )
         )
         by_keys: dict[tuple[str, ...], list[dict]] = {}
@@ -894,7 +913,21 @@ class SnapshotTable:
         than ``orphan_grace_seconds`` (Iceberg's remove_orphan_files
         ``older_than`` discipline — code-review r4 finding #2: an
         ungraced vacuum could delete an in-flight commit's files and
-        let its subsequent publish reference deleted data)."""
+        let its subsequent publish reference deleted data).
+
+        Per-file mtime alone is not enough: a multi-file write that
+        OUTLIVES the grace window has early files older than grace
+        while the writer is still appending (ADVICE r4, surfaced via
+        ``jobs/maintain_table.py --grace``). So an orphan is only
+        deletable when its whole containing directory has been quiet
+        for the grace period — the newest mtime across the dir and
+        its entries — which makes any finite grace safe against a
+        still-active writer; grace then only needs to cover the gap
+        between a writer's LAST staged file and its publish (commit
+        is a single rename, so seconds — the 86400 s default is
+        conservative; values below ~60 s are for tests on quiesced
+        tables only, and ``jobs/maintain_table.py`` enforces that
+        floor for operators)."""
         import time as _time
 
         if keep_last < 1:
@@ -933,11 +966,38 @@ class SnapshotTable:
             published_files.update(d["path"] for d in dels)
             published_manifests.update(snap["manifests"])
         now = _time.time()
+        _dir_quiet_at: dict[str, float] = {}
+
+        def _dir_newest(d: str) -> float:
+            """Newest mtime across a directory and its entries — the
+            'writer still active here' signal (see docstring)."""
+            if d not in _dir_quiet_at:
+                try:
+                    newest = os.path.getmtime(d)
+                    for e in os.listdir(d):
+                        try:
+                            m = os.path.getmtime(os.path.join(d, e))
+                            if m > newest:
+                                newest = m
+                        except OSError:
+                            pass
+                except OSError:
+                    newest = 0.0
+                _dir_quiet_at[d] = newest
+            return _dir_quiet_at[d]
 
         def _deletable(rel: str, full: str, published: set[str]) -> bool:
             if rel in published:
                 return True  # expired-snapshot file: safe, was published
-            return now - os.path.getmtime(full) > orphan_grace_seconds
+            if now - os.path.getmtime(full) <= orphan_grace_seconds:
+                return False
+            # a concurrent multi-file writer updates its staging dir
+            # with every new file: while the dir is "hot", none of its
+            # orphans are deletable even if individually old
+            return (
+                now - _dir_newest(os.path.dirname(full))
+                > orphan_grace_seconds
+            )
 
         # expired SNAPSHOT files go first: a crash mid-vacuum then
         # leaves manifests/data unreferenced by any remaining

@@ -85,9 +85,15 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     reproduced on this Spark; code-review r4c3 finding #3), so the
     batch path caches the parsed frame first — the documented Spark
     workaround, and a sound one here because both halves of the
-    split re-read it."""
+    split re-read it. The cache is registered with the shared
+    caching registry: after materializing both halves, call
+    ``webfilter.caching.release_cached()`` (or the ``dedup``
+    alias) to drop it — repeated calls in a long-lived session
+    otherwise accumulate cached plans (ADVICE r4)."""
     if not df.isStreaming:
-        df = df.cache()
+        from .caching import track
+
+        df = track(df.cache())
     clean = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
     bad = df.filter(F.col("_corrupt").isNotNull()).select(
         F.col("_corrupt").alias("raw_line")

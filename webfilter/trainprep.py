@@ -164,7 +164,14 @@ def frequent_terms(
     # driver OOM.
     cand_side = F.broadcast(candidates)
     if max_broadcast_candidates is not None:
-        candidates = candidates.persist()
+        # routed through the shared caching registry so the one
+        # release point (caching.release_cached, called by pipeline /
+        # bench / jobs after materializing) frees it — a bare
+        # .persist() here leaked across long-lived sessions
+        # (ADVICE r4)
+        from .caching import persist_tracked
+
+        candidates = persist_tracked(candidates)
         if candidates.count() > max_broadcast_candidates:
             cand_side = candidates
     total = terms.agg(F.count(F.lit(1)).alias("_total_tokens"))
