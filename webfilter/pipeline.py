@@ -113,17 +113,35 @@ def filtered_frame(
         df = df.withColumn("rule_max_payload_bytes", within).withColumn(
             pcol, F.when(within, F.col(pcol))
         )
+    # Scrub fusion (VERDICT r4 #3): when no boilerplate stage sits
+    # between extraction and scrub, the shipped text IS the extracted
+    # text, so the scrub fold runs inside the same Arrow UDF pass over
+    # the already-in-memory pandas block — each document is traversed
+    # once instead of twice (UDF scores + JVM regexp chain).
+    # pii_found stays a JVM comparison on the way out. With
+    # boilerplate on, scrub must see the CLEANED text, so the staged
+    # path below remains.
+    fuse_scrub = not boilerplate
     if pre_extracted:
         # WET-style input: text is already extracted (conversion
         # records carry no html), so run the SAME fused score kernels
         # over the given text — one Arrow pass, no extraction. Given
         # identical text, decisions are identical to the html path
         # (test-proved against the golden labels).
-        df = scoring.with_scores(
-            df, "text", und_threshold=cfg.min_langid_conf
-        )
+        if fuse_scrub:
+            df = scoring.with_scores_scrub(
+                df, "text", und_threshold=cfg.min_langid_conf
+            )
+        else:
+            df = scoring.with_scores(
+                df, "text", und_threshold=cfg.min_langid_conf
+            )
         df = df.withColumn("title", F.lit(None).cast("string")).withColumn(
             "extract_err", F.lit("pre_extracted")
+        )
+    elif fuse_scrub:
+        df = scoring.with_extract_scores_scrub(
+            df, und_threshold=cfg.min_langid_conf
         )
     else:
         df = scoring.with_extract_and_scores(
@@ -203,7 +221,18 @@ def filtered_frame(
     df = rules.with_heuristics(df, cfg=cfg)
     df = rules.model_rule_columns(df, cfg)
     df = rules.with_decision(df, rules.rule_names_for(cfg))
-    df = scrub.with_scrubbed(df)
+    if fuse_scrub:
+        # scrubbed_text came out of the fused UDF; keep the exact
+        # with_scrubbed NULL contract (NULL text -> '' scrubbed) and
+        # pii_found comparison, both JVM-side
+        df = df.withColumn(
+            "scrubbed_text", F.coalesce(F.col("scrubbed_text"), F.lit(""))
+        ).withColumn(
+            "pii_found",
+            F.col("scrubbed_text") != F.coalesce(F.col("text"), F.lit("")),
+        )
+    else:
+        df = scrub.with_scrubbed(df)
     return df
 
 

@@ -121,3 +121,94 @@ def with_extract_and_scores(
         "_es.langid", "_es.langid_conf", "_es.perplexity", "_es.quality_prob",
     )
     return _with_und(out, und_threshold)
+
+
+# ---- fully-fused variants: extract + score + SCRUB in one pass ------
+# VERDICT r4 #3: the pipeline used to traverse `text` twice — once
+# inside the fused Arrow UDF (scores) and again in the JVM
+# regexp_replace fold (scrub). These variants scrub inside the same
+# Python hop over the already-in-memory pandas block, so each document
+# is traversed once and `scrubbed_text` rides back across the SAME
+# Arrow boundary. Byte-identity with the JVM fold is pinned by
+# tests/test_kernels.py scrub-parity plus the golden-label suite.
+# Only usable when the shipped text IS the extracted text (i.e. no
+# boilerplate stage between extraction and scrub — pipeline gates it).
+
+EXTRACT_SCORE_SCRUB_SCHEMA = T.StructType(
+    list(EXTRACT_SCORE_SCHEMA.fields)
+    + [T.StructField("scrubbed_text", T.StringType())]
+)
+
+SCORE_SCRUB_SCHEMA = T.StructType(
+    list(SCORE_SCHEMA.fields)
+    + [T.StructField("scrubbed_text", T.StringType())]
+)
+
+
+@F.pandas_udf(EXTRACT_SCORE_SCRUB_SCHEMA)
+def extract_score_scrub_udf(html: pd.Series) -> pd.DataFrame:
+    from webfilter.kernels import langid as _langid
+    from webfilter.kernels import perplexity as _ppl
+    from webfilter.kernels import qualityclf as _qclf
+    from webfilter.kernels.extract import extract_batch
+    from webfilter.kernels.scrubber import scrub_texts
+
+    out = extract_batch(html).rename(columns={"err": "extract_err"})
+    scores = _langid.predict_batch(out["text"])
+    out["langid"] = scores["langid"]
+    out["langid_conf"] = scores["langid_conf"]
+    out["perplexity"] = _ppl.score_batch(out["text"])
+    out["quality_prob"] = _qclf.quality_prob_batch(out["text"])
+    out["scrubbed_text"] = scrub_texts(out["text"])
+    return out
+
+
+@F.pandas_udf(SCORE_SCRUB_SCHEMA)
+def score_scrub_udf(text: pd.Series) -> pd.DataFrame:
+    from webfilter.kernels import langid as _langid
+    from webfilter.kernels import perplexity as _ppl
+    from webfilter.kernels import qualityclf as _qclf
+    from webfilter.kernels.scrubber import scrub_texts
+
+    out = _langid.predict_batch(text)
+    out["perplexity"] = _ppl.score_batch(text)
+    out["quality_prob"] = _qclf.quality_prob_batch(text)
+    out["scrubbed_text"] = scrub_texts(text)
+    return out
+
+
+def with_extract_scores_scrub(
+    df: DataFrame, html_col: str = "html", und_threshold: float = 0.5
+) -> DataFrame:
+    """with_extract_and_scores + scrubbed_text in the same Arrow pass.
+    pii_found stays a JVM-side comparison (pipeline adds it)."""
+    cols = [
+        c
+        for c in df.columns
+        if c
+        not in ("text", "title", "extract_err", "scrubbed_text", *_SCORE_COLS)
+    ]
+    out = df.withColumn(
+        "_es", extract_score_scrub_udf(F.col(html_col))
+    ).select(
+        *cols,
+        "_es.text", "_es.title", "_es.extract_err",
+        "_es.langid", "_es.langid_conf", "_es.perplexity",
+        "_es.quality_prob", "_es.scrubbed_text",
+    )
+    return _with_und(out, und_threshold)
+
+
+def with_scores_scrub(
+    df: DataFrame, text_col: str = "text", und_threshold: float = 0.5
+) -> DataFrame:
+    """with_scores + scrubbed_text in the same Arrow pass (the
+    pre-extracted / WET input path)."""
+    cols = [
+        c for c in df.columns if c not in ("scrubbed_text", *_SCORE_COLS)
+    ]
+    out = df.withColumn("_score", score_scrub_udf(F.col(text_col))).select(
+        *cols, "_score.langid", "_score.langid_conf", "_score.perplexity",
+        "_score.quality_prob", "_score.scrubbed_text",
+    )
+    return _with_und(out, und_threshold)
