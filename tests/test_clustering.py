@@ -163,3 +163,72 @@ def test_empty_cluster_keeps_previous_centroid(spark):
     got = {r["vec_id"]: r["cluster"] for r in out}
     assert got[0] == got[1] == 1  # origin rows reclaimed by kept centroid
     assert all(got[i] == 0 for i in range(2, 8))
+
+
+def test_semdedup_scaled_catches_planted_dups_and_bounds_k(spark):
+    """The k∝n SemDeDup variant (round 5 — the fixed-k oracle twin is
+    O(n^2/k), measured 36x wall at 10x data): planted exact-duplicate
+    vectors must be dropped (an exact dup always lands in its twin's
+    cluster), output must be deterministic across invocations, and
+    the higher id of an equidistant pair is the one dropped."""
+    import numpy as np
+
+    from webfilter.clustering import semdedup_pairs_scaled
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(300):
+        v = rng.normal(0, 1, 16)
+        v = (v / np.linalg.norm(v)).tolist()
+        rows.append((i, v))
+        if i % 10 == 0:  # planted exact dup
+            rows.append((10000 + i, list(v)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup_pairs_scaled(df, dim=16, tau=0.95, target_cluster=48)
+    drops = {r["vec_id"] for r in out.collect()}
+    planted = {10000 + i for i in range(0, 300, 10)}
+    # every planted dup dropped, and the HIGHER id (tie rule)
+    assert planted <= drops, planted - drops
+    assert not drops & set(range(0, 300, 10)) - planted
+    # deterministic
+    drops2 = {r["vec_id"] for r in out.collect()}
+    assert drops == drops2
+
+
+def test_semdedup_scaled_empty_and_null_inputs(spark):
+    from webfilter.clustering import semdedup_pairs_scaled
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert semdedup_pairs_scaled(empty, dim=4).count() == 0
+    nulls = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"] for r in semdedup_pairs_scaled(nulls, dim=2, tau=0.9).collect()}
+    assert out == {3}
+
+
+def test_semdedup_scaled_two_level_path_catches_planted_dups(spark):
+    """k > 32 switches to the two-level IVF-style assignment; exact
+    dups take identical decisions at both levels, so every planted
+    dup must still co-cluster and be dropped (higher id)."""
+    import numpy as np
+
+    from webfilter.clustering import semdedup_pairs_scaled
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(300):
+        v = rng.normal(0, 1, 16)
+        v = (v / np.linalg.norm(v)).tolist()
+        rows.append((i, v))
+        if i % 10 == 0:
+            rows.append((10000 + i, list(v)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # target 8 -> k = ceil(330/8) = 42 > 32 -> two-level
+    out = semdedup_pairs_scaled(df, dim=16, tau=0.95, target_cluster=8)
+    drops = {r["vec_id"] for r in out.collect()}
+    planted = {10000 + i for i in range(0, 300, 10)}
+    assert planted <= drops, planted - drops
+    assert not drops & set(range(0, 300, 10)) - planted
+    assert drops == {r["vec_id"] for r in out.collect()}  # deterministic

@@ -62,6 +62,7 @@ __all__ = [
     "kmeans_exact",
     "kmeans_exact_assignments",
     "kmeans_exact_centroids",
+    "semdedup_pairs_scaled",
 ]
 
 
@@ -290,3 +291,167 @@ def kmeans_exact(
     return asg.select(
         id_col, "cluster", F.count("*").over(w).alias("cluster_size")
     )
+
+
+def semdedup_pairs_scaled(
+    df: DataFrame,
+    dim: int,
+    tau: float = 0.9,
+    target_cluster: int = 256,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) with the cluster COUNT scaled to
+    the corpus: k = ceil(n / target_cluster), so expected cluster size
+    stays ~target_cluster regardless of n and the cluster-local pair
+    join does ~n * target_cluster/2 comparisons — LINEAR in n.
+
+    This is the web-scale path next to the oracle-pinned fixed-k
+    twin (`entry_queries.q_semdedup_kmeans`, k=8 exact-integer so
+    DuckDB can replay it): fixed k makes the within-cluster join
+    O(n^2/k), measured 36x wall at 10x the data (BENCH/
+    sf1_heavy_tail.json, round 5) — correct but quadratic by
+    construction, exactly as the paper's own k∝n configuration
+    avoids. Drop rule matches the paper and the fixed-k twin: within
+    a cluster, a pair with cosine >= tau drops the member farther
+    from its centroid (ties: higher id).
+
+    One count() action at construction (k needs n) — bench/pipeline
+    surface, not a registry query, so the action-free registry gate
+    does not apply. Deterministic: kmeans_fit's hash init + literal
+    centers; returns distinct (vec_id, cluster) drops.
+
+    Assignment strategy switches on k: flat Lloyd for k <= 32; above
+    that a two-level IVF-style scheme (sqrt(k) coarse Lloyd cells,
+    then per-cell deterministic seed vectors, broadcast-join-pruned
+    nearest-seed) keeps per-row assignment cost O(sqrt(k)*dim) —
+    flat assignment is O(k*dim) per row, which with k ∝ n is itself
+    the quadratic term at scale (see inline comment)."""
+    import math
+
+    src = df.filter(F.col(vec_col).isNotNull())
+    n = src.count()
+    if n == 0:
+        return src.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(0).cast("bigint").alias("cluster"),
+        ).limit(0)
+    k = max(8, math.ceil(n / target_cluster))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    if k <= 32:
+        # flat Lloyd: assignment is k literal sq-dist exprs per row —
+        # fine while k is small
+        centers, assign = kmeans_fit(src, dim, k=k, iters=iters,
+                                     vec_col=vec_col, id_col=id_col)
+        dists = F.array(
+            *[_sq_dist_lit(F.col(vec_col), list(c)) for c in centers]
+        )
+        asg = src.select(
+            F.col(id_col).alias("vec_id"),
+            assign(F.col(vec_col)).alias("cluster"),
+            F.array_min(dists).alias("cdist"),
+            F.col(vec_col).alias("v"),
+            norm.alias("vn"),
+        ).filter(F.col("vn") > 0)
+    else:
+        # Two-level (IVF-style) assignment — flat O(n*k*dim) is itself
+        # quadratic once k ∝ n (measured: the flat k∝n variant still
+        # grew 13x at 10x data, BENCH/sf1_heavy_tail.json). Coarse
+        # Lloyd with k1 = ceil(sqrt(k)) cells; within each cell, k2 =
+        # ceil(k/k1) deterministic seed vectors (smallest xxhash64(id)
+        # — the kmeans_fit init device, one window, no per-cell fits);
+        # each vector compares only against its OWN cell's seeds via a
+        # broadcast join + map-side-combined min. Total O(n*sqrt(k)*
+        # dim). Approximate at cell borders exactly like IVF — and
+        # EXACT duplicates always co-cluster (identical vectors take
+        # identical decisions), which is what the drop rule needs.
+        from .dedup import _persist
+
+        k1 = max(2, math.ceil(math.sqrt(k)))
+        k2 = max(1, math.ceil(k / k1))
+        centers, assign = kmeans_fit(src, dim, k=k1, iters=iters,
+                                     vec_col=vec_col, id_col=id_col)
+        coarse = _persist(src.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            norm.alias("vn"),
+            assign(F.col(vec_col)).alias("coarse"),
+        ).filter(F.col("vn") > 0))
+        w = Window.partitionBy("coarse").orderBy(
+            F.xxhash64(F.col("vec_id")), F.col("vec_id")
+        )
+        seeds = (
+            coarse.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k2)
+            .select(
+                "coarse",
+                F.col("vec_id").alias("seed_id"),
+                F.col("v").alias("seed_v"),
+            )
+        )
+        d_seed = F.aggregate(
+            F.zip_with(
+                F.col("v"), F.col("seed_v"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        # min over the struct orders by (distance, seed_id): exact
+        # ties go to the lowest seed id — deterministic; partial agg
+        # combines map-side so the shuffle carries ~n rows, not n*k2
+        asg = (
+            coarse.join(F.broadcast(seeds), "coarse")
+            .select(
+                "vec_id", "coarse",
+                F.struct(
+                    d_seed.alias("d"),
+                    F.col("seed_id").alias("sid"),
+                    F.col("v").alias("v"),
+                    F.col("vn").alias("vn"),
+                ).alias("_s"),
+            )
+            .groupBy("vec_id", "coarse")
+            .agg(F.min("_s").alias("s"))
+            .select(
+                "vec_id",
+                F.xxhash64("coarse", F.col("s.sid")).alias("cluster"),
+                F.col("s.d").alias("cdist"),
+                F.col("s.v").alias("v"),
+                F.col("s.vn").alias("vn"),
+            )
+        )
+    a = asg.select(
+        F.col("vec_id").alias("id_a"), "cluster",
+        F.col("cdist").alias("d_a"), F.col("v").alias("va"),
+        F.col("vn").alias("na"),
+    )
+    b = asg.select(
+        F.col("vec_id").alias("id_b"), "cluster",
+        F.col("cdist").alias("d_b"), F.col("v").alias("vb"),
+        F.col("vn").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    near = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= F.lit(float(tau)))
+    )
+    drop = F.when(
+        F.col("d_a") > F.col("d_b"), F.col("id_a")
+    ).when(
+        F.col("d_b") > F.col("d_a"), F.col("id_b")
+    ).otherwise(F.greatest("id_a", "id_b"))
+    return near.select(drop.alias("vec_id"), "cluster").distinct()
