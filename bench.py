@@ -307,11 +307,16 @@ def main() -> None:
             "mem_bw_gbps": bw,
             **_stat_fracs(st0, st1),
         }
-        if cpu0 is not None and cpu1 is not None:
+        if cpu0 is not None and cpu1 is not None and cpu1 >= cpu0:
             # denominator = the affinity actually in effect, not the
             # requested CPUS: on a smaller host the tree can never
             # reach CPUS cores and every run would read "contended"
-            # forever (code-review r4c10 finding #4)
+            # forever (code-review r4c10 finding #4). cpu1 < cpu0 is
+            # a measurement artifact (a python worker exited between
+            # samples and its jiffies left the live-pid sum without
+            # landing in a surviving ancestor's cutime — observed
+            # own_util=-0.32 in the r5 refresh): omit rather than
+            # report a bogus "starved" signal that burns retry budget
             n_eff = len(cores) if cores else CPUS
             stats["own_util"] = round((cpu1 - cpu0) / (wall * n_eff), 3)
         shutil.rmtree(f"{work}/out{i}", ignore_errors=True)
