@@ -232,3 +232,74 @@ def test_semdedup_scaled_two_level_path_catches_planted_dups(spark):
     assert planted <= drops, planted - drops
     assert not drops & set(range(0, 300, 10)) - planted
     assert drops == {r["vec_id"] for r in out.collect()}  # deterministic
+
+
+def _semdedup_asg(spark):
+    """The exact assignment frame q_semdedup_kmeans builds (sf0.001)."""
+    from webfilter.clustering import (
+        exact_assign_col,
+        exact_min_key_col,
+        kmeans_exact_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qdf, cents = kmeans_exact_centroids(emb, iters=2, scale=100, init_ids=8)
+    vv = F.aggregate(
+        F.transform(F.col("qv"), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return qdf.select(
+        F.col("_id").alias("vec_id"),
+        exact_assign_col(F.col("qv"), cents).alias("cluster"),
+        exact_min_key_col(F.col("qv"), cents).alias("ckey"),
+        "qv",
+        vv.alias("vv"),
+    )
+
+
+def test_semdedup_losers_matches_join(spark):
+    """The numpy Gram kernel (r6 optimization) must be SET-IDENTICAL
+    to the original within-cluster self-join formulation — the kernel
+    only vectorizes the same exact-integer pair test and the same
+    IEEE-double ckey loser rule."""
+    from webfilter.clustering import semdedup_cluster_losers
+
+    asg = _semdedup_asg(spark)
+    a = asg.select(
+        F.col("vec_id").alias("id_a"), "cluster", F.col("ckey").alias("k_a"),
+        F.col("qv").alias("qa"), F.col("vv").alias("va"),
+    )
+    b = asg.select(
+        F.col("vec_id").alias("id_b"), "cluster", F.col("ckey").alias("k_b"),
+        F.col("qv").alias("qb"), F.col("vv").alias("vb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    near = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (F.lit(25).cast("bigint") * F.col("dot") * F.col("dot")
+               >= F.lit(4).cast("bigint") * F.col("va") * F.col("vb"))
+        )
+    )
+    drop = F.when(F.col("k_a") > F.col("k_b"), F.col("id_a")).otherwise(
+        F.col("id_b")
+    )
+    join_rows = {
+        (r["vec_id"], r["cluster"])
+        for r in near.select(drop.alias("vec_id"), "cluster").distinct().collect()
+    }
+    kernel_rows = [
+        (r["vec_id"], r["cluster"])
+        for r in semdedup_cluster_losers(asg).collect()
+    ]
+    assert len(kernel_rows) == len(set(kernel_rows))  # already distinct
+    assert set(kernel_rows) == join_rows
+    assert len(join_rows) > 0  # fixture actually exercises the rule

@@ -62,8 +62,76 @@ __all__ = [
     "kmeans_exact",
     "kmeans_exact_assignments",
     "kmeans_exact_centroids",
+    "semdedup_cluster_losers",
     "semdedup_pairs_scaled",
 ]
+
+
+def semdedup_cluster_losers(asg: DataFrame) -> DataFrame:
+    """Cluster-local SemDeDup drop set, vectorized (opt guide §4.2).
+
+    Input: (vec_id, cluster, ckey, qv, vv) — the exact-integer
+    assignment frame q_semdedup_kmeans builds (qv int64-quantized
+    vector, vv = |qv|^2, ckey = the winning centroid's rational
+    distance key as double). Output: distinct (vec_id, cluster) of
+    every pair-loser, IDENTICAL to the JVM self-join formulation:
+
+        near(a, b)  :=  id_a < id_b  AND  dot > 0
+                        AND 25*dot^2 >= 4*va*vb          (cos >= 0.4)
+        loser(a, b) :=  id_a  if  k_a > k_b  else  id_b
+
+    Replaces the within-cluster self-join whose per-pair dot ran as
+    an interpreted zip_with/aggregate lambda (O(n^2/k) pairs * dim
+    interpreted ops — the r5 bench's single slowest query at sf1,
+    80 s) with one int64 Gram matrix per cluster in numpy. All
+    arithmetic stays in the exact integer space (int64 matmul; the
+    module-docstring 2^53 bound applies unchanged), and the loser
+    rule compares the same IEEE doubles Spark computed for ckey, so
+    the result set is bit-identical. Blocked matmul bounds memory at
+    ~blk * n int64s per task; parallelism = k tasks (cluster-local
+    by design — the same shape as the join it replaces)."""
+    import pandas as pd
+
+    def _losers(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype="int64"),
+                 "cluster": pd.Series([], dtype="int64")}
+            )
+        pdf = pdf.sort_values("vec_id", kind="mergesort")
+        q = np.array([np.asarray(x, dtype=np.int64) for x in pdf["qv"]])
+        v = pdf["vv"].to_numpy(dtype=np.int64)
+        ck = pdf["ckey"].to_numpy(dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        loser = np.zeros(n, dtype=bool)
+        blk = 2048
+        for i0 in range(0, n, blk):
+            i1 = min(i0 + blk, n)
+            dot = q[i0:i1] @ q.T  # int64, exact
+            near = (dot > 0) & (
+                25 * dot * dot >= 4 * v[i0:i1, None] * v[None, :]
+            )
+            # positional upper triangle == id_a < id_b (sorted by id)
+            cols = np.arange(n)[None, :]
+            rows = np.arange(i0, i1)[:, None]
+            near &= cols > rows
+            a_loses = near & (ck[i0:i1, None] > ck[None, :])
+            b_loses = near & ~(ck[i0:i1, None] > ck[None, :])
+            loser[i0:i1] |= a_loses.any(axis=1)
+            loser |= b_loses.any(axis=0)
+        out = ids[loser]
+        return pd.DataFrame(
+            {"vec_id": out,
+             "cluster": np.full(len(out), pdf["cluster"].iloc[0],
+                                dtype=np.int64)}
+        )
+
+    return (
+        asg.select("vec_id", "cluster", "ckey", "qv", "vv")
+        .groupBy("cluster")
+        .applyInPandas(_losers, "vec_id bigint, cluster bigint")
+    )
 
 
 def _sq_dist_lit(vec: Column, center: list[float]) -> Column:

@@ -62,16 +62,87 @@ _TOKS_LOWER = (
 )
 
 
+# ---- scale-adaptive scan spread (opt guide §2.2/§6) -----------------
+# Parquet cannot split below a row group: a table written as ONE row
+# group scans on one core no matter how many the session has (all the
+# driver-generated sf tables are 1-6 row groups — measured r6). When
+# the FILE LAYOUT caps scan parallelism well below the session's
+# cores, spread rows once with a round-robin exchange. The gate is
+# derived from the input (footer metadata, no Spark job): it only
+# fires for small inputs (<= _SPREAD_MAX_BYTES compressed), so at
+# real scale — thousands of splits — it is a no-op by construction,
+# not a local[32]-only constant. Metadata is cached per (file, size,
+# mtime); results are never cached.
+_SPREAD_MIN_BYTES = 2 << 20  # tiny fixtures: exchange buys nothing
+_SPREAD_MAX_BYTES = 64 << 20  # above this the scan already splits
+_RG_CACHE: dict[tuple[str, int, float], int] = {}
+
+
+def _scan_layout(path: str) -> tuple[int, int]:
+    """(total_compressed_bytes, total_row_groups) for a parquet file
+    or directory — driver-side footer reads only, no Spark job."""
+    import os
+
+    if os.path.isdir(path):
+        files = [
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+    else:
+        files = [path]
+    total_b, total_rg = 0, 0
+    for f in files:
+        st = os.stat(f)
+        total_b += st.st_size
+        key = (f, st.st_size, st.st_mtime)
+        rg = _RG_CACHE.get(key)
+        if rg is None:
+            import pyarrow.parquet as pq
+
+            rg = pq.ParquetFile(f).metadata.num_row_groups
+            _RG_CACHE[key] = rg
+        total_rg += rg
+    return total_b, total_rg
+
+
+def _read_spread(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    try:
+        nbytes, rgs = _scan_layout(path)
+    except OSError:
+        return df
+    if not (_SPREAD_MIN_BYTES <= nbytes <= _SPREAD_MAX_BYTES):
+        return df
+    raw = spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728"
+    ).lower().rstrip("b")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    try:
+        if raw and raw[-1] in units:
+            max_split = int(raw[:-1]) * units[raw[-1]]
+        else:
+            max_split = int(raw)
+    except ValueError:
+        max_split = 128 << 20
+    cores = spark.sparkContext.defaultParallelism
+    eff_tasks = min(rgs, max(1, -(-nbytes // max_split)))
+    if eff_tasks * 2 > cores:
+        return df
+    return df.repartition(cores)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _read_spread(spark, f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _read_spread(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_spread(spark, f"{sf_dir}/{name}.parquet")
 
 
 def r6(c):
@@ -7064,33 +7135,15 @@ def q_semdedup_kmeans(spark, sf_dir):
         "qv",
         vv.alias("vv"),
     )
-    a = asg.select(
-        F.col("vec_id").alias("id_a"), "cluster", F.col("ckey").alias("k_a"),
-        F.col("qv").alias("qa"), F.col("vv").alias("va"),
-    )
-    b = asg.select(
-        F.col("vec_id").alias("id_b"), "cluster", F.col("ckey").alias("k_b"),
-        F.col("qv").alias("qb"), F.col("vv").alias("vb"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    near = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dot", dot)
-        .filter(
-            (F.col("dot") > 0)
-            & (F.lit(25).cast("bigint") * F.col("dot") * F.col("dot")
-               >= F.lit(4).cast("bigint") * F.col("va") * F.col("vb"))
-        )
-    )
-    drop = F.when(F.col("k_a") > F.col("k_b"), F.col("id_a")).otherwise(
-        F.col("id_b")
-    )
-    return near.select(drop.alias("vec_id"), "cluster").distinct()
+    # Pair scan: one int64 Gram matrix per cluster in numpy
+    # (clustering.semdedup_cluster_losers) — set-identical to the
+    # former within-cluster self-join whose interpreted zip_with dot
+    # made this the slowest bench query at sf1 (80 s -> see
+    # OPTIMIZATION_r06.md; equality pinned by
+    # tests/test_clustering.py::test_semdedup_losers_matches_join).
+    from .clustering import semdedup_cluster_losers
+
+    return semdedup_cluster_losers(asg)
 
 
 SQL_SEMDEDUP_KMEANS = (

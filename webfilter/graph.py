@@ -98,13 +98,25 @@ def pagerank(
             # the caller's node type preserved), not a
             # ZeroDivisionError (code-review r4c4 finding #5)
             return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
-        F.count(F.lit(1)).cast("double").alias("deg")
+    # Collapse parallel edges BEFORE normalization (opt guide §2.3
+    # "aggregate before you shuffle"): a multigraph derived from an
+    # event log can carry millions of rows over a few thousand
+    # distinct (src, dst) pairs, and the per-round contribs join then
+    # re-scans every parallel edge each iteration. Grouping to
+    # weighted edges (share = multiplicity / deg) makes each round's
+    # join O(distinct pairs), not O(events). Numerically this changes
+    # only the SUMMATION ORDER of the per-dst contribution sum —
+    # which Spark's partial aggregation already leaves unspecified —
+    # and rank outputs are consumed at r6 rounding (oracle-verified
+    # unchanged at every sf; see OPTIMIZATION_r06.md).
+    weights = (
+        edges.groupBy(F.col(src).alias("node"), F.col(dst).alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
+    out_deg = weights.groupBy("node").agg(F.sum("w").alias("deg"))
     norm_edges = (
-        edges.select(F.col(src).alias("node"), F.col(dst).alias("dst"))
-        .join(out_deg, "node")
-        .select("node", "dst", (F.lit(1.0) / F.col("deg")).alias("share"))
+        weights.join(out_deg, "node")
+        .select("node", "dst", (F.col("w") / F.col("deg")).alias("share"))
         .localCheckpoint(eager=False)
     )
 
