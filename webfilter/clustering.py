@@ -49,6 +49,7 @@ from __future__ import annotations
 from typing import Callable
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -267,6 +268,61 @@ def exact_min_key_col(
     return F.array_min(dists)
 
 
+def exact_assign_udf(cents: list[tuple[int, list[int], int]]):
+    """Vectorized twin of exact_assign_col/exact_min_key_col (r6,
+    opt guide §4.2): one Arrow batch kernel computing
+    struct(cluster, ckey, vv) per quantized vector, bit-identical to
+    the Column forms — the same int64 numerator (module-docstring
+    2^53 bound ⇒ the int64→double cast is exact), the same one IEEE
+    division by float(n^2), numpy argmin's first-minimum matching
+    array_position's first-match tie-break. Replaces k interpreted
+    zip_with/aggregate folds per row (evaluated twice when both the
+    assignment and the key are selected) with one int64 matmul per
+    batch."""
+    if [c[0] for c in cents] != sorted(c[0] for c in cents):
+        raise ValueError("cents must be sorted by cent_id")
+    from pyspark.sql import types as T
+
+    ids = np.array([c[0] for c in cents], dtype=np.int64)
+    S = np.array([c[1] for c in cents], dtype=np.int64)  # (k, dim)
+    ns = np.array([c[2] for c in cents], dtype=np.int64)
+    ss = (S * S).sum(axis=1)  # (k,) int64 — within the 2^53 bound
+
+    def _fn(qv_s: pd.Series) -> pd.DataFrame:
+        Q = np.array(
+            [np.asarray(x, dtype=np.int64) for x in qv_s], dtype=np.int64
+        )
+        if Q.size == 0:
+            return pd.DataFrame(
+                {"cluster": pd.Series([], dtype="int64"),
+                 "ckey": pd.Series([], dtype="float64"),
+                 "vv": pd.Series([], dtype="int64")}
+            )
+        vv = (Q * Q).sum(axis=1)  # (b,) int64, exact
+        dot = Q @ S.T  # (b, k) int64, exact
+        num = (
+            (ns * ns)[None, :] * vv[:, None]
+            - 2 * ns[None, :] * dot
+            + ss[None, :]
+        )
+        keys = num.astype(np.float64) / (
+            (ns * ns).astype(np.float64)[None, :]
+        )
+        j = keys.argmin(axis=1)  # first min == array_position
+        return pd.DataFrame(
+            {"cluster": ids[j],
+             "ckey": keys[np.arange(len(j)), j],
+             "vv": vv}
+        )
+
+    schema = T.StructType(
+        [T.StructField("cluster", T.LongType()),
+         T.StructField("ckey", T.DoubleType()),
+         T.StructField("vv", T.LongType())]
+    )
+    return F.pandas_udf(_fn, schema)
+
+
 def kmeans_exact_centroids(
     df: DataFrame,
     iters: int = 2,
@@ -310,8 +366,11 @@ def kmeans_exact_centroids(
     dim = len(cents[0][1])
     sums = [F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)]
     for _ in range(iters):
+        # vectorized assignment (bit-identical twin of
+        # exact_assign_col — see exact_assign_udf)
         asg = qdf.select(
-            exact_assign_col(F.col("qv"), cents).alias("cluster"), "qv"
+            exact_assign_udf(cents)(F.col("qv"))["cluster"].alias("cluster"),
+            "qv",
         )
         rows = {
             int(r["cluster"]): r
@@ -341,7 +400,7 @@ def kmeans_exact_assignments(
     )
     return qdf.select(
         F.col("_id").alias(id_col),
-        exact_assign_col(F.col("qv"), cents).alias("cluster"),
+        exact_assign_udf(cents)(F.col("qv"))["cluster"].alias("cluster"),
     )
 
 

@@ -342,18 +342,33 @@ def lsh_candidate_pairs(
 
 
 def _pairs_from_bands(bands: DataFrame, id_col: str) -> DataFrame:
-    a = bands.alias("a")
-    b = bands.alias("b")
+    """Within-bucket candidate pairs via ONE groupBy + a streamed
+    combination explode — set-identical to the former band-table
+    self-join (id_a < id_b sharing any (band_idx, band_hash) bucket)
+    but with half the band-table passes (r6, opt guide §2.4): the
+    self-join consumed its input twice, which re-ran the signature
+    kernel per side (a lazily-persisted frame read concurrently by
+    both join sides races the cache and computes twice), and paid two
+    exchanges of the same rows plus a sort-merge. Here the bucket's
+    id list is collected once (ids within a bucket are distinct by
+    construction — one band row per doc per band) and pairs stream
+    out of two chained generators, so no m^2 array is ever
+    materialized in a single row buffer. Hot-bucket skew is unchanged
+    — the join concentrated a hot bucket's quadratic OUTPUT in one
+    task too (see minhash_dedup_pairs' collapse_exact guard)."""
+    grp = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    e1 = grp.select("ids", F.posexplode("ids").alias("i", "id_a"))
+    rest = F.slice(
+        F.col("ids"),
+        F.col("i") + 2,
+        F.greatest(F.size("ids") - F.col("i") - 1, F.lit(0)),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        e1.select(F.col("id_a"), F.explode(rest).alias("id_b"))
         .distinct()
     )
 
@@ -411,11 +426,10 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: sign -> band -> verify.
 
-    The signature frame is persisted: the banding self-join consumes
-    it twice, and the signature (explode + n_hashes min-aggs) is the
-    expensive half of the pipeline. Registered for release_cached()
-    — call it after materializing the result in a long-lived
-    session.
+    The signature frame is no longer persisted (r6): since
+    _pairs_from_bands became a single-pass groupBy, the signature
+    has exactly one consumer, so a cache only added a write + the
+    risk of the old two-sided cache race.
 
     ``collapse_exact=True`` is the web-scale guard against boilerplate
     floods (VERDICT r2 #10): m byte-identical docs otherwise share
@@ -434,11 +448,11 @@ def minhash_dedup_pairs(
     threshold > 1.0 (identical texts would not meet the bar)."""
     if collapse_exact and threshold <= 1.0:
         reps, star = _collapse_exact(df, id_col, text_col)
-        sig = _persist(minhash_signature_df(reps, id_col, text_col, k, n_hashes))
+        sig = minhash_signature_df(reps, id_col, text_col, k, n_hashes)
         cand = lsh_candidate_pairs(sig, id_col, n_bands, n_hashes // n_bands)
         near = jaccard_verify(reps, cand, id_col, text_col, k, threshold)
         return near.unionByName(star)
-    sig = _persist(minhash_signature_df(df, id_col, text_col, k, n_hashes))
+    sig = minhash_signature_df(df, id_col, text_col, k, n_hashes)
     cand = lsh_candidate_pairs(sig, id_col, n_bands, n_hashes // n_bands)
     return jaccard_verify(df, cand, id_col, text_col, k, threshold)
 

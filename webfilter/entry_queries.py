@@ -7114,26 +7114,21 @@ def q_semdedup_kmeans(spark, sf_dir):
     engines. Ties drop the higher vec_id. Scale shape inherits from
     both parents: training is k bounded collects, the pair join is
     cluster-local (cluster id = partition key), never corpus-wide."""
-    from .clustering import (
-        exact_assign_col,
-        exact_min_key_col,
-        kmeans_exact_centroids,
-    )
+    from .clustering import exact_assign_udf, kmeans_exact_centroids
 
     qdf, cents = kmeans_exact_centroids(
         _emb(spark, sf_dir), iters=2, scale=100, init_ids=8
     )
-    vv = F.aggregate(
-        F.transform(F.col("qv"), lambda x: x * x),
-        F.lit(0).cast("bigint"),
-        lambda a, x: a + x,
-    )
+    # one vectorized pass computes (cluster, ckey, vv) — bit-identical
+    # to the exact_assign_col / exact_min_key_col / HOF-vv staging it
+    # replaces (see clustering.exact_assign_udf, r6)
+    st = exact_assign_udf(cents)(F.col("qv"))
     asg = qdf.select(
         F.col("_id").alias("vec_id"),
-        exact_assign_col(F.col("qv"), cents).alias("cluster"),
-        exact_min_key_col(F.col("qv"), cents).alias("ckey"),
+        st["cluster"].alias("cluster"),
+        st["ckey"].alias("ckey"),
         "qv",
-        vv.alias("vv"),
+        st["vv"].alias("vv"),
     )
     # Pair scan: one int64 Gram matrix per cluster in numpy
     # (clustering.semdedup_cluster_losers) — set-identical to the
