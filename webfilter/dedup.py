@@ -202,8 +202,32 @@ def _minhash_kernel(hash_lists, n_hashes: int):
             np.arange(1, n_hashes + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         )
         sub = np.empty((len(ne_lens), n_hashes), dtype=np.uint64)
-        for j in range(n_hashes):
-            sub[:, j] = np.minimum.reduceat(_splitmix64(flat ^ seeds[j]), starts)
+        # Chunk the doc stream so each seed pass's temporaries stay
+        # cache-resident (r6, opt guide §1.2 per-task work): the
+        # former whole-array loop streamed ~6 full-size temporaries
+        # per seed — n_hashes * 6 * |flat| bytes of memory traffic
+        # (tens of GB per task at sf1), which made the kernel memory-
+        # bandwidth-bound. Chunk boundaries fall on doc starts, so
+        # every reduceat segment is intact and outputs are identical.
+        nd_ne = len(ne_lens)
+        target = 1 << 16  # ~512 KB of uint64 per temp
+        d0 = 0
+        while d0 < nd_ne:
+            d1 = d0
+            while d1 < nd_ne and (
+                d1 == d0
+                or starts[d1] - starts[d0] + ne_lens[d1] <= target
+            ):
+                d1 += 1
+            f0 = starts[d0]
+            f1 = starts[d1] if d1 < nd_ne else len(flat)
+            fl = flat[f0:f1]
+            st = starts[d0:d1] - f0
+            for j in range(n_hashes):
+                sub[d0:d1, j] = np.minimum.reduceat(
+                    _splitmix64(fl ^ seeds[j]), st
+                )
+            d0 = d1
         out[nonempty] = sub
     return out.view(np.int64)
 
@@ -1199,34 +1223,49 @@ def incremental_simhash_pairs(
         F.when(swap, F.col("b.fp")).otherwise(F.col("a.fp")).alias("fp_a"),
         F.when(swap, F.col("a.fp")).otherwise(F.col("b.fp")).alias("fp_b"),
     )
-    within = _chunk_within_pairs(nc)
-    pairs = (
-        cross.unionByName(within)
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    cross_h = cross.select(
+        "id_a", "id_b",
+        F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+    within = _chunk_within_pairs(nc, max_hamming)
+    pairs = cross_h.unionByName(within).distinct()
     return pairs, nc
 
 
-def _chunk_within_pairs(chunks: DataFrame) -> DataFrame:
+def _chunk_within_pairs(chunks: DataFrame, max_hamming: int | None = None) -> DataFrame:
     """The pigeonhole candidate join shared by the simhash family and
     fp_pigeonhole_pairs: same-chunk equi-join, id_a < id_b, fps
     carried for the exact hamming verify (one definition so a fix
-    can never miss a variant)."""
+    can never miss a variant).
+
+    ``max_hamming`` (r6, opt guide §2.3): verify INSIDE the join
+    projection — emit (id_a, id_b, hamming) already filtered, so the
+    caller's cross-chunk distinct shuffles only surviving pairs.
+    hamming is a pure function of the pair (fps are functionally
+    determined by ids), so filter-before-distinct is set-identical
+    to the former distinct-then-filter; at sf1 the raw candidate
+    stream is ~9.3M rows vs ~36k survivors — the distinct was
+    shuffling 250x more rows (and two 8-byte fps per row) than the
+    result needs."""
     a, b = chunks.alias("a"), chunks.alias("b")
-    return a.join(
+    j = a.join(
         b,
         (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
         & (F.col("a.chunk_val") == F.col("b.chunk_val"))
         & (F.col("a.id") < F.col("b.id")),
-    ).select(
+    )
+    if max_hamming is None:
+        return j.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+    return j.select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        F.col("a.fp").alias("fp_a"),
-        F.col("b.fp").alias("fp_b"),
-    )
+        F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def _pigeonhole_recall_guard(max_hamming: int, n_chunks: int) -> None:
@@ -1268,12 +1307,9 @@ def simhash_near_dup_pairs(
         df, id_col, text_col, n_chunks=n_chunks,
         use_kernel=use_kernel, bits=bits, hash_fn=hash_fn,
     )
-    cand = _chunk_within_pairs(chunks).distinct()
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    # hamming verify inside the join, distinct only over survivors
+    # (see _chunk_within_pairs max_hamming note)
+    return _chunk_within_pairs(chunks, max_hamming).distinct()
 
 
 def fp_pigeonhole_pairs(
@@ -1307,17 +1343,7 @@ def fp_pigeonhole_pairs(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    cand = (
-        _chunk_within_pairs(chunks)
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return _chunk_within_pairs(chunks, max_hamming).distinct()
 
 
 # ------------------------------------------------- connected components

@@ -2949,6 +2949,14 @@ def _bpe_train_chain(docs):
         # makes both match every char (text-fuzz finding)
         F.regexp_replace(F.col("word"), "(?s)(.)", "·$1·").alias("repr"),
     )
+    # lazy lineage truncation per round (the graph.pagerank loop
+    # discipline, r6): each round's `pairs`/`best` otherwise re-runs
+    # the whole chain back to the corpus scan — round r recomputed
+    # the vocab explode + r regexp merge passes, so the 4-round
+    # union executed ~10 vocab derivations. eager=False keeps
+    # construction action-free; outputs are unchanged (pure lineage
+    # cut, replay-oracle still byte-identical).
+    state = state.localCheckpoint(eager=False)
     merges = []
     for rnd in range(_BPE_ROUNDS):
         sym = F.filter(
@@ -2998,7 +3006,7 @@ def _bpe_train_chain(docs):
                 ),
                 F.concat(F.lit("·"), F.col("_m1"), F.col("_m2"), F.lit("·")),
             ).alias("repr"),
-        )
+        ).localCheckpoint(eager=False)
     return state, merges
 
 
