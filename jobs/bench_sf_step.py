@@ -141,10 +141,10 @@ def main() -> None:
                      "queries except as dims)"),
         }
     out_p.write_text(json.dumps(rec, indent=1))
+    ratios = sorted(r["wall_ratio"] for r in rows if r["wall_ratio"])
     print(json.dumps({"wrote": args.out,
-                      "median_wall_ratio": sorted(
-                          r["wall_ratio"] for r in rows
-                          if r["wall_ratio"])[len(rows) // 2]}))
+                      "median_wall_ratio": (
+                          ratios[len(ratios) // 2] if ratios else None)}))
 
 
 if __name__ == "__main__":
