@@ -2949,14 +2949,18 @@ def _bpe_train_chain(docs):
         # makes both match every char (text-fuzz finding)
         F.regexp_replace(F.col("word"), "(?s)(.)", "·$1·").alias("repr"),
     )
-    # lazy lineage truncation per round (the graph.pagerank loop
-    # discipline, r6): each round's `pairs`/`best` otherwise re-runs
-    # the whole chain back to the corpus scan — round r recomputed
-    # the vocab explode + r regexp merge passes, so the 4-round
-    # union executed ~10 vocab derivations. eager=False keeps
-    # construction action-free; outputs are unchanged (pure lineage
-    # cut, replay-oracle still byte-identical).
-    state = state.localCheckpoint(eager=False)
+    # cache each round's state (r6): round r's `pairs`/`best`
+    # otherwise re-runs the whole chain back to the corpus scan —
+    # the 4-round union executed ~10 vocab derivations. A lazy
+    # persist (NOT localCheckpoint: even eager=False compiles the
+    # plan and executes its broadcast subtrees, which breaks the
+    # action-free registry gate — test_registry_construction_is_
+    # action_free caught exactly that) keeps construction plan-only;
+    # outputs are unchanged, storage is vocab-sized and released via
+    # release_cached().
+    from .dedup import _persist as _bpe_persist
+
+    state = _bpe_persist(state)
     merges = []
     for rnd in range(_BPE_ROUNDS):
         sym = F.filter(
@@ -3006,7 +3010,8 @@ def _bpe_train_chain(docs):
                 ),
                 F.concat(F.lit("·"), F.col("_m1"), F.col("_m2"), F.lit("·")),
             ).alias("repr"),
-        ).localCheckpoint(eager=False)
+        )
+        state = _bpe_persist(state)
     return state, merges
 
 
