@@ -284,7 +284,15 @@ def minhash_signature_df(
             sig = _minhash_kernel(hashes.tolist(), n_hashes)
             return pd.Series(list(sig), index=hashes.index)
 
-        udf = F.pandas_udf(_fn, T.ArrayType(T.LongType()))
+        # asNondeterministic: the sentinel filter right below references
+        # the UDF's output column, and the optimizer otherwise pushes a
+        # COPY of the whole ArrowEvalPython (plus its shingle-hash
+        # input subtree) beneath the filter — two full signature
+        # evaluations per pass, measured 4.3 s vs 0.7 s at sf1.0 (opt
+        # guide §4.4; plan showed 2x ArrowEvalPython). The kernel is
+        # semantically deterministic — the flag only forbids the
+        # optimizer from duplicating/reordering it.
+        udf = F.pandas_udf(_fn, T.ArrayType(T.LongType())).asNondeterministic()
         out = df.select(
             F.col(id_col), udf(shingle_hashes_col(F.col(text_col), k)).alias("sig")
         )
@@ -422,9 +430,18 @@ def jaccard_verify(
     THROWS DIVIDE_BY_ZERO rather than yielding the NULL the old
     comment assumed (random-fuzz-found: two whitespace-only docs
     crashed the whole minhash job)."""
-    sets = df.select(
+    # Zero-shingle exclusion via the equivalent INPUT predicate:
+    # size(shingle_hashes) > 0  <=>  tokens nonempty  <=>  the text
+    # contains a non-whitespace char (NULL text -> NULL rlike ->
+    # dropped, matching size(NULL sh) semantics). Filtering on the
+    # derived `sh` column made the optimizer push the predicate below
+    # the projection by SUBSTITUTING the whole shingle subtree — the
+    # tokenize+hash+zip+distinct pipeline evaluated twice per row,
+    # measured 3.8 s vs 0.7 s for this frame at sf1.0 (r6, opt guide
+    # §4.4's duplication trap in Column form).
+    sets = df.filter(F.col(text_col).rlike(r"\S")).select(
         F.col(id_col), shingle_hashes_col(F.col(text_col), k).alias("sh")
-    ).filter(F.size("sh") > 0)
+    )
     j = (
         pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
