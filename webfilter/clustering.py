@@ -106,10 +106,25 @@ def semdedup_cluster_losers(asg: DataFrame) -> DataFrame:
         ck = pdf["ckey"].to_numpy(dtype=np.float64)
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         loser = np.zeros(n, dtype=bool)
+        # numpy's int64 matmul has no BLAS kernel (opt guide §4.2);
+        # when every pairwise |dot| partial sum is provably < 2^52
+        # (|sum q_a_i*q_b_i| <= dim*amax^2, data-checked per task),
+        # a float64 dgemm produces the EXACT same integers for any
+        # summation order — every intermediate is an exactly
+        # representable integer — so rint-back to int64 is lossless
+        # and the comparison logic below is untouched. Outside the
+        # bound, fall back to the exact int64 matmul.
+        amax = int(np.abs(q).max()) if q.size else 0
+        dim = q.shape[1] if q.ndim == 2 else 0
+        f64_ok = dim * amax * amax < 2**52
+        qf = q.astype(np.float64) if f64_ok else None
         blk = 2048
         for i0 in range(0, n, blk):
             i1 = min(i0 + blk, n)
-            dot = q[i0:i1] @ q.T  # int64, exact
+            if f64_ok:
+                dot = np.rint(qf[i0:i1] @ qf.T).astype(np.int64)
+            else:
+                dot = q[i0:i1] @ q.T  # int64, exact
             near = (dot > 0) & (
                 25 * dot * dot >= 4 * v[i0:i1, None] * v[None, :]
             )
